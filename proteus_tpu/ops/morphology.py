@@ -1,0 +1,95 @@
+"""Binary morphology as TPU-friendly stencils.
+
+The DSWx-HLS 'cover' cloud-adjacent mode needs scipy-compatible masked binary
+dilation (reference: scipy.ndimage.binary_dilation with ``iterations`` and
+``mask`` at dswx_hls.py:2060-2076). SciPy's default structuring element is
+the 4-connected cross; with a mask, each iteration only turns on pixels
+inside the mask; values outside the input border are treated as 0.
+
+Implemented as a fori_loop of padded-shift ORs — pure VPU work that XLA
+fuses; a 3660x3660 bool dilation iteration is ~13 MB of traffic.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def dilate_cross(x):
+    """One binary dilation by the 4-connected (cross) structuring element."""
+    p = jnp.pad(x, 1, mode='constant', constant_values=False)
+    return (p[1:-1, 1:-1] | p[:-2, 1:-1] | p[2:, 1:-1]
+            | p[1:-1, :-2] | p[1:-1, 2:])
+
+
+def dilate_square(x):
+    """One binary dilation by the 8-connected (3x3 square) element."""
+    p = jnp.pad(x, 1, mode='constant', constant_values=False)
+    out = p[1:-1, 1:-1]
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            out = out | p[1 + dy:p.shape[0] - 1 + dy,
+                          1 + dx:p.shape[1] - 1 + dx]
+    return out
+
+
+def binary_dilation_masked(x, iterations: int, mask=None):
+    """scipy.ndimage.binary_dilation(x, iterations=..., mask=...) on device.
+
+    Because binary dilation only grows the foreground,
+    where(mask, dilate(x), x) == x | (dilate(x) & mask), which is what we
+    compute. ``iterations`` must be a static Python int.
+    """
+    x = jnp.asarray(x, dtype=bool)
+    if mask is not None:
+        mask = jnp.asarray(mask, dtype=bool)
+
+    def body(_, cur):
+        d = dilate_cross(cur)
+        if mask is not None:
+            return cur | (d & mask)
+        return d
+
+    if iterations <= 0:
+        return x
+    return jax.lax.fori_loop(0, iterations, body, x)
+
+
+def dilate_disk(x, radius_px: float):
+    """Binary dilation by a Euclidean disk of the given pixel radius.
+
+    Used by the TPU-native ocean-mask builder: the reference buffers shoreline
+    polygons geometrically (OGR Buffer, dswx_hls.py:3539); we rasterize first
+    and dilate by a disk, which equals the Minkowski buffer up to the 1-pixel
+    rasterization granularity.
+
+    Implemented as a separable two-pass chamfer-style scan? No — for
+    exactness we use an explicit disk offset OR, chunked by rows of the
+    structuring element, which XLA turns into a fused stencil. Cost is
+    O(radius^2) shifted ORs; for the default 1 km margin (34 px) this is
+    ~3.6k ops on bools, still bandwidth-bound and fast on the VPU. Prefer the
+    host distance-transform path (proteus_tpu.geo.polygon) for very large
+    radii.
+    """
+    import numpy as np
+    r = int(np.floor(radius_px))
+    if r <= 0:
+        return jnp.asarray(x, dtype=bool)
+    x = jnp.asarray(x, dtype=bool)
+    p = jnp.pad(x, r, mode='constant', constant_values=False)
+    h, w = x.shape
+    out = x
+    r2 = radius_px * radius_px
+    for dy in range(-r, r + 1):
+        # max |dx| such that dx^2 + dy^2 <= r^2
+        span = int(np.floor(np.sqrt(max(r2 - dy * dy, 0.0))))
+        row = p[r + dy:r + dy + h, r - span:r - span + w + 2 * span]
+        # OR of the contiguous horizontal run [-span, +span] via cumulative
+        # trick: use jnp.cumsum on ints? A simple loop of ORs is fine for
+        # moderate radii; XLA fuses them.
+        acc = row[:, 0:w]
+        for dx in range(1, 2 * span + 1):
+            acc = acc | row[:, dx:dx + w]
+        out = out | acc
+    return out

@@ -1,0 +1,259 @@
+"""Bit-exactness tests: TPU device chain vs the NumPy float64 oracle."""
+
+import numpy as np
+import pytest
+
+import oracle
+
+from proteus_tpu.core import constants as C
+from proteus_tpu.core.thresholds import HlsThresholds
+from proteus_tpu.models.dswx.chain import DswxChainConfig, dswx_chain
+from proteus_tpu.models.dswx.diagnostics import (compute_diagnostic_tests,
+                                                 get_binary_representation)
+from proteus_tpu.models.dswx.interpretation import (generate_interpreted_layer,
+                                                    collapse_wtr_classes)
+from proteus_tpu.models.dswx import masking
+from proteus_tpu.models.dswx.shadow import compute_opera_shadow_layer
+from proteus_tpu.models.dswx.landcover import create_landcover_mask_arrays
+
+RNG = np.random.default_rng(42)
+T = HlsThresholds()
+TDICT = {k: getattr(T, k) for k in T.__dataclass_fields__}
+
+
+def random_bands(shape=(64, 64), lo=-2000, hi=18000):
+    return [RNG.integers(lo, hi, size=shape).astype(np.int16)
+            for _ in range(6)]
+
+
+def clipped(bands):
+    # ingest applies FLAG_CLIP_NEGATIVE_REFLECTANCE (clip to >= 1)
+    return [np.clip(b, 1, None) for b in bands]
+
+
+class TestDiagnostics:
+    def test_random_parity(self):
+        bands = clipped(random_bands((128, 128)))
+        got = np.asarray(compute_diagnostic_tests(*bands, T))
+        want = oracle.diagnostic_tests(*bands, TDICT)
+        np.testing.assert_array_equal(got, want)
+
+    def test_overflow_wrap_parity(self):
+        # values that overflow int16 sums (green+swir1 etc.)
+        bands = [RNG.integers(15000, 32767, size=(64, 64)).astype(np.int16)
+                 for _ in range(6)]
+        got = np.asarray(compute_diagnostic_tests(*bands, T))
+        want = oracle.diagnostic_tests(*bands, TDICT)
+        np.testing.assert_array_equal(got, want)
+
+    def test_zero_denominator_parity(self):
+        # force green + swir1 == 0 and nir + red == 0 (inf/NaN semantics)
+        shape = (8, 8)
+        green = RNG.integers(-100, 100, shape).astype(np.int16)
+        swir1 = (-green).astype(np.int16)
+        nir = RNG.integers(-100, 100, shape).astype(np.int16)
+        red = (-nir).astype(np.int16)
+        blue = RNG.integers(1, 100, shape).astype(np.int16)
+        swir2 = RNG.integers(1, 100, shape).astype(np.int16)
+        bands = [blue, green, red, nir, swir1, swir2]
+        got = np.asarray(compute_diagnostic_tests(*bands, T))
+        want = oracle.diagnostic_tests(*bands, TDICT)
+        np.testing.assert_array_equal(got, want)
+
+    def test_exact_threshold_boundary(self):
+        # mndwi exactly equal to wigt = 0.124 = 31/250: strict > must be False
+        green = np.full((4, 4), 281, np.int16)   # g - s1 = 62, g + s1 = 500
+        swir1 = np.full((4, 4), 219, np.int16)   # 62/500 == 0.124
+        blue = np.full((4, 4), 1, np.int16)
+        red = np.full((4, 4), 1, np.int16)
+        nir = np.full((4, 4), 5000, np.int16)
+        swir2 = np.full((4, 4), 5000, np.int16)
+        bands = [blue, green, red, nir, swir1, swir2]
+        got = np.asarray(compute_diagnostic_tests(*bands, T))
+        want = oracle.diagnostic_tests(*bands, TDICT)
+        np.testing.assert_array_equal(got, want)
+        assert not (got & 1).any()  # test 1 false at exact equality
+
+    def test_near_threshold_sweep(self):
+        # scan denominators and numerators bracketing each ratio threshold
+        dens = np.arange(1, 4000, dtype=np.int64)
+        for t in (T.wigt, T.pswt_1_mndwi, T.pswt_2_mndwi, T.pswt_1_ndvi):
+            nums = np.round(t * dens).astype(np.int64)
+            for delta in (-1, 0, 1):
+                num = nums + delta
+                den = dens
+                green = ((den + num) // 2)
+                swir1 = den - green
+                ok = (np.abs(green) < 32768) & (np.abs(swir1) < 32768) & \
+                     ((green - swir1) == num)
+                g = green[ok].astype(np.int16).reshape(1, -1)
+                s1 = swir1[ok].astype(np.int16).reshape(1, -1)
+                blue = np.ones_like(g)
+                bands = [blue, g, blue, blue, s1, blue]
+                got = np.asarray(compute_diagnostic_tests(*bands, T))
+                want = oracle.diagnostic_tests(*bands, TDICT)
+                np.testing.assert_array_equal(got, want)
+
+    def test_float_input_path(self):
+        bands = [b.astype(np.float32) * 1e-4 for b in
+                 clipped(random_bands((32, 32)))]
+        got = np.asarray(compute_diagnostic_tests(*bands, T))
+        want = oracle.diagnostic_tests(*[b.astype(np.float64) for b in bands],
+                                       TDICT)
+        # float32 vs float64: allow only boundary-straddling mismatches
+        assert (got != want).mean() < 1e-3
+
+
+class TestInterpretation:
+    def test_lut_reference_unit_test(self):
+        # mirrors the reference unit test (tests/test_dswx_hls_units.py)
+        keys = list(C.INTERPRETED_DSWX_BAND_DICT)
+        arr = np.array(keys + [31999], dtype=np.uint16).reshape(1, -1)
+        # 31999 won't occur on device (diag <= 32) but LUT contract: unknown
+        # in-range values -> fill
+        got = np.asarray(generate_interpreted_layer(arr))
+        want = np.array([C.INTERPRETED_DSWX_BAND_DICT[k] for k in keys]
+                        + [255], dtype=np.uint8).reshape(1, -1)
+        np.testing.assert_array_equal(got, want)
+
+    def test_binary_representation(self):
+        diag = np.arange(33, dtype=np.uint16).reshape(1, -1)
+        got = np.asarray(get_binary_representation(diag))
+        want = oracle.binary_representation(diag)
+        np.testing.assert_array_equal(got, want)
+
+    def test_collapse(self):
+        layer = np.arange(256, dtype=np.uint8).reshape(16, 16)
+        got = np.asarray(collapse_wtr_classes(layer))
+        want = oracle.collapse(layer)
+        np.testing.assert_array_equal(got, want)
+
+
+class TestMasking:
+    def test_preliminary_cloud(self):
+        fmask = RNG.integers(0, 256, (64, 64)).astype(np.uint8)
+        for mode in ('mask', 'ignore', 'cover'):
+            got = np.asarray(
+                masking.compute_preliminary_cloud_layer(fmask, mode))
+            want = oracle.preliminary_cloud(fmask, mode)
+            np.testing.assert_array_equal(got, want)
+
+    def test_snow_cover_dilation(self):
+        fmask = RNG.integers(0, 256, (96, 96)).astype(np.uint8)
+        wtr2 = RNG.integers(0, 6, (96, 96)).astype(np.uint8)
+        wtr2[RNG.random((96, 96)) < 0.05] = 255
+        for mode in ('mask', 'ignore', 'cover'):
+            cloud = oracle.preliminary_cloud(fmask, mode)
+            got = np.asarray(masking.add_snow_to_cloud_layer(
+                wtr2, cloud, fmask, mode))
+            want = oracle.add_snow(wtr2, cloud, fmask, mode)
+            np.testing.assert_array_equal(got, want)
+
+    def test_aerosol(self):
+        cfg = DswxChainConfig()
+        fmask = RNG.integers(0, 256, (64, 64)).astype(np.uint8)
+        nir = RNG.integers(1, 3000, (64, 64)).astype(np.int16)
+        wtr1 = RNG.integers(0, 6, (64, 64)).astype(np.uint8)
+        cloud = oracle.preliminary_cloud(fmask, 'mask')
+        got_w, got_c = masking.apply_aerosol_class_remapping(
+            wtr1, nir, cloud, fmask, cfg.aerosol_lut())
+        lists = {0: cfg.aerosol_not_water_fmask_values,
+                 2: cfg.aerosol_moderate_conf_fmask_values,
+                 3: cfg.aerosol_psw_conservative_fmask_values,
+                 4: cfg.aerosol_psw_aggressive_fmask_values}
+        want_w, want_c = oracle.aerosol_remap(wtr1, nir, cloud, fmask, lists)
+        np.testing.assert_array_equal(np.asarray(got_w), want_w)
+        np.testing.assert_array_equal(np.asarray(got_c), want_c)
+
+    def test_landcover_shadow(self):
+        nir = RNG.integers(1, 3000, (64, 64)).astype(np.int16)
+        interp = RNG.integers(0, 6, (64, 64)).astype(np.uint8)
+        shadow = (RNG.random((64, 64)) < 0.3).astype(np.uint8)
+        lc = RNG.choice(np.array([0, 5, 100, 123, 200, 201, 255],
+                                 dtype=np.uint8), (64, 64))
+        for use_lc in (None, lc):
+            for use_sh in (None, shadow):
+                got = np.asarray(masking.apply_landcover_and_shadow_masks(
+                    interp, nir, use_lc, use_sh, T))
+                want = oracle.landcover_shadow_masks(
+                    interp, nir, use_lc, use_sh, TDICT)
+                np.testing.assert_array_equal(got, want)
+
+
+class TestFullChain:
+    @pytest.mark.parametrize('mode', ['mask', 'ignore', 'cover'])
+    def test_chain_parity(self, mode):
+        shape = (96, 96)
+        bands = clipped(random_bands(shape))
+        fmask = RNG.integers(0, 256, shape).astype(np.uint8)
+        invalid = RNG.random(shape) < 0.05
+        ocean = (RNG.random(shape) < 0.9).astype(np.uint8)
+        shadow = (RNG.random(shape) < 0.8).astype(np.uint8)
+        lc = RNG.choice(np.array([0, 100, 200, 201, 255], dtype=np.uint8),
+                        shape)
+
+        cfg = DswxChainConfig(mask_adjacent_to_cloud_mode=mode)
+        got = dswx_chain(*bands, fmask, invalid, cfg, ocean_mask=ocean,
+                         shadow_layer=shadow, landcover_mask=lc)
+
+        lists = {0: cfg.aerosol_not_water_fmask_values,
+                 2: cfg.aerosol_moderate_conf_fmask_values,
+                 3: cfg.aerosol_psw_conservative_fmask_values,
+                 4: cfg.aerosol_psw_aggressive_fmask_values}
+        want = oracle.full_chain(*bands, fmask, invalid, TDICT, mode=mode,
+                                 aerosol_lists=lists, ocean_mask=ocean,
+                                 shadow=shadow, landcover=lc)
+        for layer in ('DIAG', 'WTR-1', 'WTR-2', 'WTR', 'BWTR', 'CONF',
+                      'CLOUD'):
+            np.testing.assert_array_equal(np.asarray(got[layer]),
+                                          want[layer], err_msg=layer)
+
+        # coverage counters
+        valid = (~invalid) & (ocean != 0)
+        assert int(got['n_valid']) == int(valid.sum())
+        prelim = oracle.preliminary_cloud(fmask, mode)
+        assert int(got['n_cloud_and_valid']) == int(
+            ((prelim != 0) & valid).sum())
+        assert int(got['n_not_ocean']) == int((ocean != 0).sum())
+
+    def test_chain_minimal_no_ancillaries(self):
+        shape = (64, 64)
+        bands = clipped(random_bands(shape))
+        fmask = RNG.integers(0, 256, shape).astype(np.uint8)
+        invalid = np.zeros(shape, bool)
+        cfg = DswxChainConfig(apply_aerosol_class_remapping=False)
+        got = dswx_chain(*bands, fmask, invalid, cfg)
+        want = oracle.full_chain(*bands, fmask, invalid, TDICT)
+        for layer in ('DIAG', 'WTR-1', 'WTR-2', 'WTR', 'BWTR', 'CONF',
+                      'CLOUD'):
+            np.testing.assert_array_equal(np.asarray(got[layer]),
+                                          want[layer], err_msg=layer)
+
+
+class TestShadowAndLandcover:
+    def test_opera_shadow(self):
+        # smooth synthetic terrain; booleans must match the float64 oracle
+        y, x = np.mgrid[0:128, 0:128]
+        dem = (200 * np.sin(x / 17.0) * np.cos(y / 23.0)
+               + 0.5 * x + 30 * np.exp(-((x - 60) ** 2 + (y - 70) ** 2)
+                                       / 400.0)).astype(np.float32)
+        got = np.asarray(compute_opera_shadow_layer(dem, 127.5, 37.2,
+                                                    -5.0, 40.0))
+        want = oracle.opera_shadow(dem.astype(np.float64), 127.5, 37.2,
+                                   -5.0, 40.0)
+        # float32 vs float64 may flip razor-edge pixels only
+        assert (got != want).mean() < 1e-4
+
+    def test_landcover_mask(self):
+        h = w = 33
+        cgls = RNG.choice(np.array([20, 50, 111, 0, 40], dtype=np.uint8),
+                          (h, w))
+        wc3 = RNG.choice(np.array([10, 50, 80, 90, 95, 30], dtype=np.uint8),
+                         (3 * h, 3 * w))
+        forest = [20, 50, 111, 113, 115, 116, 121, 123, 125, 126]
+        for mask_type in ('standard', 'water heavy'):
+            got = np.asarray(create_landcover_mask_arrays(
+                cgls, wc3, mask_type, forest, worldcover_year=2021))
+            want = oracle.landcover_mask(cgls, wc3, mask_type, forest,
+                                         year=2021)
+            np.testing.assert_array_equal(got, want)
