@@ -1,0 +1,265 @@
+"""Coordinate reference systems and WGS84 <-> UTM transforms.
+
+Replaces the osgeo.osr machinery the reference uses for SRS handling and
+coordinate transformation (osr.SpatialReference / CoordinateTransformation
+at dswx_hls.py:3385-3461, core.py:93-155). Implements the standard
+6th-order Krueger series for the Transverse Mercator projection (Karney
+2011 form), accurate to nanometers — far beyond the 30 m pixel grid —
+vectorized over NumPy float64 arrays on host.
+
+Supported CRS: EPSG:4326 (WGS84 geographic) and WGS84 UTM zones
+(EPSG:326xx north / 327xx south), which covers every HLS/MGRS tile and the
+lat/lon ancillary inputs (Copernicus DEM, CGLS, WorldCover, GSHHS).
+"""
+
+import dataclasses
+import re
+
+import numpy as np
+
+# WGS84 ellipsoid
+_A = 6378137.0
+_F = 1.0 / 298.257223563
+_E2 = _F * (2.0 - _F)
+_E = np.sqrt(_E2)
+_N = _F / (2.0 - _F)
+_K0 = 0.9996
+_FALSE_EASTING = 500000.0
+
+# rectifying radius
+_A_HAT = _A / (1 + _N) * (1 + _N ** 2 / 4 + _N ** 4 / 64 + _N ** 6 / 256)
+
+_n = _N
+_ALPHA = np.array([
+    _n / 2 - 2 * _n ** 2 / 3 + 5 * _n ** 3 / 16 + 41 * _n ** 4 / 180
+    - 127 * _n ** 5 / 288 + 7891 * _n ** 6 / 37800,
+    13 * _n ** 2 / 48 - 3 * _n ** 3 / 5 + 557 * _n ** 4 / 1440
+    + 281 * _n ** 5 / 630 - 1983433 * _n ** 6 / 1935360,
+    61 * _n ** 3 / 240 - 103 * _n ** 4 / 140 + 15061 * _n ** 5 / 26880
+    + 167603 * _n ** 6 / 181440,
+    49561 * _n ** 4 / 161280 - 179 * _n ** 5 / 168
+    + 6601661 * _n ** 6 / 7257600,
+    34729 * _n ** 5 / 80640 - 3418889 * _n ** 6 / 1995840,
+    212378941 * _n ** 6 / 319334400,
+])
+_BETA = np.array([
+    _n / 2 - 2 * _n ** 2 / 3 + 37 * _n ** 3 / 96 - _n ** 4 / 360
+    - 81 * _n ** 5 / 512 + 96199 * _n ** 6 / 604800,
+    _n ** 2 / 48 + _n ** 3 / 15 - 437 * _n ** 4 / 1440
+    + 46 * _n ** 5 / 105 - 1118711 * _n ** 6 / 3870720,
+    17 * _n ** 3 / 480 - 37 * _n ** 4 / 840 - 209 * _n ** 5 / 4480
+    + 5569 * _n ** 6 / 90720,
+    4397 * _n ** 4 / 161280 - 11 * _n ** 5 / 504
+    - 830251 * _n ** 6 / 7257600,
+    4583 * _n ** 5 / 161280 - 108847 * _n ** 6 / 3991680,
+    20648693 * _n ** 6 / 638668800,
+])
+
+
+def utm_forward(lat_deg, lon_deg, zone, north):
+    """WGS84 geographic -> UTM easting/northing (float64, vectorized)."""
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lon0 = np.radians(zone * 6.0 - 183.0)
+    dlon = np.arctan2(np.sin(lon - lon0), np.cos(lon - lon0))
+
+    sphi = np.sin(lat)
+    t = np.sinh(np.arctanh(sphi) - _E * np.arctanh(_E * sphi))
+    xi_p = np.arctan2(t, np.cos(dlon))
+    eta_p = np.arctanh(np.sin(dlon) / np.sqrt(1.0 + t * t))
+
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j in range(6):
+        k = 2.0 * (j + 1)
+        xi = xi + _ALPHA[j] * np.sin(k * xi_p) * np.cosh(k * eta_p)
+        eta = eta + _ALPHA[j] * np.cos(k * xi_p) * np.sinh(k * eta_p)
+
+    x = _FALSE_EASTING + _K0 * _A_HAT * eta
+    y = _K0 * _A_HAT * xi
+    if not north:
+        y = y + 10000000.0
+    return x, y
+
+
+def utm_inverse(x, y, zone, north):
+    """UTM easting/northing -> WGS84 lat/lon degrees (float64)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if not north:
+        y = y - 10000000.0
+    xi = y / (_K0 * _A_HAT)
+    eta = (x - _FALSE_EASTING) / (_K0 * _A_HAT)
+
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j in range(6):
+        k = 2.0 * (j + 1)
+        xi_p = xi_p - _BETA[j] * np.sin(k * xi) * np.cosh(k * eta)
+        eta_p = eta_p - _BETA[j] * np.cos(k * xi) * np.sinh(k * eta)
+
+    sinh_eta = np.sinh(eta_p)
+    cos_xi = np.cos(xi_p)
+    dlon = np.arctan2(sinh_eta, cos_xi)
+    tau_p = np.sin(xi_p) / np.sqrt(sinh_eta ** 2 + cos_xi ** 2)
+
+    # Newton-iterate tau (tan of geodetic latitude) from tau' (Karney)
+    tau = tau_p / (1.0 - _E2)
+    for _ in range(5):
+        sigma = np.sinh(_E * np.arctanh(_E * tau / np.sqrt(1.0 + tau ** 2)))
+        tau_p_i = tau * np.sqrt(1.0 + sigma ** 2) \
+            - sigma * np.sqrt(1.0 + tau ** 2)
+        dtau = ((tau_p - tau_p_i) * (1.0 + (1.0 - _E2) * tau ** 2)
+                / ((1.0 - _E2)
+                   * np.sqrt((1.0 + tau_p_i ** 2) * (1.0 + tau ** 2))))
+        tau = tau + dtau
+
+    lat = np.degrees(np.arctan(tau))
+    lon0 = zone * 6.0 - 183.0
+    lon = lon0 + np.degrees(dlon)
+    lon = (lon + 180.0) % 360.0 - 180.0
+    return lat, lon
+
+
+_WKT_UTM_TEMPLATE = (
+    'PROJCS["WGS 84 / UTM zone {zone}{ns}",GEOGCS["WGS 84",'
+    'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563,'
+    'AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
+    'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
+    'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
+    'AUTHORITY["EPSG","4326"]],PROJECTION["Transverse_Mercator"],'
+    'PARAMETER["latitude_of_origin",0],'
+    'PARAMETER["central_meridian",{lon0}],'
+    'PARAMETER["scale_factor",0.9996],'
+    'PARAMETER["false_easting",500000],'
+    'PARAMETER["false_northing",{fn}],'
+    'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+    'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
+    'AUTHORITY["EPSG","{epsg}"]]')
+
+_WKT_WGS84 = (
+    'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+    '298.257223563,AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
+    'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
+    'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
+    'AXIS["Latitude",NORTH],AXIS["Longitude",EAST],'
+    'AUTHORITY["EPSG","4326"]]')
+
+
+@dataclasses.dataclass(frozen=True)
+class CRS:
+    epsg: int
+
+    @classmethod
+    def from_epsg(cls, epsg):
+        return cls(int(epsg))
+
+    @property
+    def is_geographic(self):
+        return self.epsg == 4326
+
+    @property
+    def utm(self):
+        """(zone, is_north) for UTM CRS, else None."""
+        if 32601 <= self.epsg <= 32660:
+            return self.epsg - 32600, True
+        if 32701 <= self.epsg <= 32760:
+            return self.epsg - 32700, False
+        return None
+
+    @classmethod
+    def from_utm(cls, zone, north):
+        return cls((32600 if north else 32700) + int(zone))
+
+    def to_wkt(self):
+        utm = self.utm
+        if utm is not None:
+            zone, north = utm
+            return _WKT_UTM_TEMPLATE.format(
+                zone=zone, ns='N' if north else 'S',
+                lon0=zone * 6 - 183, fn=0 if north else 10000000,
+                epsg=self.epsg)
+        if self.is_geographic:
+            return _WKT_WGS84
+        raise ValueError(f'cannot build WKT for EPSG:{self.epsg}')
+
+    def to_proj4(self):
+        utm = self.utm
+        if utm is not None:
+            zone, north = utm
+            south = '' if north else ' +south'
+            return (f'+proj=utm +zone={zone}{south} +datum=WGS84 '
+                    '+units=m +no_defs')
+        if self.is_geographic:
+            return '+proj=longlat +datum=WGS84 +no_defs'
+        raise ValueError(f'cannot build proj4 for EPSG:{self.epsg}')
+
+    @classmethod
+    def from_wkt(cls, wkt):
+        codes = re.findall(r'AUTHORITY\[\s*"EPSG"\s*,\s*"(\d+)"\s*\]', wkt)
+        if codes:
+            # the outermost authority is the last one in WKT1 order
+            return cls(int(codes[-1]))
+        m = re.search(r'UTM zone (\d+)(N|S)', wkt)
+        if m:
+            return cls.from_utm(int(m.group(1)), m.group(2) == 'N')
+        if 'WGS 84' in wkt or 'WGS_1984' in wkt:
+            return cls(4326)
+        raise ValueError(f'cannot parse WKT: {wkt[:120]}...')
+
+    @classmethod
+    def from_proj4(cls, proj4):
+        if '+proj=utm' in proj4:
+            m = re.search(r'\+zone=(\d+)', proj4)
+            if not m:
+                raise ValueError(f'UTM proj4 without zone: {proj4}')
+            return cls.from_utm(int(m.group(1)), '+south' not in proj4)
+        if '+proj=longlat' in proj4 or '+proj=latlong' in proj4:
+            return cls(4326)
+        m = re.search(r'EPSG:(\d+)', proj4)
+        if m:
+            return cls(int(m.group(1)))
+        raise ValueError(f'cannot parse proj4: {proj4}')
+
+    @classmethod
+    def from_any(cls, value):
+        """Accept CRS / EPSG int / 'EPSG:n' / WKT / proj4 strings."""
+        if isinstance(value, CRS):
+            return value
+        if isinstance(value, (int, np.integer)):
+            return cls(int(value))
+        s = str(value).strip()
+        if s.upper().startswith('EPSG:'):
+            return cls(int(s.split(':')[1]))
+        if s.startswith('+'):
+            return cls.from_proj4(s)
+        if s and s[0].isdigit():
+            return cls(int(s))
+        return cls.from_wkt(s)
+
+
+def transform_points(src, dst, x, y):
+    """Transform coordinate arrays between two supported CRS.
+
+    Geographic coordinates use (lon, lat) = (x, y) GIS-traditional axis
+    order (the reference forces OAMS_TRADITIONAL_GIS_ORDER,
+    dswx_hls.py:3422-3428).
+    """
+    src = CRS.from_any(src)
+    dst = CRS.from_any(dst)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if src.epsg == dst.epsg:
+        return x, y
+    # to geographic
+    if src.utm is not None:
+        lat, lon = utm_inverse(x, y, *src.utm)
+    elif src.is_geographic:
+        lon, lat = x, y
+    else:
+        raise ValueError(f'unsupported source CRS: EPSG:{src.epsg}')
+    if dst.is_geographic:
+        return lon, lat
+    if dst.utm is not None:
+        return utm_forward(lat, lon, *dst.utm)
+    raise ValueError(f'unsupported destination CRS: EPSG:{dst.epsg}')

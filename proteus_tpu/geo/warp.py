@@ -1,0 +1,358 @@
+"""Warp-as-gather: reproject ancillary rasters onto the product grid.
+
+TPU-native replacement for the reference's gdal.Warp service (_warp,
+dswx_hls.py:3193-3382): instead of shelling out to a warping library, every
+target pixel center is inverse-projected to the source CRS with the exact
+float64 UTM engine (proteus_tpu.geo.crs), and the source raster is sampled
+with the requested kernel (nearest / bilinear / cubic with GDAL's a=-0.5
+convolution weights) honoring the source nodata. Antimeridian-crossing
+tiles need no special split: longitudes are wrapped continuously, and
+global geographic sources wrap their column index modulo the width
+(the reference's two-sided crop+warp at dswx_hls.py:3315-3376 becomes a
+no-op of the coordinate math).
+
+Runs chunked on host in NumPy float64 today; the gather itself is simple
+enough that XLA offload adds nothing until reads dominate (the codec is
+the bottleneck, see proteus_tpu/native).
+"""
+
+import logging
+from datetime import datetime
+
+import numpy as np
+
+from proteus_tpu.geo.crs import CRS, transform_points
+from proteus_tpu.io.tiff import TiffReader
+
+logger = logging.getLogger('dswx_hls')
+
+_KERNEL_RADIUS = {'nearest': 0, 'bilinear': 1, 'cubic': 2,
+                  'cubicspline': 2, 'average': 1, 'sum': 1}
+
+
+def _cubic_weights(t):
+    """GDAL cubic-convolution weights (a = -0.5) for tap offsets
+    -1, 0, 1, 2 given the fractional position t in [0, 1)."""
+    a = -0.5
+    def w(x):
+        ax = np.abs(x)
+        return np.where(
+            ax <= 1, (a + 2) * ax ** 3 - (a + 3) * ax ** 2 + 1,
+            np.where(ax < 2,
+                     a * ax ** 3 - 5 * a * ax ** 2 + 8 * a * ax - 4 * a,
+                     0.0))
+    return [w(t + 1), w(t), w(1 - t), w(2 - t)]
+
+
+class SourceRaster:
+    """A windowed view of the source raster with wrap/nodata handling."""
+
+    def __init__(self, path):
+        self.reader = TiffReader(path)
+        self.gt = self.reader.geotransform()
+        epsg = self.reader.epsg()
+        self.crs = CRS.from_epsg(epsg) if epsg else CRS.from_epsg(4326)
+        self.width = self.reader.width
+        self.length = self.reader.length
+        self.nodata = self.reader.nodata()
+        x0, dx, _, y0, _, dy = self.gt
+        # global geographic sources wrap in longitude
+        self.wraps = (self.crs.is_geographic
+                      and abs(abs(self.width * dx) - 360.0) < 1e-6)
+
+    def close(self):
+        self.reader.close()
+
+    def pixel_coords(self, x, y):
+        """Continuous pixel-space coords (GDAL convention: 0..w, 0..h)."""
+        x0, dx, _, y0, _, dy = self.gt
+        u = (x - x0) / dx
+        v = (y - y0) / dy
+        if self.wraps:
+            u = u % self.width
+        return u, v
+
+
+class GridTransformer:
+    """Grid-interpolated coordinate transformer.
+
+    Evaluates the exact float64 transform on a coarse lattice (every
+    ``spacing`` target pixels) and bilinearly interpolates between lattice
+    nodes — the same accelerization GDAL's approximate transformer uses.
+    The Transverse Mercator mapping is analytic and smooth: with the
+    default 8 px (240 m) spacing the interpolation error is bounded by
+    (240 m)^2 / (2 R_earth) ~ 5 mm, four orders of magnitude below the
+    10 m source grids. Longitudes are unwrapped across the antimeridian so
+    interpolation stays continuous.
+    """
+
+    def __init__(self, tile_crs, src_crs, tx0, ty0, dx, dy, out_h, out_w,
+                 spacing=8):
+        self.spacing = spacing
+        gi = np.arange(0, out_h + 2 * spacing, spacing, dtype=np.float64)
+        gj = np.arange(0, out_w + 2 * spacing, spacing, dtype=np.float64)
+        jj, ii = np.meshgrid(gj, gi)
+        px = tx0 + (jj + 0.5) * dx
+        py = ty0 + (ii + 0.5) * dy
+        sx, sy = transform_points(tile_crs, src_crs, px.ravel(),
+                                  py.ravel())
+        sx = sx.reshape(jj.shape)
+        sy = sy.reshape(jj.shape)
+        if CRS.from_any(src_crs).is_geographic:
+            # unwrap longitude jumps > 180 deg along both axes
+            sx = np.unwrap(sx, period=360.0, axis=1)
+            sx = np.unwrap(sx, period=360.0, axis=0)
+        self.sx = sx
+        self.sy = sy
+
+    def __call__(self, i, j):
+        """Transform target pixel indices (float arrays) to source CRS
+        coordinates via bilinear lattice interpolation."""
+        fi = i / self.spacing
+        fj = j / self.spacing
+        i0 = np.floor(fi).astype(np.int64)
+        j0 = np.floor(fj).astype(np.int64)
+        i0 = np.clip(i0, 0, self.sx.shape[0] - 2)
+        j0 = np.clip(j0, 0, self.sx.shape[1] - 2)
+        wi = fi - i0
+        wj = fj - j0
+        out = []
+        for grid in (self.sx, self.sy):
+            g00 = grid[i0, j0]
+            g01 = grid[i0, j0 + 1]
+            g10 = grid[i0 + 1, j0]
+            g11 = grid[i0 + 1, j0 + 1]
+            top = g00 + (g01 - g00) * wj
+            bot = g10 + (g11 - g10) * wj
+            out.append(top + (bot - top) * wi)
+        return out[0], out[1]
+
+
+def _resolve_window(src, u, v, radius):
+    """Window of source pixels needed for the given pixel coords."""
+    pad = radius + 2
+    if src.wraps:
+        return 0, 0, src.length, src.width  # modulo access: read it all
+    c0 = int(np.floor(np.nanmin(u))) - pad
+    c1 = int(np.ceil(np.nanmax(u))) + pad
+    r0 = int(np.floor(np.nanmin(v))) - pad
+    r1 = int(np.ceil(np.nanmax(v))) + pad
+    c0 = max(c0, 0)
+    r0 = max(r0, 0)
+    c1 = min(c1, src.width)
+    r1 = min(r1, src.length)
+    return r0, c0, max(r1 - r0, 0), max(c1 - c0, 0)
+
+
+def _gather(data, valid, rows, cols, wraps, width):
+    h, w = data.shape
+    if wraps:
+        cols = cols % width
+    inb = (rows >= 0) & (rows < h) & (cols >= 0) & (cols < w)
+    r = np.clip(rows, 0, h - 1)
+    c = np.clip(cols, 0, w - 1)
+    vals = data[r, c]
+    ok = inb if valid is None else (inb & valid[r, c])
+    return vals, ok
+
+
+def warp_to_grid(input_file, geotransform, projection, length, width,
+                 resample_algorithm='nearest', margin_in_pixels=0,
+                 chunk_rows=1024, dtype=None, transformer='grid',
+                 grid_spacing=8):
+    """Reproject ``input_file`` onto the target grid (plus margin).
+
+    Returns an array of shape (length + 2*margin, width + 2*margin) in the
+    source dtype (or ``dtype``). Pixels with no valid source data get the
+    source nodata value (or 0 if the source has none), matching the
+    gdal.Warp initialization the reference relies on.
+    """
+    m = margin_in_pixels
+    x0, dx, _, y0, _, dy = geotransform
+    tx0 = x0 - m * dx
+    ty0 = y0 - m * dy
+    out_h = length + 2 * m
+    out_w = width + 2 * m
+    tile_crs = CRS.from_any(projection)
+
+    src = SourceRaster(input_file)
+    try:
+        radius = _KERNEL_RADIUS.get(resample_algorithm)
+        if radius is None:
+            raise ValueError(
+                f'unsupported resample algorithm: {resample_algorithm}')
+
+        # coarse boundary sweep to find the needed source window
+        bj = np.linspace(0, out_w, 256)
+        bi = np.linspace(0, out_h, 256)
+        edge_j = np.concatenate([bj, bj, np.zeros_like(bi),
+                                 np.full_like(bi, out_w)])
+        edge_i = np.concatenate([np.zeros_like(bj),
+                                 np.full_like(bj, out_h), bi, bi])
+        ex = tx0 + edge_j * dx
+        ey = ty0 + edge_i * dy
+        sx, sy = transform_points(tile_crs, src.crs, ex, ey)
+        eu, ev = src.pixel_coords(sx, sy)
+        r0, c0, wh, ww = _resolve_window(src, eu, ev, radius)
+        if wh == 0 or ww == 0:
+            fill = src.nodata if src.nodata is not None else 0
+            out = np.full((out_h, out_w), fill)
+            return out.astype(dtype or src.reader.dtype)
+
+        data = src.reader.read(window=(r0, c0, wh, ww))
+        if data.ndim == 3:
+            data = data[:, :, 0]
+        out_dtype = dtype or data.dtype
+        nodata = src.nodata
+        if nodata is not None and np.isnan(nodata):
+            valid = ~np.isnan(data.astype(np.float64))
+        elif nodata is not None:
+            valid = data != nodata
+        else:
+            valid = np.ones(data.shape, dtype=bool)
+        fill = nodata if nodata is not None else 0
+
+        logger.info(f'    relocating file: {input_file}'
+                    f' ({resample_algorithm}, window {wh}x{ww})')
+
+        out = np.full((out_h, out_w), fill, dtype=np.float64)
+        fdata = data.astype(np.float64)
+        all_valid = bool(valid.all())
+
+        grid_tx = None
+        if transformer == 'grid':
+            grid_tx = GridTransformer(tile_crs, src.crs, tx0, ty0, dx, dy,
+                                      out_h, out_w, spacing=grid_spacing)
+
+        for row0 in range(0, out_h, chunk_rows):
+            rows = min(chunk_rows, out_h - row0)
+            jj, ii = np.meshgrid(np.arange(out_w, dtype=np.float64),
+                                 np.arange(row0, row0 + rows,
+                                           dtype=np.float64))
+            if grid_tx is not None:
+                sx, sy = grid_tx(ii, jj)
+            else:
+                px = tx0 + (jj + 0.5) * dx
+                py = ty0 + (ii + 0.5) * dy
+                sx, sy = transform_points(tile_crs, src.crs, px, py)
+            u, v = src.pixel_coords(sx, sy)
+            u = u - c0
+            v = v - r0
+            block = _resample_block(fdata, valid, u, v, resample_algorithm,
+                                    fill, wraps=src.wraps and c0 == 0
+                                    and ww == src.width, width=ww,
+                                    all_valid=all_valid)
+            out[row0:row0 + rows, :] = block
+
+        if np.dtype(out_dtype).kind in 'ui':
+            out = np.rint(out)
+            info = np.iinfo(out_dtype)
+            out = np.clip(out, info.min, info.max)
+        return out.astype(out_dtype)
+    finally:
+        src.close()
+
+
+def _resample_block(fdata, valid, u, v, algorithm, fill, wraps, width,
+                    all_valid=False):
+    h, w = fdata.shape
+    if algorithm == 'nearest':
+        rows = np.floor(v).astype(np.int64)
+        cols = np.floor(u).astype(np.int64)
+        vals, ok = _gather(fdata, None if all_valid else valid,
+                           rows, cols, wraps, width)
+        return np.where(ok, vals, fill)
+
+    # kernel-based: fractional position relative to pixel centers
+    uc = u - 0.5
+    vc = v - 0.5
+    iu = np.floor(uc).astype(np.int64)
+    iv = np.floor(vc).astype(np.int64)
+    fu = uc - iu
+    fv = vc - iv
+
+    if algorithm == 'bilinear':
+        taps = [(0, 1 - fv), (1, fv)]
+        cols_w = [(0, 1 - fu), (1, fu)]
+    else:  # cubic / cubicspline
+        wv = _cubic_weights(fv)
+        wu = _cubic_weights(fu)
+        taps = list(zip((-1, 0, 1, 2), wv))
+        cols_w = list(zip((-1, 0, 1, 2), wu))
+
+    # pad the source so kernel taps never need bounds masks: data is
+    # edge-replicated (wrap sources wrap in x); validity is False in the
+    # pad so nodata renormalization handles true out-of-bounds taps.
+    PAD = 2
+    x_mode = 'wrap' if wraps else 'edge'
+    dpad = np.pad(np.pad(fdata, ((PAD, PAD), (0, 0)), mode='edge'),
+                  ((0, 0), (PAD, PAD)), mode=x_mode)
+    center_in = (u >= 0) & (u <= w) & (v >= 0) & (v <= h)
+    if wraps:
+        iu = iu % width
+        center_in = (v >= 0) & (v <= h)
+    rbase = np.clip(iv, -PAD, h + PAD - 1) + PAD
+    cbase = np.clip(iu, -PAD, w + PAD - 1) + PAD
+
+    if all_valid and not wraps:
+        # fast path: weights sum to 1 exactly; edge replication stands in
+        # for GDAL's kernel clamping at the source border
+        acc = np.zeros(u.shape, dtype=np.float64)
+        for dr, wr in taps:
+            rr = rbase + dr
+            for dc, wc in cols_w:
+                acc += (wr * wc) * dpad[rr, cbase + dc]
+        return np.where(center_in, acc, fill)
+
+    vpad = np.pad(valid, PAD, mode='constant', constant_values=False) \
+        if not all_valid else None
+    acc = np.zeros(u.shape, dtype=np.float64)
+    wacc = np.zeros(u.shape, dtype=np.float64)
+    for dr, wr in taps:
+        rr = rbase + dr
+        for dc, wc in cols_w:
+            cc = cbase + dc
+            wgt = wr * wc
+            vals = dpad[rr, cc]
+            if vpad is not None:
+                ok = vpad[rr, cc]
+                acc += np.where(ok, vals * wgt, 0.0)
+                wacc += np.where(ok, wgt, 0.0)
+            else:
+                acc += vals * wgt
+                wacc += wgt
+    with np.errstate(invalid='ignore', divide='ignore'):
+        res = acc / wacc
+    return np.where(center_in & (wacc > 1e-9), res, fill)
+
+
+def worldcover_year_of(worldcover_file, worldcover_file_description=None):
+    """Extract the WorldCover dataset year (reference
+    dswx_hls.py:1055-1095): from time_start/time_end metadata, else from a
+    year in the description, else 2000."""
+    with TiffReader(worldcover_file) as r:
+        md = r.metadata()
+    if 'time_start' in md and 'time_end' in md:
+        fmt = '%Y-%m-%dT%H:%M:%SZ'
+        t0 = datetime.strptime(md['time_start'], fmt)
+        t1 = datetime.strptime(md['time_end'], fmt)
+        year = (t0 + (t1 - t0) / 2.0).year
+        logger.info(f'    ESA WorldCover map year: {year}'
+                    ' (source: WorldCover file metadata)')
+        return year
+    if worldcover_file_description:
+        logger.warning('WARNING Could not read the ESA WorldCover 10m'
+                       ' metadata fields `time_start` and/or `time_end`')
+        for year in range(2000, 2100):
+            if str(year) in worldcover_file_description:
+                logger.info(f'    ESA WorldCover map year: {year}'
+                            ' (source: WorldCover file description)')
+                return year
+        logger.warning('WARNING Could not infer the ESA WorldCover 10m'
+                       ' data year from the WorldCover file description.'
+                       ' Considering year as 2000.')
+        return 2000
+    logger.warning('WARNING Could not read the ESA WorldCover 10m metadata'
+                   ' fields `time_start` and/or `time_end`.'
+                   ' Considering year as 2000.')
+    return 2000

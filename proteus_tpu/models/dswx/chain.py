@@ -59,7 +59,7 @@ class DswxChainConfig:
 def dswx_chain(blue, green, red, nir, swir1, swir2, fmask, invalid_mask,
                config: DswxChainConfig,
                ocean_mask=None, shadow_layer=None, landcover_mask=None,
-               compute_browse: bool = True):
+               compute_browse: bool = True, compute_stats: bool = True):
     """Run the full per-pixel DSWx-HLS science chain on device.
 
     Parameters
@@ -102,14 +102,16 @@ def dswx_chain(blue, green, red, nir, swir1, swir2, fmask, invalid_mask,
 
     # coverage statistics (computed on the preliminary cloud layer, before
     # aerosol; dswx_hls.py:5104-5111)
-    valid = ~jnp.asarray(invalid_mask, dtype=bool)
-    if ocean_mask is not None:
-        valid = valid & (ocean_mask != 0)
-        n_not_ocean = jnp.sum((ocean_mask != 0).astype(jnp.int32))
-    else:
-        n_not_ocean = jnp.asarray(valid.size, dtype=jnp.int32)
-    n_valid = jnp.sum(valid.astype(jnp.int32))
-    n_cloud_and_valid = jnp.sum(((cloud != 0) & valid).astype(jnp.int32))
+    if compute_stats:
+        valid = ~jnp.asarray(invalid_mask, dtype=bool)
+        if ocean_mask is not None:
+            valid = valid & (ocean_mask != 0)
+            n_not_ocean = jnp.sum((ocean_mask != 0).astype(jnp.int32))
+        else:
+            n_not_ocean = jnp.asarray(valid.size, dtype=jnp.int32)
+        n_valid = jnp.sum(valid.astype(jnp.int32))
+        n_cloud_and_valid = jnp.sum(((cloud != 0)
+                                     & valid).astype(jnp.int32))
 
     if config.apply_aerosol_class_remapping:
         wtr1, cloud = masking.apply_aerosol_class_remapping(
@@ -134,10 +136,11 @@ def dswx_chain(blue, green, red, nir, swir1, swir2, fmask, invalid_mask,
         'BWTR': bwtr,
         'CONF': conf,
         'CLOUD': cloud,
-        'n_valid': n_valid,
-        'n_cloud_and_valid': n_cloud_and_valid,
-        'n_not_ocean': n_not_ocean,
     }
+    if compute_stats:
+        out['n_valid'] = n_valid
+        out['n_cloud_and_valid'] = n_cloud_and_valid
+        out['n_not_ocean'] = n_not_ocean
     if compute_browse:
         out['BROWSE'] = compute_browse_array(
             wtr,

@@ -1,0 +1,382 @@
+"""Campaign mode: batched multi-tile processing sharded across a TPU slice.
+
+This subsystem has no reference counterpart (the reference processes one
+tile per process, SURVEY.md section 2); it is the TPU-native scale-out
+path demanded by BASELINE.json config 5 ("100+ tiles sharded across
+chips"):
+
+- a 1-D device mesh over the 'tile' axis; tile batches [B, H, W] are
+  sharded on B with shard_map, so each chip runs the identical fused chain
+  on its local tiles and the only cross-chip communication is a psum of
+  the campaign statistics over ICI;
+- a host I/O pipeline: a reader thread pool prefetches and decodes the
+  next batch of HLS tiles while the device computes the current one
+  (double buffering), and a writer pool encodes finished COGs;
+- a JSON manifest of per-tile status with retry, giving failure detection
+  and checkpoint/resume semantics for long campaigns (the reference has
+  none, SURVEY.md section 5).
+"""
+
+import json
+import logging
+import os
+import time
+import traceback
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from proteus_tpu.core import constants as C
+from proteus_tpu.models.dswx import masking
+from proteus_tpu.models.dswx.chain import DswxChainConfig, dswx_chain
+from proteus_tpu.parallel.mesh import TILE_AXIS, make_tile_mesh
+
+logger = logging.getLogger('dswx_hls')
+
+
+def make_campaign_step(config: DswxChainConfig, mesh,
+                       compute_browse=False):
+    """Build the sharded multi-tile step.
+
+    The returned function maps batched [B, H, W] band/fmask/invalid arrays
+    (B sharded over the mesh's tile axis) to per-tile output layers (same
+    sharding) plus replicated campaign totals (psum over ICI).
+    """
+
+    def per_tile(b, g, r, n, s1, s2, fm, inv):
+        return dswx_chain(b, g, r, n, s1, s2, fm, inv, config,
+                          compute_browse=compute_browse)
+
+    def local_step(b, g, r, n, s1, s2, fm, inv):
+        out = jax.vmap(per_tile)(b, g, r, n, s1, s2, fm, inv)
+        # int32 is safe per batch (<= local_tiles * 13.4M counts); the
+        # runner re-accumulates across batches in Python integers
+        totals = {
+            'n_valid_total': jax.lax.psum(
+                jnp.sum(out['n_valid'].astype(jnp.int32)), TILE_AXIS),
+            'n_cloud_and_valid_total': jax.lax.psum(
+                jnp.sum(out['n_cloud_and_valid'].astype(jnp.int32)),
+                TILE_AXIS),
+            'n_tiles_total': jax.lax.psum(
+                jnp.asarray(b.shape[0], jnp.int32), TILE_AXIS),
+        }
+        return out, totals
+
+    spec = P(TILE_AXIS)
+    layer_specs = {k: spec for k in
+                   ('DIAG', 'WTR-1', 'WTR-2', 'WTR', 'BWTR', 'CONF',
+                    'CLOUD', 'n_valid', 'n_cloud_and_valid',
+                    'n_not_ocean')}
+    if compute_browse:
+        layer_specs['BROWSE'] = spec
+    totals_specs = {'n_valid_total': P(), 'n_cloud_and_valid_total': P(),
+                    'n_tiles_total': P()}
+
+    sharded = shard_map(local_step, mesh=mesh,
+                        in_specs=(spec,) * 8,
+                        out_specs=(layer_specs, totals_specs))
+    return jax.jit(sharded)
+
+
+SPACE_AXIS = 'space'
+
+# influence radius of the 'cover'-mode snow dilation chain: 10 iterations
+# of snow dilation followed by 7 iterations of not-water dilation
+SPATIAL_HALO = 17
+
+
+def make_spatial_campaign_step(config: DswxChainConfig, mesh,
+                               halo=SPATIAL_HALO, compute_browse=False):
+    """Sharded step over a 2-D ('tile', 'space') mesh: tile batches are
+    data-parallel on the tile axis AND each tile's rows are sharded over
+    the space axis (the SP/CP analogue from SURVEY.md section 2).
+
+    The only neighborhood ops in the chain are the 'cover'-mode snow
+    dilations, whose total influence radius is 17 rows — each shard
+    exchanges a 17-row halo with its neighbors over ICI (lax.ppermute),
+    runs the identical fused chain on the padded block, and crops. Edge
+    shards receive zero halos, which matches SciPy's border_value=0
+    dilation semantics, so results are bit-identical to single-device
+    execution.
+    """
+    n_space = mesh.shape[SPACE_AXIS]
+
+    def with_halo(x, edge_fill=0):
+        top = jax.lax.ppermute(x[:, -halo:, :], SPACE_AXIS,
+                               [(j, j + 1) for j in range(n_space - 1)])
+        bot = jax.lax.ppermute(x[:, :halo, :], SPACE_AXIS,
+                               [(j, j - 1) for j in range(1, n_space)])
+        if edge_fill:
+            # rows beyond the global image boundary: SciPy's dilation
+            # treats outside-image as 0 for both the snow mask and the
+            # not-masked mask. A zero fmask ghost would make
+            # not_masked = (~snow) & (cloud == 0) True there and seed
+            # spurious growth, so edge ghosts carry the cloud bit, which
+            # zeroes both dilation inputs without enabling growth into
+            # the ghost (adjacent bit stays 0).
+            idx = jax.lax.axis_index(SPACE_AXIS)
+            fill = jnp.asarray(edge_fill, x.dtype)
+            top = jnp.where(idx == 0, fill, top)
+            bot = jnp.where(idx == n_space - 1, fill, bot)
+        return jnp.concatenate([top, x, bot], axis=1)
+
+    def per_tile(b, g, r, n, s1, s2, fm, inv):
+        return dswx_chain(b, g, r, n, s1, s2, fm, inv, config,
+                          compute_browse=compute_browse,
+                          compute_stats=False)
+
+    def local_step(b, g, r, n, s1, s2, fm, inv):
+        if halo > b.shape[1]:
+            raise ValueError(
+                f'spatial halo ({halo}) exceeds the per-shard tile height'
+                f' ({b.shape[1]}); use fewer space shards')
+        padded = [with_halo(a) for a in (b, g, r, n, s1, s2)]
+        padded.append(with_halo(fm, edge_fill=2))
+        inv_p = with_halo(inv.astype(jnp.uint8)).astype(bool)
+        out = jax.vmap(per_tile)(*padded, inv_p)
+        out = {k: v[:, halo:-halo, :] for k, v in out.items()}
+
+        prelim = masking.compute_preliminary_cloud_layer(
+            fm, config.mask_adjacent_to_cloud_mode)
+        valid = ~inv
+        axes = (TILE_AXIS, SPACE_AXIS)
+        totals = {
+            'n_valid_total': jax.lax.psum(
+                jnp.sum(valid.astype(jnp.int32)), axes),
+            'n_cloud_and_valid_total': jax.lax.psum(
+                jnp.sum(((prelim != 0) & valid).astype(jnp.int32)), axes),
+            'n_tiles_total': jax.lax.psum(
+                jnp.asarray(b.shape[0], jnp.int32), TILE_AXIS),
+        }
+        return out, totals
+
+    spec = P(TILE_AXIS, SPACE_AXIS)
+    layer_names = ['DIAG', 'WTR-1', 'WTR-2', 'WTR', 'BWTR', 'CONF',
+                   'CLOUD']
+    if compute_browse:
+        layer_names.append('BROWSE')
+    layer_specs = {k: spec for k in layer_names}
+    totals_specs = {'n_valid_total': P(), 'n_cloud_and_valid_total': P(),
+                    'n_tiles_total': P()}
+    sharded = shard_map(local_step, mesh=mesh,
+                        in_specs=(spec,) * 8,
+                        out_specs=(layer_specs, totals_specs))
+    return jax.jit(sharded)
+
+
+class CampaignManifest:
+    """Per-tile status ledger with atomic updates (resume + retry)."""
+
+    def __init__(self, path):
+        self.path = path
+        self.state = {}
+        if path and os.path.isfile(path):
+            with open(path) as fh:
+                self.state = json.load(fh)
+
+    def status(self, tile_id):
+        return self.state.get(tile_id, {}).get('status')
+
+    def mark(self, tile_id, status, **extra):
+        entry = self.state.setdefault(tile_id, {})
+        entry['status'] = status
+        entry['updated'] = time.strftime('%Y-%m-%dT%H:%M:%SZ',
+                                         time.gmtime())
+        entry.update(extra)
+        self._flush()
+
+    def _flush(self):
+        if not self.path:
+            return
+        tmp = self.path + '.tmp'
+        with open(tmp, 'w') as fh:
+            json.dump(self.state, fh, indent=1)
+        os.replace(tmp, self.path)
+
+
+class TileJob:
+    """One campaign work item: HLS band files -> output layer files."""
+
+    def __init__(self, tile_id, input_files, output_dir,
+                 product_id='dswx_hls', product_version='0.1'):
+        self.tile_id = tile_id
+        self.input_files = input_files
+        self.output_dir = output_dir
+        self.product_id = product_id
+        self.product_version = product_version
+
+
+def _read_tile(job, flag_debug=False):
+    """Decode one tile's bands on host (runs in the reader pool)."""
+    from proteus_tpu.io import hls as hls_io
+    image_dict = {}
+    ok = hls_io.load_hls_product_v2(job.input_files, image_dict, {}, {},
+                                    {'SPACECRAFT_NAME': 'Sentinel-2A'},
+                                    False, flag_debug=flag_debug)
+    if not ok:
+        raise IOError(f'could not read tile {job.tile_id}')
+    return image_dict
+
+
+def _write_tile(job, layers, geotransform, projection, metadata):
+    from proteus_tpu.runtime import product_writer as pw
+    os.makedirs(job.output_dir, exist_ok=True)
+    saved = []
+    names = {'WTR': 'B01_WTR', 'BWTR': 'B02_BWTR', 'CONF': 'B03_CONF',
+             'DIAG': 'B04_DIAG', 'WTR-1': 'B05_WTR-1',
+             'WTR-2': 'B06_WTR-2', 'CLOUD': 'B09_CLOUD'}
+    for layer, tag in names.items():
+        path = os.path.join(
+            job.output_dir,
+            f'{job.product_id}_v{job.product_version}_{tag}.tif')
+        if layer in ('WTR', 'WTR-1', 'WTR-2'):
+            pw.save_dswx_product(layers[layer], layer, path, metadata,
+                                 geotransform, projection)
+        else:
+            no_data = (C.DIAGNOSTIC_LAYER_NO_DATA_BINARY_REPR
+                       if layer == 'DIAG' else C.UINT8_FILL_VALUE)
+            pw.save_array(layers[layer], path, metadata, geotransform,
+                          projection, no_data_value=no_data)
+        saved.append(path)
+    return saved
+
+
+class CampaignRunner:
+    """Drive a tile campaign: prefetch -> sharded device step -> write.
+
+    The reader pool decodes batch k+1 while the device processes batch k;
+    the writer pool overlaps COG encoding with both. Tiles that fail I/O
+    or validation are retried up to ``max_retries`` and recorded in the
+    manifest, so a crashed campaign resumes where it stopped.
+    """
+
+    def __init__(self, config: DswxChainConfig = None, mesh=None,
+                 manifest_path=None, max_retries=2, reader_threads=8,
+                 writer_threads=8, flag_debug=False):
+        self.config = config or DswxChainConfig()
+        self.mesh = mesh or make_tile_mesh()
+        self.manifest = CampaignManifest(manifest_path)
+        self.max_retries = max_retries
+        self.flag_debug = flag_debug
+        self._step = make_campaign_step(self.config, self.mesh)
+        self._readers = ThreadPoolExecutor(reader_threads)
+        self._writers = ThreadPoolExecutor(writer_threads)
+        self.batch_size = len(self.mesh.devices.flat)
+
+    def run(self, jobs, metadata=None):
+        """Process all jobs; returns campaign statistics."""
+        pending = [j for j in jobs
+                   if self.manifest.status(j.tile_id) != 'done']
+        logger.info(f'campaign: {len(jobs)} tiles, {len(pending)} pending,'
+                    f' batch={self.batch_size} over'
+                    f' {len(self.mesh.devices.flat)} devices')
+        stats = {'tiles_done': 0, 'tiles_failed': 0,
+                 'n_valid_total': 0, 'n_cloud_and_valid_total': 0}
+        attempt = {j.tile_id: 0 for j in pending}
+        queue = list(pending)
+        write_futures = []
+
+        def batches(seq, n):
+            for i in range(0, len(seq), n):
+                yield seq[i:i + n]
+
+        batch_list = list(batches(queue, self.batch_size))
+
+        def submit(batch):
+            return [(j, self._readers.submit(_read_tile, j,
+                                             self.flag_debug))
+                    for j in batch]
+
+        # prefetch the first batch; retries may append batches mid-flight
+        prefetch = submit(batch_list[0]) if batch_list else None
+        bi = 0
+        while bi < len(batch_list):
+            # prefetch is None when a retry appended a batch after the
+            # last scheduled one — submit it now
+            current = prefetch if prefetch is not None \
+                else submit(batch_list[bi])
+            bi += 1
+            prefetch = submit(batch_list[bi]) if bi < len(batch_list) \
+                else None
+
+            loaded = []
+            for job, fut in current:
+                try:
+                    loaded.append((job, fut.result()))
+                except Exception as e:  # noqa: BLE001
+                    attempt[job.tile_id] += 1
+                    if attempt[job.tile_id] <= self.max_retries:
+                        logger.warning(f'tile {job.tile_id} read failed'
+                                       f' (attempt {attempt[job.tile_id]}):'
+                                       f' {e}; requeueing')
+                        batch_list.append([job])
+                    else:
+                        logger.error(f'tile {job.tile_id} failed: {e}')
+                        self.manifest.mark(job.tile_id, 'failed',
+                                           error=str(e),
+                                           trace=traceback.format_exc())
+                        stats['tiles_failed'] += 1
+            if not loaded:
+                continue
+
+            out, totals = self._run_batch(loaded)
+            stats['n_valid_total'] += int(totals['n_valid_total'])
+            stats['n_cloud_and_valid_total'] += int(
+                totals['n_cloud_and_valid_total'])
+
+            for k, (job, image_dict) in enumerate(loaded):
+                layers = {name: np.asarray(out[name][k])
+                          for name in ('WTR', 'BWTR', 'CONF', 'DIAG',
+                                       'WTR-1', 'WTR-2', 'CLOUD')}
+                md = dict(metadata or {})
+                md['PRODUCT_ID'] = job.product_id
+                write_futures.append(
+                    (job, self._writers.submit(
+                        _write_tile, job, layers,
+                        image_dict['geotransform'],
+                        image_dict['projection'], md)))
+
+        for job, fut in write_futures:
+            try:
+                saved = fut.result()
+                self.manifest.mark(job.tile_id, 'done', outputs=saved)
+                stats['tiles_done'] += 1
+            except Exception as e:  # noqa: BLE001
+                logger.error(f'tile {job.tile_id} write failed: {e}')
+                self.manifest.mark(job.tile_id, 'failed', error=str(e))
+                stats['tiles_failed'] += 1
+        return stats
+
+    def _run_batch(self, loaded):
+        """Pad the batch to the device count, stage sharded, execute."""
+        n = len(loaded)
+        b = self.batch_size
+        h = loaded[0][1]['length']
+        w = loaded[0][1]['width']
+
+        def stack(key, dtype, pad_value=0):
+            arrs = [np.asarray(d[key], dtype=dtype)
+                    for _, d in loaded]
+            while len(arrs) < b:
+                arrs.append(np.full((h, w), pad_value, dtype=dtype))
+            return np.stack(arrs)
+
+        sharding = NamedSharding(self.mesh, P(TILE_AXIS))
+        args = []
+        for key in ('blue', 'green', 'red', 'nir', 'swir1', 'swir2'):
+            args.append(jax.device_put(stack(key, np.int16), sharding))
+        args.append(jax.device_put(stack('fmask', np.uint8), sharding))
+        # pad tiles are fully invalid so they contribute nothing to the
+        # campaign statistics
+        args.append(jax.device_put(
+            stack('invalid_ind_array', bool, pad_value=True), sharding))
+        out, totals = self._step(*args)
+        out = jax.device_get(out)
+        totals = jax.device_get(totals)
+        del n
+        return out, totals

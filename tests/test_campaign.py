@@ -1,0 +1,155 @@
+"""Campaign-mode tests on the virtual 8-device CPU mesh."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+import oracle
+import synthetic
+
+from proteus_tpu.core.thresholds import HlsThresholds
+from proteus_tpu.models.dswx.chain import DswxChainConfig
+from proteus_tpu.parallel.campaign import (CampaignRunner, TileJob,
+                                           make_campaign_step)
+from proteus_tpu.parallel.mesh import make_tile_mesh
+from proteus_tpu.io.tiff import TiffReader
+
+T = HlsThresholds()
+TDICT = {k: getattr(T, k) for k in T.__dataclass_fields__}
+
+
+def test_mesh_has_8_devices():
+    mesh = make_tile_mesh()
+    assert len(mesh.devices.flat) == 8
+
+
+def test_campaign_step_matches_oracle():
+    mesh = make_tile_mesh()
+    cfg = DswxChainConfig(apply_aerosol_class_remapping=False)
+    step = make_campaign_step(cfg, mesh)
+    rng = np.random.default_rng(0)
+    B, H, W = 8, 64, 64
+    bands = [np.clip(rng.integers(-2000, 15000, (B, H, W)), 1,
+                     None).astype(np.int16) for _ in range(6)]
+    fmask = rng.integers(0, 256, (B, H, W)).astype(np.uint8)
+    invalid = rng.random((B, H, W)) < 0.05
+    out, totals = step(*bands, fmask, invalid)
+
+    n_valid = 0
+    for k in range(B):
+        want = oracle.full_chain(*[b[k] for b in bands], fmask[k],
+                                 invalid[k], TDICT)
+        for layer in ('DIAG', 'WTR', 'CONF', 'CLOUD'):
+            np.testing.assert_array_equal(np.asarray(out[layer][k]),
+                                          want[layer],
+                                          err_msg=f'tile {k} {layer}')
+        n_valid += int((~invalid[k]).sum())
+    assert int(totals['n_valid_total']) == n_valid
+    assert int(totals['n_tiles_total']) == B
+
+
+class TestCampaignRunner:
+    @pytest.fixture(scope='class')
+    def jobs(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp('campaign')
+        jobs = []
+        tiles = {}
+        for t in range(10):  # more tiles than devices: multiple batches
+            input_dir = str(root / f'in_{t}')
+            files, bands = synthetic.make_hls_v2_dataset(
+                input_dir, size=96, seed=100 + t)
+            jobs.append(TileJob(f'T{t:02}', files,
+                                str(root / f'out_{t}'),
+                                product_id=f'tile{t:02}'))
+            tiles[f'T{t:02}'] = bands
+        return root, jobs, tiles
+
+    def test_runner_end_to_end(self, jobs):
+        root, job_list, tiles = jobs
+        manifest = str(root / 'manifest.json')
+        runner = CampaignRunner(manifest_path=manifest)
+        stats = runner.run(job_list)
+        assert stats['tiles_done'] == 10
+        assert stats['tiles_failed'] == 0
+        # all tiles produced their 7 core layers
+        for job in job_list:
+            outs = glob.glob(os.path.join(job.output_dir, '*.tif'))
+            assert len(outs) == 7, job.tile_id
+        # spot-check one tile's WTR against the oracle
+        bands = tiles['T03']
+        invalid = np.zeros(bands['B02'].shape, bool)
+        arrs = {}
+        for key, name in [('blue', 'B02'), ('green', 'B03'),
+                          ('red', 'B04'), ('nir', 'B8A'),
+                          ('swir1', 'B11'), ('swir2', 'B12')]:
+            invalid |= (bands[name] == -9999)
+            arrs[key] = np.clip(bands[name], 1, None)
+        lists = {0: [224, 160, 96], 2: [224, 160, 96],
+                 3: [224, 192, 160, 128, 96],
+                 4: [224, 192, 160, 128, 96]}
+        want = oracle.full_chain(arrs['blue'], arrs['green'], arrs['red'],
+                                 arrs['nir'], arrs['swir1'],
+                                 arrs['swir2'], bands['Fmask'], invalid,
+                                 TDICT, aerosol_lists=lists)
+        with TiffReader(os.path.join(
+                job_list[3].output_dir,
+                'tile03_v0.1_B01_WTR.tif')) as r:
+            got = r.read()
+        np.testing.assert_array_equal(got, oracle.collapse(want['WTR']))
+
+    def test_manifest_resume(self, jobs):
+        root, job_list, _ = jobs
+        manifest = str(root / 'manifest.json')
+        runner = CampaignRunner(manifest_path=manifest)
+        # all tiles already done -> nothing reprocessed
+        stats = runner.run(job_list)
+        assert stats['tiles_done'] == 0
+        assert stats['tiles_failed'] == 0
+
+    def test_failure_detection_and_retry(self, jobs, tmp_path):
+        root, _, _ = jobs
+        bad = TileJob('BAD', ['/nonexistent/B02.tif'], str(tmp_path))
+        runner = CampaignRunner(manifest_path=str(tmp_path /
+                                                  'manifest.json'),
+                                max_retries=1)
+        stats = runner.run([bad])
+        assert stats['tiles_failed'] == 1
+        assert runner.manifest.status('BAD') == 'failed'
+
+
+class TestSpatialSharding:
+    """2-D (tile, space) mesh with halo exchange must be bit-identical to
+    single-device execution, including the 'cover'-mode dilations that
+    cross shard boundaries."""
+
+    @pytest.mark.parametrize('mode', ['mask', 'cover'])
+    def test_spatial_matches_single_device(self, mode):
+        from proteus_tpu.parallel.campaign import make_spatial_campaign_step
+        from proteus_tpu.parallel.mesh import make_tile_space_mesh
+        from proteus_tpu.models.dswx.chain import dswx_chain
+
+        mesh = make_tile_space_mesh(2, 4)
+        cfg = DswxChainConfig(mask_adjacent_to_cloud_mode=mode)
+        step = make_spatial_campaign_step(cfg, mesh)
+
+        rng = np.random.default_rng(2)
+        B, H, W = 2, 128, 64
+        bands = [np.clip(rng.integers(-2000, 15000, (B, H, W)), 1,
+                         None).astype(np.int16) for _ in range(6)]
+        fmask = rng.integers(0, 256, (B, H, W)).astype(np.uint8)
+        invalid = rng.random((B, H, W)) < 0.05
+        out, totals = step(*bands, fmask, invalid)
+
+        for k in range(B):
+            want = dswx_chain(*[b[k] for b in bands], fmask[k],
+                              invalid[k], cfg)
+            for layer in ('DIAG', 'WTR-1', 'WTR-2', 'WTR', 'BWTR',
+                          'CONF', 'CLOUD'):
+                np.testing.assert_array_equal(
+                    np.asarray(out[layer][k]), np.asarray(want[layer]),
+                    err_msg=f'tile {k} {layer} mode {mode}')
+        assert int(totals['n_valid_total']) == int((~invalid).sum())
