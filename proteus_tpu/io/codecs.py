@@ -253,3 +253,21 @@ def get_decoder(compression: int):
         return _DECODERS[compression]
     except KeyError:
         raise ValueError(f'unsupported TIFF compression: {compression}')
+
+
+def decode_block(compression: int, data: bytes, expected_size: int
+                 ) -> bytes:
+    """Decode one TIFF block, preferring the native codec when built.
+
+    ``expected_size`` is the decoded block size implied by the tile/strip
+    geometry (native decoders need the output capacity up front).
+    """
+    from proteus_tpu import native
+    if compression == COMPRESSION_NONE:
+        return data
+    if native.available():
+        if compression == COMPRESSION_LZW:
+            return native.lzw_decode(data, expected_size)
+        if compression in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_ADOBE):
+            return native.inflate(data, expected_size)
+    return get_decoder(compression)(data)

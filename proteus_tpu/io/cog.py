@@ -116,6 +116,28 @@ class _IfdPlan:
             self.array[:, :, None]
         dtype = arr.dtype
 
+        from proteus_tpu import native
+        if (self.compress and native.available()
+                and self.predictor in (codecs.PREDICTOR_HORIZONTAL,
+                                       codecs.PREDICTOR_FLOAT)
+                and dtype.itemsize in (1, 2, 4)):
+            # native path: pad into a (n_tiles, ts, ts, s) block and hand
+            # the whole pyramid level to the threaded C++ compressor
+            n_tiles = self.tiles_down * self.tiles_across
+            block = np.zeros((n_tiles, ts, ts, self.samples), dtype=dtype)
+            for ty in range(self.tiles_down):
+                for tx in range(self.tiles_across):
+                    src = arr[ty * ts:(ty + 1) * ts,
+                              tx * ts:(tx + 1) * ts, :]
+                    block[ty * self.tiles_across + tx, :src.shape[0],
+                          :src.shape[1], :] = src
+            if self.predictor == codecs.PREDICTOR_FLOAT:
+                # the native float predictor splits bytes big-endian;
+                # feed native-endian data (it handles the reordering)
+                pass
+            self.tile_blobs = native.deflate_tiles(block, self.predictor)
+            return
+
         def make_tile(ty, tx):
             r0, c0 = ty * ts, tx * ts
             block = np.zeros((ts, ts, self.samples), dtype=dtype)

@@ -436,10 +436,10 @@ class TiffReader:
     def _read_block(self, ifd, offset, count, rows, cols, spp, dtype):
         self._fh.seek(offset)
         raw = self._fh.read(count)
-        raw = codecs.get_decoder(ifd.compression)(raw)
         pred = ifd.predictor
         itemsize = dtype.itemsize
         expected = rows * cols * spp * itemsize
+        raw = codecs.decode_block(ifd.compression, raw, expected)
         if len(raw) < expected:
             raw = raw + b'\0' * (expected - len(raw))
         if pred == codecs.PREDICTOR_FLOAT:
