@@ -1,0 +1,313 @@
+"""Hand-fused Pallas TPU kernel for the DSWx-HLS per-pixel chain.
+
+One pass over HBM computes every elementwise product layer — DIAG (pseudo-
+binary), WTR-1, WTR-2, WTR, BWTR, CONF, CLOUD, BROWSE — from the six
+reflectance bands + fmask + masks. The XLA-fused jnp chain
+(proteus_tpu.models.dswx.chain) is already bandwidth-bound; this kernel
+exists to pin the roofline: it reads each int16 band exactly once per tile
+(178 MB in, 107 MB out for a 3660^2 tile) with no intermediate HBM
+round-trips, using 256-row full-width VMEM blocks.
+
+Two TPU-native rewrites relative to the reference algorithms:
+
+- threshold tests run in exact int32 rational arithmetic (see
+  proteus_tpu.core.thresholds — bit-identical to the reference's float64);
+- the 33-entry interpretation LUT collapses to closed-form popcount logic
+  (no gather):  popcount(diag)==0/1 -> not-water (except bit4 alone -> 4),
+  ==2 -> PSW-aggressive (except bits 3+4 -> PSW-conservative), ==3 ->
+  moderate-conf water, >=4 -> high-conf water. Verified exhaustively
+  against the table in tests.
+
+Restriction: the 'cover' cloud-adjacent mode needs a 17-pixel dilation
+stencil and stays on the jnp path (mask/ignore modes are the production
+default).
+"""
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from proteus_tpu.core import constants as C
+from proteus_tpu.core.thresholds import ExactThresholds, HlsThresholds
+from proteus_tpu.models.dswx import masking
+
+
+def _closed_form_interpret(t1, t2, t3, t4, t5):
+    """uint8 water class from the 5 test bits via popcount logic."""
+    pc = (t1.astype(jnp.int32) + t2.astype(jnp.int32)
+          + t3.astype(jnp.int32) + t4.astype(jnp.int32)
+          + t5.astype(jnp.int32))
+    only_t5 = t5 & (pc == 1)
+    conservative = t4 & t5 & (pc == 2)
+    cls = jnp.where(pc >= 4, 1,
+                    jnp.where(pc == 3, 2,
+                              jnp.where(pc == 2, 4, 0)))
+    cls = jnp.where(conservative, 3, cls)
+    cls = jnp.where(only_t5, 4, cls)
+    return cls.astype(jnp.uint8)
+
+
+def _ratio_gt(num, den, p, q):
+    # boolean algebra instead of select: Mosaic cannot select between
+    # i1 vectors
+    qn = q * num
+    pd = p * den
+    return (((den > 0) & (qn > pd)) | ((den < 0) & (qn < pd))
+            | ((den == 0) & (num > 0)))
+
+
+def _ratio_lt(num, den, p, q):
+    qn = q * num
+    pd = p * den
+    return (((den > 0) & (qn < pd)) | ((den < 0) & (qn > pd))
+            | ((den == 0) & (num < 0)))
+
+
+def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
+                    with_landcover=False, compute_browse=True,
+                    block_rows=256, interpret=False):
+    """Build the fused kernel. ``config`` is a DswxChainConfig; static
+    choices are baked in at trace time.
+
+    Returns fn(blue, green, red, nir, swir1, swir2, fmask, invalid
+               [, ocean][, shadow][, landcover]) -> dict of layers.
+    """
+    if config.mask_adjacent_to_cloud_mode == 'cover':
+        raise ValueError("the Pallas kernel does not support the 'cover' "
+                         'adjacent-to-cloud mode (needs a dilation '
+                         'stencil); use the jnp chain')
+    et = ExactThresholds.from_thresholds(config.thresholds)
+    if not all(getattr(et, f)[2] for f in (
+            'wigt', 'awgt', 'pswt_1_mndwi', 'pswt_1_nir', 'pswt_1_swir1',
+            'pswt_1_ndvi', 'pswt_2_mndwi', 'pswt_2_blue', 'pswt_2_nir',
+            'pswt_2_swir1', 'pswt_2_swir2', 'lcmask_nir')):
+        raise ValueError('thresholds are not exactly rational; use the '
+                         'jnp chain (float fallback)')
+
+    aerosol_lists = (
+        (0, tuple(config.aerosol_not_water_fmask_values)),
+        (2, tuple(config.aerosol_moderate_conf_fmask_values)),
+        (3, tuple(config.aerosol_psw_conservative_fmask_values)),
+        (4, tuple(config.aerosol_psw_aggressive_fmask_values)),
+    )
+    mask_adjacent = config.mask_adjacent_to_cloud_mode == 'mask'
+    lcmask_pq = None
+    from proteus_tpu.core.thresholds import (to_exact_fraction,
+                                             SCALAR_MAX_DEN,
+                                             SCALAR_MAX_NUM)
+    lcmask_pq = to_exact_fraction(config.thresholds.lcmask_nir,
+                                  SCALAR_MAX_DEN, SCALAR_MAX_NUM)
+    nir_aerosol_max = int(C.AEROSOL_REMAPPING_MAX_NIR)
+
+    n_extra = int(with_ocean) + int(with_shadow) + int(with_landcover)
+
+    def kernel(*refs):
+        (blue_r, green_r, red_r, nir_r, swir1_r, swir2_r, fmask_r,
+         invalid_r) = refs[:8]
+        idx = 8
+        ocean_r = shadow_r = landcover_r = None
+        if with_ocean:
+            ocean_r = refs[idx]
+            idx += 1
+        if with_shadow:
+            shadow_r = refs[idx]
+            idx += 1
+        if with_landcover:
+            landcover_r = refs[idx]
+            idx += 1
+        outs = refs[idx:]
+        (diag_o, wtr1_o, wtr2_o, wtr_o, bwtr_o, conf_o, cloud_o) = \
+            outs[:7]
+        browse_o = outs[7] if compute_browse else None
+
+        # all arithmetic in int32 (v5e Mosaic has no packed int16 vector
+        # compares); NumPy's int16 wrap-around is emulated explicitly
+        blue = blue_r[:].astype(jnp.int32)
+        green = green_r[:].astype(jnp.int32)
+        red = red_r[:].astype(jnp.int32)
+        nir = nir_r[:].astype(jnp.int32)
+        swir1 = swir1_r[:].astype(jnp.int32)
+        swir2 = swir2_r[:].astype(jnp.int32)
+        fmask = fmask_r[:].astype(jnp.int32)
+        invalid = invalid_r[:].astype(jnp.int32) != 0
+
+        def wrap16(x):
+            return ((x + 32768) & 0xFFFF) - 32768
+
+        # --- diagnostics (exact int32 rationals; int16 sums wrap) -------
+        mndwi_num = wrap16(green - swir1)
+        mndwi_den = wrap16(green + swir1)
+        mbsrv = wrap16(green + red)
+        mbsrn = wrap16(nir + swir1)
+        ndvi_num = wrap16(nir - red)
+        ndvi_den = wrap16(nir + red)
+        g32 = green
+        n32 = nir
+        s1_32 = swir1
+        awesh4 = 4 * blue + 10 * g32 - 6 * mbsrn - swir2
+
+        t1 = _ratio_gt(mndwi_num, mndwi_den, *et.wigt[:2])
+        t2 = mbsrv > mbsrn
+        p, q = et.awgt[:2]
+        t3 = awesh4 * q > 4 * p
+        t4 = (_ratio_gt(mndwi_num, mndwi_den, *et.pswt_1_mndwi[:2])
+              & (s1_32 * et.pswt_1_swir1[1] < et.pswt_1_swir1[0])
+              & (n32 * et.pswt_1_nir[1] < et.pswt_1_nir[0])
+              & _ratio_lt(ndvi_num, ndvi_den, *et.pswt_1_ndvi[:2]))
+        t5 = (_ratio_gt(mndwi_num, mndwi_den, *et.pswt_2_mndwi[:2])
+              & (blue * et.pswt_2_blue[1] < et.pswt_2_blue[0])
+              & (s1_32 * et.pswt_2_swir1[1] < et.pswt_2_swir1[0])
+              & (swir2 * et.pswt_2_swir2[1] < et.pswt_2_swir2[0])
+              & (n32 * et.pswt_2_nir[1] < et.pswt_2_nir[0]))
+
+        # DIAG pseudo-binary representation (fill -> 65535)
+        bits = [t1, t2, t3, t4, t5]
+        diag_rep = jnp.zeros(t1.shape, jnp.int32)
+        for i, b in enumerate(bits):
+            diag_rep = diag_rep + b.astype(jnp.int32) * (10 ** i)
+        diag_rep = jnp.where(invalid, 65535, diag_rep)
+        diag_o[:] = diag_rep.astype(jnp.uint16)
+
+        # WTR-1 via closed-form popcount interpretation (int32 pipeline;
+        # uint8 only at the output stores)
+        wtr1 = _closed_form_interpret(t1, t2, t3, t4, t5) \
+            .astype(jnp.int32)
+        if with_ocean:
+            wtr1 = jnp.where(ocean_r[:].astype(jnp.int32) == 0,
+                             C.WTR_OCEAN_MASKED, wtr1)
+        wtr1 = jnp.where(invalid, C.UINT8_FILL_VALUE, wtr1)
+        wtr1_o[:] = wtr1.astype(jnp.uint8)
+
+        # preliminary CLOUD
+        shadow_bit = (fmask & 8) != 0
+        if mask_adjacent:
+            shadow_bit = shadow_bit | ((fmask & 4) != 0)
+        cloud_bit = (fmask & 2) != 0
+        cloud = (shadow_bit.astype(jnp.int32)
+                 + 4 * cloud_bit.astype(jnp.int32))
+
+        # aerosol remapping: the fmask-value lists are static, so each
+        # membership test unrolls to a few equality compares (no gather)
+        wtr1a = wtr1
+        if config.apply_aerosol_class_remapping:
+            nir_ok = n32 <= nir_aerosol_max
+            remapped = jnp.zeros(wtr1.shape, bool)
+            for input_class, values in aerosol_lists:
+                if not values:
+                    continue
+                in_list = (fmask == values[0])
+                for v in values[1:]:
+                    in_list = in_list | (fmask == v)
+                hit = in_list & (wtr1a == input_class) & nir_ok
+                wtr1a = jnp.where(hit, 1, wtr1a)
+                remapped = remapped | hit
+            cloud = jnp.where(remapped, cloud | 8, cloud)
+
+        # landcover + shadow -> WTR-2
+        wtr2 = wtr1a
+        water = (wtr2 >= 1) & (wtr2 <= 4)
+        if with_shadow:
+            shadowed = (shadow_r[:].astype(jnp.int32)
+                        == C.SHAD_MASKED) & water
+            if with_landcover:
+                shadowed = shadowed & (landcover_r[:].astype(jnp.int32)
+                                       != 200)
+            wtr2 = jnp.where(shadowed, 0, wtr2)
+        if with_landcover:
+            lc = landcover_r[:].astype(jnp.int32)
+            nir_bright = n32 * lcmask_pq[1] > lcmask_pq[0]
+            psw = (wtr1a == 3) | (wtr1a == 4)
+            demote = (((lc == 201) & nir_bright & psw)
+                      | ((lc >= 0) & (lc < 100) & nir_bright & psw)
+                      | ((lc >= 100) & (lc < 200) & water))
+            wtr2 = jnp.where(demote, 0, wtr2)
+        wtr2_o[:] = wtr2.astype(jnp.uint8)
+
+        # snow + fill -> final CLOUD
+        snow = (fmask & 16) != 0
+        cloud = cloud + 2 * snow.astype(jnp.int32)
+        cloud = jnp.where(wtr2 == C.UINT8_FILL_VALUE, 255, cloud)
+        cloud_o[:] = cloud.astype(jnp.uint8)
+
+        # WTR
+        cloudy = (cloud != 0) & (cloud != 8)
+        snowy = (cloud == 2) | (cloud == 10)
+        wtr = jnp.where(cloudy, C.WTR_CLOUD_MASKED, wtr2)
+        wtr = jnp.where(snowy, C.WTR_SNOW_MASKED, wtr)
+        wtr = jnp.where(wtr2 == C.WTR_OCEAN_MASKED,
+                        C.WTR_OCEAN_MASKED, wtr)
+        wtr = jnp.where(wtr2 == C.UINT8_FILL_VALUE,
+                        C.UINT8_FILL_VALUE, wtr)
+        wtr_o[:] = wtr.astype(jnp.uint8)
+
+        # BWTR
+        bwtr_o[:] = jnp.where((wtr >= 1) & (wtr <= 4), 1,
+                              wtr).astype(jnp.uint8)
+
+        # CONF
+        conf_cloudy = cloudy & ~snowy  # {1,3..7,9,11..15}: cloud values
+        conf = wtr2
+        is_clear_class = conf <= 4
+        conf = jnp.where(conf_cloudy & is_clear_class, conf + 10, conf)
+        conf = jnp.where((cloud == 2) & is_clear_class, conf + 20, conf)
+        conf_o[:] = conf.astype(jnp.uint8)
+
+        # BROWSE
+        if compute_browse:
+            br = wtr
+            if config.exclude_psw_aggressive_in_browse:
+                br = jnp.where(br == 4, 0, br)
+            if config.flag_collapse_wtr_classes:
+                br = jnp.where((br == 1) | (br == 2), 1,
+                               jnp.where((br == 3) | (br == 4), 2, br))
+            if config.not_water_in_browse == 'nodata':
+                br = jnp.where(br == 0, 255, br)
+            if config.cloud_in_browse == 'nodata':
+                br = jnp.where(br == C.WTR_CLOUD_MASKED, 255, br)
+            if config.snow_in_browse == 'nodata':
+                br = jnp.where(br == C.WTR_SNOW_MASKED, 255, br)
+            br = jnp.where(br == C.WTR_OCEAN_MASKED, 255, br)
+            browse_o[:] = br.astype(jnp.uint8)
+
+    def build(h, w):
+        grid = (pl.cdiv(h, block_rows),)
+
+        def bspec(_dtype):
+            return pl.BlockSpec((block_rows, w), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+
+        n_in = 8 + n_extra
+        n_out = 8 if compute_browse else 7
+        out_shapes = [jax.ShapeDtypeStruct((h, w), jnp.uint16)] + \
+            [jax.ShapeDtypeStruct((h, w), jnp.uint8)
+             for _ in range(n_out - 1)]
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[bspec(None)] * n_in,
+            out_specs=[bspec(None)] * n_out,
+            out_shape=out_shapes,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )
+
+    def fn(*arrays):
+        h, w = arrays[0].shape
+        call = build(h, w)
+        arrays = list(arrays)
+        # bool invalid -> uint8 for the kernel
+        arrays[7] = arrays[7].astype(jnp.uint8)
+        outs = call(*arrays)
+        names = ['DIAG', 'WTR-1', 'WTR-2', 'WTR', 'BWTR', 'CONF',
+                 'CLOUD']
+        if compute_browse:
+            names.append('BROWSE')
+        return dict(zip(names, outs))
+
+    return fn

@@ -1,0 +1,75 @@
+"""Fused Pallas kernel parity vs the jnp chain (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from proteus_tpu.core import constants as C
+from proteus_tpu.models.dswx.chain import DswxChainConfig, dswx_chain
+from proteus_tpu.ops.pallas.wtr_kernel import (_closed_form_interpret,
+                                               make_wtr_kernel)
+
+RNG = np.random.default_rng(21)
+
+
+def test_closed_form_interpretation_matches_lut():
+    """The popcount rewrite must reproduce all 32 LUT entries."""
+    import jax.numpy as jnp
+    vals = np.arange(32, dtype=np.int32)
+    bits = [(vals >> i) & 1 for i in range(5)]
+    got = np.asarray(_closed_form_interpret(
+        *[jnp.asarray(b.astype(bool)).reshape(4, 8) for b in bits]))
+    lut = C.build_interpretation_lut()
+    np.testing.assert_array_equal(got.ravel(), lut[:32])
+
+
+@pytest.mark.parametrize('mode', ['mask', 'ignore'])
+def test_kernel_matches_chain(mode):
+    cfg = DswxChainConfig(mask_adjacent_to_cloud_mode=mode)
+    shape = (64, 128)
+    bands = [np.clip(RNG.integers(-2000, 18000, shape), 1,
+                     None).astype(np.int16) for _ in range(6)]
+    fmask = RNG.integers(0, 256, shape).astype(np.uint8)
+    invalid = RNG.random(shape) < 0.05
+    ocean = (RNG.random(shape) < 0.9).astype(np.uint8)
+    shadow = (RNG.random(shape) < 0.8).astype(np.uint8)
+    lc = RNG.choice(np.array([0, 100, 200, 201, 255], np.uint8), shape)
+
+    kernel = make_wtr_kernel(cfg, with_ocean=True, with_shadow=True,
+                             with_landcover=True, block_rows=32,
+                             interpret=True)
+    import jax.numpy as jnp
+    got = kernel(*[jnp.asarray(a) for a in bands], jnp.asarray(fmask),
+                 jnp.asarray(invalid), jnp.asarray(ocean),
+                 jnp.asarray(shadow), jnp.asarray(lc))
+    want = dswx_chain(*bands, fmask, invalid, cfg, ocean_mask=ocean,
+                      shadow_layer=shadow, landcover_mask=lc)
+    for layer in ('DIAG', 'WTR-1', 'WTR-2', 'WTR', 'BWTR', 'CONF',
+                  'CLOUD', 'BROWSE'):
+        np.testing.assert_array_equal(np.asarray(got[layer]),
+                                      np.asarray(want[layer]),
+                                      err_msg=f'{layer} mode={mode}')
+
+
+def test_kernel_minimal_no_ancillaries():
+    cfg = DswxChainConfig()
+    shape = (96, 64)
+    bands = [np.clip(RNG.integers(-2000, 18000, shape), 1,
+                     None).astype(np.int16) for _ in range(6)]
+    fmask = RNG.integers(0, 256, shape).astype(np.uint8)
+    invalid = np.zeros(shape, bool)
+    kernel = make_wtr_kernel(cfg, block_rows=32, interpret=True)
+    import jax.numpy as jnp
+    got = kernel(*[jnp.asarray(a) for a in bands], jnp.asarray(fmask),
+                 jnp.asarray(invalid))
+    want = dswx_chain(*bands, fmask, invalid, cfg)
+    for layer in ('DIAG', 'WTR-1', 'WTR-2', 'WTR', 'BWTR', 'CONF',
+                  'CLOUD', 'BROWSE'):
+        np.testing.assert_array_equal(np.asarray(got[layer]),
+                                      np.asarray(want[layer]),
+                                      err_msg=layer)
+
+
+def test_kernel_rejects_cover_mode():
+    with pytest.raises(ValueError):
+        make_wtr_kernel(DswxChainConfig(
+            mask_adjacent_to_cloud_mode='cover'))
