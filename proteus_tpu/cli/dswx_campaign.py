@@ -1,0 +1,101 @@
+"""dswx_campaign: batched multi-tile production over a TPU slice.
+
+The scale-out entry point with no reference counterpart (the reference
+processes one tile per process): give it many HLS tile directories and it
+shards tile batches across all devices with prefetched host I/O, a resume
+manifest, and per-tile retry.
+
+Examples:
+    dswx_campaign tiles/T15RYP tiles/T15RYN -o out/
+    dswx_campaign --tiles-list tiles.txt -o out/ --manifest camp.json
+"""
+
+import argparse
+import glob
+import logging
+import os
+import sys
+
+from proteus_tpu.core.thresholds import HlsThresholds
+from proteus_tpu.models.dswx.chain import DswxChainConfig
+from proteus_tpu.runtime.logging_util import create_logger
+
+logger = logging.getLogger('dswx_hls')
+
+
+def get_parser():
+    parser = argparse.ArgumentParser(
+        description='Batched DSWx-HLS campaign across all TPU devices',
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument('input_dirs', nargs='*',
+                        help='HLS tile directories (one product each)')
+    parser.add_argument('--tiles-list', type=str,
+                        help='File listing one HLS tile directory per '
+                             'line')
+    parser.add_argument('-o', '--output-dir', required=True,
+                        help='Campaign output directory (one '
+                             'subdirectory per tile)')
+    parser.add_argument('--manifest', type=str, default=None,
+                        help='Campaign manifest JSON (enables '
+                             'resume/retry bookkeeping); defaults to '
+                             '<output-dir>/campaign_manifest.json')
+    parser.add_argument('--product-version', type=str, default='1.0')
+    parser.add_argument('--max-retries', type=int, default=2)
+    parser.add_argument('--reader-threads', type=int, default=8)
+    parser.add_argument('--writer-threads', type=int, default=8)
+    parser.add_argument('--mask-adjacent-to-cloud-mode', type=str,
+                        choices=['mask', 'ignore', 'cover'],
+                        default='mask')
+    parser.add_argument('--debug', dest='flag_debug',
+                        action='store_true', default=False,
+                        help='Read only 1000x1000 windows')
+    parser.add_argument('--log', '--log-file', dest='log_file', type=str)
+    return parser
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    create_logger(args.log_file)
+
+    tile_dirs = list(args.input_dirs)
+    if args.tiles_list:
+        with open(args.tiles_list) as fh:
+            tile_dirs += [ln.strip() for ln in fh
+                          if ln.strip() and not ln.startswith('#')]
+    if not tile_dirs:
+        logger.error('ERROR no input tiles given')
+        sys.exit(2)
+
+    from proteus_tpu.parallel.campaign import CampaignRunner, TileJob
+
+    jobs = []
+    for d in tile_dirs:
+        files = sorted(glob.glob(os.path.join(d, '*.tif')))
+        if not files:
+            logger.warning(f'WARNING no .tif files in {d}; skipping')
+            continue
+        tile_id = os.path.basename(os.path.normpath(d))
+        jobs.append(TileJob(
+            tile_id, files, os.path.join(args.output_dir, tile_id),
+            product_id=tile_id, product_version=args.product_version))
+
+    manifest = args.manifest or os.path.join(args.output_dir,
+                                             'campaign_manifest.json')
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    config = DswxChainConfig(
+        thresholds=HlsThresholds(),
+        mask_adjacent_to_cloud_mode=args.mask_adjacent_to_cloud_mode)
+    runner = CampaignRunner(config=config, manifest_path=manifest,
+                            max_retries=args.max_retries,
+                            reader_threads=args.reader_threads,
+                            writer_threads=args.writer_threads,
+                            flag_debug=args.flag_debug)
+    stats = runner.run(jobs)
+    logger.info(f'campaign complete: {stats}')
+    if stats['tiles_failed']:
+        sys.exit(1)
+
+
+if __name__ == '__main__':
+    main()

@@ -31,6 +31,7 @@ from proteus_tpu.models.dswx.shadow import (compute_opera_shadow_layer,
 from proteus_tpu.ops.otsu import otsu_binarize
 from proteus_tpu.runtime import ctables, metadata as md_util
 from proteus_tpu.runtime import product_writer as pw
+from proteus_tpu.runtime.profiling import StageTimers, device_trace
 from proteus_tpu.version import VERSION as SOFTWARE_VERSION
 
 logger = logging.getLogger('dswx_hls')
@@ -121,6 +122,7 @@ def generate_dswx_layers(input_list,
     default runconfig, as in the reference (:4776-4849).
     """
     _enable_compilation_cache()
+    timers = StageTimers()
 
     # ---- fill None parameters from the default runconfig -----------------
     params = dict(
@@ -225,6 +227,8 @@ def generate_dswx_layers(input_list,
     dswx_metadata_dict = md_util.get_dswx_metadata_dict(product_id,
                                                         product_version)
 
+    _t_ingest = timers.stage('ingest (HLS bands)')
+    _t_ingest.__enter__()
     version = None
     if not isinstance(input_list, list) or len(input_list) == 1:
         success = hls_io.load_hls_product_v1(
@@ -245,6 +249,7 @@ def generate_dswx_layers(input_list,
             return False
         version = '2.0'
 
+    _t_ingest.__exit__(None, None, None)
     hls_dataset_name = image_dict['hls_dataset_name']
     md_util.populate_dswx_metadata_datasets(
         dswx_metadata_dict, hls_dataset_name,
@@ -305,11 +310,13 @@ def generate_dswx_layers(input_list,
 
     # ---- ancillary coverage checks ----------------------------------------
     from proteus_tpu.geo.coverage import check_ancillary_inputs
-    check_ancillary_inputs(
-        p['check_ancillary_inputs_coverage'],
-        p['apply_ocean_masking'],
-        dem_file, landcover_file, worldcover_file, shoreline_shapefile,
-        geotransform, projection, length, width, dswx_metadata_dict)
+    with timers.stage('ancillary coverage checks'):
+        check_ancillary_inputs(
+            p['check_ancillary_inputs_coverage'],
+            p['apply_ocean_masking'],
+            dem_file, landcover_file, worldcover_file,
+            shoreline_shapefile, geotransform, projection, length, width,
+            dswx_metadata_dict)
 
     if 'INPUT_HLS_PRODUCT_SPATIAL_COVERAGE' in dswx_metadata_dict:
         logger.info(f"    input HLS product spatial coverage [%]:"
@@ -322,15 +329,20 @@ def generate_dswx_layers(input_list,
     ocean_mask = None
     if shoreline_shapefile is not None:
         from proteus_tpu.geo.polygon import create_ocean_mask
+        _t_ocean = timers.stage('ocean mask')
+        _t_ocean.__enter__()
         ocean_mask = create_ocean_mask(
             shoreline_shapefile, p['ocean_masking_shoreline_distance_km'],
             scratch_dir, geotransform, projection, length, width,
             temp_files_list=temp_files_list)
+        _t_ocean.__exit__(None, None, None)
 
     # ---- DEM warp + terrain shadow (device) ---------------------------------
     if dem_file is not None:
         from proteus_tpu.geo.warp import warp_to_grid
         logger.info(f'Preparing DEM file: {dem_file}')
+        _t_dem = timers.stage('DEM warp + terrain shadow')
+        _t_dem.__enter__()
         dem_with_margin = warp_to_grid(
             dem_file, geotransform, projection, length, width,
             resample_algorithm='cubic',
@@ -349,11 +361,14 @@ def generate_dswx_layers(input_list,
         ).astype(np.uint8)
         dem = np.asarray(_crop_margin(dem_with_margin,
                                       C.DEM_MARGIN_IN_PIXELS))
+        _t_dem.__exit__(None, None, None)
 
     # ---- landcover (host warps + device combine) ----------------------------
     landcover_mask = None
     if landcover_file is not None and worldcover_file is not None:
         from proteus_tpu.geo.warp import warp_to_grid, worldcover_year_of
+        _t_lc = timers.stage('landcover warps + LAND')
+        _t_lc.__enter__()
         logger.info('creating LAND layer combining Copernicus Landcover'
                     ' 100m and ESA WorldCover 10m maps')
         if not os.path.isfile(landcover_file):
@@ -375,6 +390,7 @@ def generate_dswx_layers(input_list,
                 C.LANDCOVER_MASK_TYPE,
                 p['forest_mask_landcover_classes'],
                 worldcover_year=year)).astype(np.uint8)
+        _t_lc.__exit__(None, None, None)
 
     # ---- the fused device chain ---------------------------------------------
     chain_config = DswxChainConfig(
@@ -413,11 +429,18 @@ def generate_dswx_layers(input_list,
     jitted = jax.jit(chain_partial)
     logger.info('running the fused DSWx device chain'
                 f' on {jax.devices()[0].platform}')
-    out = jitted(jnp.asarray(blue), jnp.asarray(green), jnp.asarray(red),
-                 jnp.asarray(nir), jnp.asarray(swir1), jnp.asarray(swir2),
-                 jnp.asarray(fmask), jnp.asarray(invalid_array),
-                 **{k: jnp.asarray(v) for k, v in present.items()})
-    out = jax.device_get(out)
+    with device_trace(os.environ.get('PROTEUS_TPU_TRACE_DIR')):
+        with timers.stage('device chain (compile+run)'):
+            out = jitted(jnp.asarray(blue), jnp.asarray(green),
+                         jnp.asarray(red), jnp.asarray(nir),
+                         jnp.asarray(swir1), jnp.asarray(swir2),
+                         jnp.asarray(fmask), jnp.asarray(invalid_array),
+                         **{k: jnp.asarray(v) for k, v in
+                            present.items()})
+            out = jax.tree_util.tree_map(lambda x: x.block_until_ready(),
+                                         out)
+        with timers.stage('device->host transfer'):
+            out = jax.device_get(out)
 
     # ---- coverage statistics -> metadata ------------------------------------
     total_number_of_pixels = length * width
@@ -441,6 +464,9 @@ def generate_dswx_layers(input_list,
     dswx_metadata_dict['CLOUD_COVERAGE'] = cloud_coverage
 
     # ---- layer saves (reference order; dswx_hls.py:5138-5397) ---------------
+    import time as _time
+    timers_saves_elapsed = [0.0]
+    _saves_t0 = _time.perf_counter()
     if dem is not None and output_dem_layer is not None:
         pw.save_array(dem, output_dem_layer, dswx_metadata_dict,
                       geotransform, projection,
@@ -549,12 +575,16 @@ def generate_dswx_layers(input_list,
         build_vrt_list.append(output_file)
         logger.info(f'file saved: {output_file}')
 
+    timers_saves_elapsed[0] = _time.perf_counter() - _saves_t0
     logger.info('removing temporary files:')
     for filename in temp_files_list:
         if os.path.isfile(filename):
             os.remove(filename)
             logger.info(f'    {filename}')
+    timers.add('layer saves (COG encode)',
+               timers_saves_elapsed[0])
     logger.info('output files:')
     for filename in build_vrt_list + output_files_list:
         logger.info(f'    {filename}')
+    timers.report()
     return True

@@ -153,3 +153,19 @@ class TestSpatialSharding:
                     np.asarray(out[layer][k]), np.asarray(want[layer]),
                     err_msg=f'tile {k} {layer} mode {mode}')
         assert int(totals['n_valid_total']) == int((~invalid).sum())
+
+
+def test_campaign_cli(tmp_path):
+    """Drive the dswx_campaign CLI end-to-end on two synthetic tiles."""
+    from proteus_tpu.cli.dswx_campaign import main as campaign_main
+    dirs = []
+    for t in range(2):
+        d = str(tmp_path / f'tile_{t}')
+        synthetic.make_hls_v2_dataset(d, size=96, seed=300 + t)
+        dirs.append(d)
+    out = str(tmp_path / 'campaign_out')
+    campaign_main(dirs + ['-o', out])
+    for t in range(2):
+        produced = glob.glob(os.path.join(out, f'tile_{t}', '*.tif'))
+        assert len(produced) == 7
+    assert os.path.isfile(os.path.join(out, 'campaign_manifest.json'))
