@@ -326,6 +326,222 @@ def _resample_block(fdata, valid, u, v, algorithm, fill, wraps, width,
     return np.where(center_in & (wacc > 1e-9), res, fill)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _device_resample_fn(h, w, gh, gw, spacing, out_h, out_w, algorithm,
+                        fill, wraps, full_width, has_valid):
+    """Build (and cache) the jitted device resampler for a static
+    geometry/algorithm configuration, so repeated tiles reuse the
+    compiled program."""
+    import jax
+
+    def wrapper(data, valid, lat_u, lat_v):
+        return _device_resample_impl(data, valid, lat_u, lat_v, spacing,
+                                     out_h, out_w, algorithm, fill,
+                                     wraps, full_width)
+
+    if has_valid:
+        return jax.jit(wrapper)
+    return jax.jit(lambda d, lu, lv: wrapper(d, None, lu, lv))
+
+
+def _device_resample(data, valid, lat_u, lat_v, spacing, out_h, out_w,
+                     algorithm, fill, wraps=False, full_width=None):
+    """On-device warp: separable bilinear lattice interpolation of the
+    source pixel coordinates + resampling gather, as one jit program.
+
+    lat_u/lat_v are the window-relative source pixel coordinates on the
+    exact-float64 lattice (float32 on device: window-relative values stay
+    small, so f32 keeps <2.5e-4 px of error). Runs on whatever backend is
+    active; on TPU the gathers ride HBM bandwidth instead of a single
+    host core.
+    """
+    from proteus_tpu.utils.compile_cache import enable
+    enable()
+    fn = _device_resample_fn(data.shape[0], data.shape[1],
+                             lat_u.shape[0], lat_u.shape[1], spacing,
+                             out_h, out_w, algorithm, fill, wraps,
+                             full_width, valid is not None)
+    if valid is not None:
+        return fn(data, valid, lat_u, lat_v)
+    return fn(data, lat_u, lat_v)
+
+
+def _device_resample_impl(data, valid, lat_u, lat_v, spacing, out_h,
+                          out_w, algorithm, fill, wraps, full_width):
+    import jax
+    import jax.numpy as jnp
+
+    h, w = data.shape
+    gh, gw = lat_u.shape
+
+    def interp_axis0(grid, i0, wi):
+        a = grid[i0, :]
+        b = grid[i0 + 1, :]
+        return a + (b - a) * wi[:, None]
+
+    def interp_axis1(rows, j0, wj):
+        a = rows[:, j0]
+        b = rows[:, j0 + 1]
+        return a + (b - a) * wj[None, :]
+
+    def run(data, valid, lat_u, lat_v):
+        fi = jnp.arange(out_h, dtype=jnp.float32) / spacing
+        fj = jnp.arange(out_w, dtype=jnp.float32) / spacing
+        i0 = jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, gh - 2)
+        j0 = jnp.clip(jnp.floor(fj).astype(jnp.int32), 0, gw - 2)
+        wi = fi - i0.astype(jnp.float32)
+        wj = fj - j0.astype(jnp.float32)
+
+        u = interp_axis1(interp_axis0(lat_u, i0, wi), j0, wj)
+        v = interp_axis1(interp_axis0(lat_v, i0, wi), j0, wj)
+
+        dflat = data.reshape(-1)
+        vflat = valid.reshape(-1) if valid is not None else None
+
+        def gather(rows, cols):
+            if wraps:
+                cols = cols % full_width
+            inb = ((rows >= 0) & (rows < h) & (cols >= 0) & (cols < w))
+            r = jnp.clip(rows, 0, h - 1)
+            c = jnp.clip(cols, 0, w - 1)
+            flat = r * w + c
+            vals = jnp.take(dflat, flat, mode='clip')
+            ok = inb if vflat is None else \
+                (inb & jnp.take(vflat, flat, mode='clip'))
+            return vals, ok
+
+        if algorithm == 'nearest':
+            rows = jnp.floor(v).astype(jnp.int32)
+            cols = jnp.floor(u).astype(jnp.int32)
+            vals, ok = gather(rows, cols)
+            return jnp.where(ok, vals, jnp.asarray(fill, data.dtype))
+
+        uc = u - 0.5
+        vc = v - 0.5
+        iu = jnp.floor(uc).astype(jnp.int32)
+        iv = jnp.floor(vc).astype(jnp.int32)
+        fu = uc - iu.astype(jnp.float32)
+        fv = vc - iv.astype(jnp.float32)
+        if algorithm == 'bilinear':
+            taps = [(0, 1 - fv), (1, fv)]
+            cols_w = [(0, 1 - fu), (1, fu)]
+        else:
+            a = -0.5
+
+            def cw(x):
+                ax = jnp.abs(x)
+                return jnp.where(
+                    ax <= 1, (a + 2) * ax ** 3 - (a + 3) * ax ** 2 + 1,
+                    jnp.where(ax < 2, a * ax ** 3 - 5 * a * ax ** 2
+                              + 8 * a * ax - 4 * a, 0.0))
+            taps = list(zip((-1, 0, 1, 2),
+                            [cw(fv + 1), cw(fv), cw(1 - fv), cw(2 - fv)]))
+            cols_w = list(zip((-1, 0, 1, 2),
+                              [cw(fu + 1), cw(fu), cw(1 - fu),
+                               cw(2 - fu)]))
+        acc = jnp.zeros(u.shape, jnp.float32)
+        wacc = jnp.zeros(u.shape, jnp.float32)
+        center_in = (u >= 0) & (u <= w) & (v >= 0) & (v <= h)
+        for dr, wr in taps:
+            for dc, wc in cols_w:
+                vals, ok = gather(iv + dr, iu + dc)
+                wgt = wr * wc
+                acc = acc + jnp.where(ok, vals.astype(jnp.float32) * wgt,
+                                      0.0)
+                wacc = wacc + jnp.where(ok, wgt, 0.0)
+        res = acc / jnp.where(wacc > 1e-9, wacc, 1.0)
+        good = center_in & (wacc > 1e-9)
+        return jnp.where(good, res, jnp.float32(fill))
+
+    return run(data, valid, lat_u, lat_v)
+
+
+def warp_to_grid_device(input_file, geotransform, projection, length,
+                        width, resample_algorithm='nearest',
+                        margin_in_pixels=0, grid_spacing=8, dtype=None):
+    """warp_to_grid with the interpolation+gather on the JAX device.
+
+    Returns a device array (jnp). Keeping the result on device lets the
+    downstream consumers (LAND decimation, terrain shadow) run without a
+    host round-trip. Index coordinates are float32; relative to the exact
+    host path the only difference is sub-0.001-pixel index rounding.
+    """
+    import jax.numpy as jnp
+
+    m = margin_in_pixels
+    x0, dx, _, y0, _, dy = geotransform
+    tx0 = x0 - m * dx
+    ty0 = y0 - m * dy
+    out_h = length + 2 * m
+    out_w = width + 2 * m
+    tile_crs = CRS.from_any(projection)
+
+    src = SourceRaster(input_file)
+    try:
+        radius = _KERNEL_RADIUS[resample_algorithm]
+        bj = np.linspace(0, out_w, 256)
+        bi = np.linspace(0, out_h, 256)
+        ej = np.concatenate([bj, bj, np.zeros_like(bi),
+                             np.full_like(bi, out_w)])
+        ei = np.concatenate([np.zeros_like(bj), np.full_like(bj, out_h),
+                             bi, bi])
+        sx, sy = transform_points(tile_crs, src.crs, tx0 + ej * dx,
+                                  ty0 + ei * dy)
+        eu, ev = src.pixel_coords(sx, sy)
+        r0, c0, wh, ww = _resolve_window(src, eu, ev, radius)
+        nodata = src.nodata
+        fill = nodata if nodata is not None else 0
+        out_dtype = dtype or src.reader.dtype
+        if wh == 0 or ww == 0:
+            return jnp.full((out_h, out_w), fill, dtype=out_dtype)
+
+        data = src.reader.read(window=(r0, c0, wh, ww))
+        if data.ndim == 3:
+            data = data[:, :, 0]
+
+        # exact-f64 lattice of window-relative source pixel coords;
+        # computed continuously (no modulo) so bilinear interpolation
+        # stays smooth across the antimeridian — the device gather
+        # applies the wrap per pixel instead
+        tx = GridTransformer(tile_crs, src.crs, tx0, ty0, dx, dy, out_h,
+                             out_w, spacing=grid_spacing)
+        sx0, sdx, _, sy0, _, sdy = src.gt
+        lu = (tx.sx - sx0) / sdx
+        lv = (tx.sy - sy0) / sdy
+        lat_u = jnp.asarray((lu - c0).astype(np.float32))
+        lat_v = jnp.asarray((lv - r0).astype(np.float32))
+        wraps = src.wraps and c0 == 0 and ww == src.width
+
+        if nodata is not None and np.isnan(nodata):
+            valid = ~np.isnan(data.astype(np.float64))
+        elif nodata is not None:
+            valid = data != nodata
+        else:
+            valid = None
+
+        is_float_fill = isinstance(fill, float) and np.isnan(fill)
+        kernel_input = data if resample_algorithm == 'nearest' else \
+            data.astype(np.float32)
+        out = _device_resample(
+            jnp.asarray(kernel_input),
+            None if valid is None or bool(valid.all())
+            else jnp.asarray(valid),
+            lat_u, lat_v, grid_spacing, out_h, out_w, resample_algorithm,
+            float(fill) if (is_float_fill or
+                            resample_algorithm != 'nearest') else fill,
+            wraps=wraps, full_width=ww)
+        if resample_algorithm != 'nearest' \
+                and np.dtype(out_dtype).kind in 'ui':
+            out = jnp.clip(jnp.rint(out), np.iinfo(out_dtype).min,
+                           np.iinfo(out_dtype).max)
+        return out.astype(out_dtype)
+    finally:
+        src.close()
+
+
 def worldcover_year_of(worldcover_file, worldcover_file_description=None):
     """Extract the WorldCover dataset year (reference
     dswx_hls.py:1055-1095): from time_start/time_end metadata, else from a

@@ -36,24 +36,8 @@ from proteus_tpu.version import VERSION as SOFTWARE_VERSION
 
 logger = logging.getLogger('dswx_hls')
 
-_COMPILATION_CACHE_READY = False
-
-
-def _enable_compilation_cache():
-    global _COMPILATION_CACHE_READY
-    if _COMPILATION_CACHE_READY:
-        return
-    cache_dir = os.environ.get(
-        'PROTEUS_TPU_COMPILE_CACHE',
-        os.path.join(os.path.expanduser('~'), '.cache',
-                     'proteus_tpu', 'xla'))
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update('jax_compilation_cache_dir', cache_dir)
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
-    except Exception:  # noqa: BLE001 - cache is best-effort
-        pass
-    _COMPILATION_CACHE_READY = True
+from proteus_tpu.utils.compile_cache import enable as \
+    _enable_compilation_cache
 
 
 def _mean_angle(meta_value):
@@ -338,16 +322,22 @@ def generate_dswx_layers(input_list,
         _t_ocean.__exit__(None, None, None)
 
     # ---- DEM warp + terrain shadow (device) ---------------------------------
+    use_host_warp = bool(os.environ.get('PROTEUS_TPU_HOST_WARP'))
     if dem_file is not None:
-        from proteus_tpu.geo.warp import warp_to_grid
+        from proteus_tpu.geo.warp import warp_to_grid, warp_to_grid_device
         logger.info(f'Preparing DEM file: {dem_file}')
         _t_dem = timers.stage('DEM warp + terrain shadow')
         _t_dem.__enter__()
-        dem_with_margin = warp_to_grid(
-            dem_file, geotransform, projection, length, width,
-            resample_algorithm='cubic',
-            margin_in_pixels=C.DEM_MARGIN_IN_PIXELS)
-        dem_with_margin = jnp.asarray(dem_with_margin)
+        if use_host_warp:
+            dem_with_margin = jnp.asarray(warp_to_grid(
+                dem_file, geotransform, projection, length, width,
+                resample_algorithm='cubic',
+                margin_in_pixels=C.DEM_MARGIN_IN_PIXELS))
+        else:
+            dem_with_margin = warp_to_grid_device(
+                dem_file, geotransform, projection, length, width,
+                resample_algorithm='cubic',
+                margin_in_pixels=C.DEM_MARGIN_IN_PIXELS)
         if p['shadow_masking_algorithm'] == 'otsu':
             hillshade = compute_hillshade(
                 dem_with_margin, sun_azimuth_angle, sun_elevation_angle)
@@ -366,9 +356,12 @@ def generate_dswx_layers(input_list,
     # ---- landcover (host warps + device combine) ----------------------------
     landcover_mask = None
     if landcover_file is not None and worldcover_file is not None:
-        from proteus_tpu.geo.warp import warp_to_grid, worldcover_year_of
+        from proteus_tpu.geo.warp import (warp_to_grid,
+                                          warp_to_grid_device,
+                                          worldcover_year_of)
         _t_lc = timers.stage('landcover warps + LAND')
         _t_lc.__enter__()
+        _warp = warp_to_grid if use_host_warp else warp_to_grid_device
         logger.info('creating LAND layer combining Copernicus Landcover'
                     ' 100m and ESA WorldCover 10m maps')
         if not os.path.isfile(landcover_file):
@@ -376,13 +369,13 @@ def generate_dswx_layers(input_list,
         elif not os.path.isfile(worldcover_file):
             logger.error(f'ERROR file not found: {worldcover_file}')
         else:
-            cgls = warp_to_grid(landcover_file, geotransform, projection,
-                                length, width, resample_algorithm='nearest')
+            cgls = _warp(landcover_file, geotransform, projection,
+                         length, width, resample_algorithm='nearest')
             gt3 = (geotransform[0], geotransform[1] / 3, 0.0,
                    geotransform[3], 0.0, geotransform[5] / 3)
-            wc3 = warp_to_grid(worldcover_file, gt3, projection,
-                               3 * length, 3 * width,
-                               resample_algorithm='nearest')
+            wc3 = _warp(worldcover_file, gt3, projection,
+                        3 * length, 3 * width,
+                        resample_algorithm='nearest')
             year = worldcover_year_of(worldcover_file,
                                       worldcover_file_description)
             landcover_mask = np.asarray(create_landcover_mask_arrays(

@@ -1,0 +1,216 @@
+"""Geo engine tests: CRS round-trips, MGRS, warp parity (host/device/
+exact), antimeridian wrap, ocean mask, coverage checks."""
+
+import numpy as np
+import pytest
+
+from proteus_tpu.geo.crs import (CRS, transform_points, utm_forward,
+                                 utm_inverse)
+from proteus_tpu.geo.mgrs import (get_hls_geographic_boundaries_from_mgrs_tile,
+                                  mgrs_to_utm, mgrs_tile_geotransform)
+from proteus_tpu.geo.warp import warp_to_grid, warp_to_grid_device
+from proteus_tpu.io.cog import write_cog
+
+RNG = np.random.default_rng(5)
+
+
+class TestCRS:
+    def test_utm_roundtrip(self):
+        lat = RNG.uniform(-79, 83, 5000)
+        lon = RNG.uniform(-60, 60, 5000)
+        x, y = utm_forward(lat, lon, 31, True)
+        la, lo = utm_inverse(x, y, 31, True)
+        assert np.abs(la - lat).max() < 1e-9
+        assert np.abs(lo - lon).max() < 1e-9
+
+    def test_central_meridian_anchor(self):
+        x, y = utm_forward(0.0, 3.0, 31, True)
+        assert float(x) == pytest.approx(500000.0, abs=1e-6)
+        assert float(y) == pytest.approx(0.0, abs=1e-6)
+
+    def test_southern_hemisphere(self):
+        x, y = utm_forward(-33.8568, 151.2153, 56, False)
+        assert 250000 < float(x) < 400000
+        assert 6200000 < float(y) < 6300000  # false northing applied
+
+    def test_wkt_proj4_roundtrip(self):
+        for epsg in (32601, 32660, 32701, 4326):
+            crs = CRS.from_epsg(epsg)
+            assert CRS.from_wkt(crs.to_wkt()).epsg == epsg
+            assert CRS.from_proj4(crs.to_proj4()).epsg == epsg
+
+    def test_transform_points_identity(self):
+        x, y = transform_points(32615, 32615, [1.0, 2.0], [3.0, 4.0])
+        np.testing.assert_array_equal(x, [1.0, 2.0])
+
+
+class TestMGRS:
+    def test_louisiana_tile(self):
+        # the reference workflow-test tile
+        assert mgrs_to_utm('T15RYP') == (15, True, 700000.0, 3300000.0)
+        lat_min, lat_max, lon_min, lon_max = \
+            get_hls_geographic_boundaries_from_mgrs_tile('T15RYP')
+        assert 29.5 < lat_min < 30.0 and 30.5 < lat_max < 31.0
+        assert -91.2 < lon_min < -90.7 and -90.0 < lon_max < -89.6
+
+    def test_product_grid(self):
+        gt, epsg, length, width = mgrs_tile_geotransform('T15RYP')
+        assert (length, width) == (3660, 3660)
+        assert epsg == 32615
+        assert gt[0] == 700000.0 - 4900.0
+        assert gt[3] == 3300000.0 - 4900.0 + 109800.0
+
+    def test_invalid_names(self):
+        for bad in ('XX', '99ZAA', '15IYP', 'T15RYPZ'):
+            with pytest.raises(ValueError):
+                mgrs_to_utm(bad)
+
+
+@pytest.fixture(scope='module')
+def latlon_source(tmp_path_factory):
+    """EPSG:4326 raster whose value encodes its own pixel position."""
+    root = tmp_path_factory.mktemp('warpsrc')
+    h, w = 700, 900
+    # cover the UTM 15N test tile (lon -91.2..-89.6, lat 29.5..31)
+    gt = (-92.0, 0.004, 0.0, 31.5, 0.0, -0.004)
+    arr = (np.arange(h)[:, None] * 1000
+           + np.arange(w)[None, :]).astype(np.int32).astype(np.float32)
+    path = str(root / 'src.tif')
+    write_cog(path, arr, geotransform=gt, epsg=4326, overview_levels=())
+    return path, gt, arr
+
+
+class TestWarp:
+    def test_nearest_against_direct_math(self, latlon_source):
+        path, gt, arr = latlon_source
+        tile_gt = (700000.0, 30.0, 0.0, 3395100.0, 0.0, -30.0)
+        out = warp_to_grid(path, tile_gt, 'EPSG:32615', 200, 200)
+        # direct check at a few pixels: inverse-project the pixel center,
+        # find the nearest source pixel, compare the encoded value
+        from proteus_tpu.geo.crs import utm_inverse
+        for (i, j) in [(0, 0), (50, 120), (199, 199), (123, 7)]:
+            x = tile_gt[0] + (j + 0.5) * 30.0
+            y = tile_gt[3] - (i + 0.5) * 30.0
+            lat, lon = utm_inverse(x, y, 15, True)
+            sc = int(np.floor((lon - gt[0]) / gt[1]))
+            sr = int(np.floor((gt[3] - lat) / -gt[5]))
+            assert out[i, j] == arr[sr, sc], (i, j)
+
+    def test_grid_transformer_matches_exact(self, latlon_source):
+        path, gt, arr = latlon_source
+        tile_gt = (700000.0, 30.0, 0.0, 3395100.0, 0.0, -30.0)
+        a = warp_to_grid(path, tile_gt, 'EPSG:32615', 150, 150,
+                         transformer='grid')
+        b = warp_to_grid(path, tile_gt, 'EPSG:32615', 150, 150,
+                         transformer='exact')
+        assert (a != b).mean() < 1e-3  # razor-edge nearest picks only
+
+    def test_device_warp_matches_host(self, latlon_source):
+        path, gt, arr = latlon_source
+        tile_gt = (700000.0, 30.0, 0.0, 3395100.0, 0.0, -30.0)
+        for alg in ('nearest', 'cubic', 'bilinear'):
+            host = warp_to_grid(path, tile_gt, 'EPSG:32615', 150, 150,
+                                resample_algorithm=alg)
+            dev = np.asarray(warp_to_grid_device(
+                path, tile_gt, 'EPSG:32615', 150, 150,
+                resample_algorithm=alg))
+            if alg == 'nearest':
+                assert (host != dev).mean() < 1e-3, alg
+            else:
+                np.testing.assert_allclose(host, dev, rtol=2e-4,
+                                           atol=0.05, err_msg=alg)
+
+    def test_cubic_margin_and_nodata(self, tmp_path):
+        h, w = 300, 300
+        gt = (-91.5, 0.004, 0.0, 31.0, 0.0, -0.004)
+        arr = RNG.normal(500, 100, (h, w)).astype(np.float32)
+        arr[100:120, 100:120] = -9999.0
+        path = str(tmp_path / 'dem.tif')
+        write_cog(path, arr, geotransform=gt, epsg=4326, nodata=-9999,
+                  overview_levels=())
+        tile_gt = (700000.0, 30.0, 0.0, 3390000.0, 0.0, -30.0)
+        out = warp_to_grid(path, tile_gt, 'EPSG:32615', 100, 100,
+                           resample_algorithm='cubic',
+                           margin_in_pixels=10)
+        assert out.shape == (120, 120)
+        # values stay in a sane range (renormalized kernels, no nodata
+        # bleed-through into valid areas)
+        valid = out != -9999.0
+        assert valid.any()
+        assert np.abs(out[valid] - 500).max() < 500
+
+    def test_antimeridian_wrap(self, tmp_path):
+        """A global [-180,180] source warped onto a tile crossing +180
+        must be seamless (the reference needs a two-sided crop+warp)."""
+        h, w = 300, 1800  # 0.2 deg/px global in lon
+        gt = (-180.0, 0.2, 0.0, 80.0, 0.0, -0.2)
+        arr = np.tile((np.arange(w) % 256).astype(np.uint8), (h, 1))
+        path = str(tmp_path / 'global.tif')
+        write_cog(path, arr, geotransform=gt, epsg=4326,
+                  overview_levels=())
+        # UTM zone 1 tile whose west margin crosses the antimeridian
+        tile_gt = (199980.0, 30.0, 0.0, 7000000.0, 0.0, -30.0)
+        out = warp_to_grid(path, tile_gt, 'EPSG:32601', 200, 200)
+        # no fill stripe: every output pixel found a source pixel
+        assert (out != 0).all() or (out == 0).mean() < 0.05
+        dev = np.asarray(warp_to_grid_device(
+            path, tile_gt, 'EPSG:32601', 200, 200))
+        assert (out != dev).mean() < 1e-3
+
+
+class TestOceanMask:
+    def test_land_side_and_margin(self, tmp_path):
+        import synthetic
+        from proteus_tpu.geo.polygon import create_ocean_mask
+        size = 200
+        shore = synthetic.make_shoreline(str(tmp_path), size=size)
+        gt = synthetic.geotransform()
+        mask = create_ocean_mask(shore, 1.0, str(tmp_path), gt,
+                                 'EPSG:32615', size, size)
+        # west side land (1), east side ocean (0)
+        assert mask[:, : int(size * 0.5)].all()
+        assert (mask[:, -int(size * 0.2):] == 0).mean() > 0.9
+        # a larger margin pushes the boundary further into the ocean
+        mask3 = create_ocean_mask(shore, 3.0, str(tmp_path), gt,
+                                  'EPSG:32615', size, size)
+        assert mask3.sum() > mask.sum()
+
+
+class TestCoverage:
+    def test_full_and_missing(self, tmp_path):
+        import synthetic
+        from proteus_tpu.geo.coverage import check_ancillary_inputs
+        size = 64
+        dem = synthetic.make_dem(str(tmp_path), size=size)
+        lc = synthetic.make_landcover(str(tmp_path), size=size)
+        wc = synthetic.make_worldcover(str(tmp_path), size=size)
+        md = {}
+        check_ancillary_inputs(True, False, dem, lc, wc, None,
+                               synthetic.geotransform(), 'EPSG:32615',
+                               size, size, md)
+        assert md['DEM_COVERAGE'] == 'FULL'
+        assert md['LANDCOVER_COVERAGE'] == 'FULL'
+        assert md['WORLDCOVER_COVERAGE'] == 'FULL'
+        with pytest.raises(ValueError):
+            check_ancillary_inputs(True, False, None, lc, wc, None,
+                                   synthetic.geotransform(),
+                                   'EPSG:32615', size, size, {})
+        with pytest.raises(FileNotFoundError):
+            check_ancillary_inputs(True, False, '/no/such.tif', lc, wc,
+                                   None, synthetic.geotransform(),
+                                   'EPSG:32615', size, size, {})
+
+    def test_partial_coverage_error(self, tmp_path):
+        """A DEM that misses part of the tile must raise."""
+        from proteus_tpu.geo.coverage import check_ancillary_inputs
+        import synthetic
+        h = w = 50
+        gt = (-90.9, 0.004, 0.0, 30.6, 0.0, -0.004)  # covers a corner only
+        arr = np.zeros((h, w), np.float32)
+        dem = str(tmp_path / 'partial_dem.tif')
+        write_cog(dem, arr, geotransform=gt, epsg=4326,
+                  overview_levels=())
+        with pytest.raises(ValueError):
+            check_ancillary_inputs(True, False, dem, dem, dem, None,
+                                   synthetic.geotransform(),
+                                   'EPSG:32615', 360, 360, {})
