@@ -346,3 +346,44 @@ def write_cog(path, array, geotransform=None, epsg=None, nodata=None,
                 fh.seek(off)
                 fh.write(blob)
     return path
+
+
+def save_as_cog(filename, scratch_dir='.', logger=None,
+                flag_compress=True, ovr_resamp_algorithm=None):
+    """Rewrite an existing GeoTIFF in place as a cloud-optimized GeoTIFF.
+
+    Public API matching the reference save_as_cog (core.py:7-90): builds
+    overviews [4, 16, 64, 128] (NEAREST for integer data; area-average
+    stands in for CUBICSPLINE on floats), 512x512 DEFLATE tiles with the
+    dtype-matched predictor, then validates the result.
+    """
+    import logging as _logging
+
+    from proteus_tpu.io.tiff import TiffReader
+    from proteus_tpu.io.validate_cog import validate_cog
+
+    log = logger or _logging.getLogger('proteus')
+    log.info(f'saving file as COG: {filename}')
+    with TiffReader(filename) as r:
+        arr = r.read()
+        gt = r.geotransform()
+        epsg = r.epsg()
+        nodata = r.nodata()
+        metadata = r.metadata()
+        band_desc = r.band_descriptions()
+        cmap = r.color_map()
+    del scratch_dir, ovr_resamp_algorithm  # single-pass writer
+    tmp = filename + '.cog.tmp'
+    write_cog(tmp, arr, geotransform=gt, epsg=epsg, nodata=nodata,
+              metadata=metadata, band_descriptions=band_desc,
+              color_map=cmap, compress=flag_compress)
+    import os
+    os.replace(tmp, filename)
+    errors = validate_cog(filename)
+    if errors:
+        log.warning(f'    file "{filename}" is NOT a valid cloud'
+                    f' optimized GeoTIFF! ({errors[0]})')
+    else:
+        log.info(f'    file "{filename}" is a valid cloud optimized'
+                 ' GeoTIFF')
+    return filename

@@ -1,16 +1,23 @@
-"""Minimal HDF4-EOS reader for HLS v1 products.
+"""HDF4-EOS reader for HLS v1 products (plus a writer for self-tests).
 
 HLS v1 distributes all bands inside one HDF4-EOS file; the reference reads
-them through GDAL's HDF4_EOS subdataset driver (dswx_hls.py:2358). This
-module implements the small subset of HDF4 needed for HLS v1: the DD
-(data-descriptor) block chain, scientific data sets (SDS) with their
-dimension/numbertype records, per-SDS attributes, and file attributes
-(StructMetadata.0 for the grid geolocation).
+them through GDAL's HDF4_EOS driver (dswx_hls.py:2358). This module
+implements the HDF4 subset those products use, from the HDF 4.2
+specification:
 
-Status: format probing and the container walk are implemented; compressed
-SDS payload decoding (HLS v1 uses DEFLATE) is routed through zlib. If an
-HDF4 feature outside this subset is encountered, a clear error is raised
-naming the unsupported tag.
+- the DD (data-descriptor) chain;
+- Vgroups (DFTAG_VG) / Vdatas (DFTAG_VH/VS) — the SD API's annotation
+  layer: each SDS is a Vgroup of class 'Var0.0' whose name is the dataset
+  name, with 'Attr0.0' Vdatas carrying attributes; global attributes
+  (including the HDF-EOS 'StructMetadata.0' grid text) are top-level
+  'Attr0.0' Vdatas;
+- scientific data sets: NDG + SDD dimension records + NT number types;
+- special elements: SPECIAL_COMP (DEFLATE) and SPECIAL_CHUNKED with
+  per-chunk DEFLATE, the layout the HLS v1 production used.
+
+Caveat: this environment has no HDF4 tooling or sample HLS v1 granules,
+so the format handling is validated against this module's own writer and
+the published spec, not against real products yet.
 """
 
 import struct
@@ -20,25 +27,38 @@ import numpy as np
 
 HDF4_MAGIC = b'\x0e\x03\x13\x01'
 
-# HDF4 tags
-DFTAG_VERSION = 30
-DFTAG_NT = 106          # number type
-DFTAG_SD = 702          # scientific data
-DFTAG_SDD = 701         # scientific data dimension record
-DFTAG_NDG = 720         # numeric data group
-DFTAG_VH = 1962         # vdata header
-DFTAG_VS = 1963         # vdata
-DFTAG_VG = 1965         # vgroup
+DFTAG_NT = 106
+DFTAG_SD = 702
+DFTAG_SDD = 701
+DFTAG_NDG = 720
+DFTAG_VH = 1962
+DFTAG_VS = 1963
+DFTAG_VG = 1965
 DFTAG_COMPRESSED = 40
-DFTAG_CHUNKED = 61
-DFTAG_SPECIAL_CHUNKED = 1
+DFTAG_CHUNK = 61
+DFTAG_VERSION = 30
 
-# number types
+EXT_TAG_BIT = 0x4000
+
+SPECIAL_LINKED = 1
+SPECIAL_EXT = 2
+SPECIAL_COMP = 3
+SPECIAL_VLINKED = 4
+SPECIAL_CHUNKED = 5
+
+COMP_CODE_NONE = 0
+COMP_CODE_DEFLATE = 4
+
+# HDF4 number types -> (numpy dtype, DFNT code)
 _NT_DTYPES = {
-    3: np.uint8, 4: np.int8, 5: np.float32, 6: np.float64,
+    5: np.float32, 6: np.float64,
     20: np.int8, 21: np.uint8, 22: np.int16, 23: np.uint16,
-    24: np.int32, 25: np.uint32,
+    24: np.int32, 25: np.uint32, 3: np.uint8, 4: np.int8,
 }
+_DTYPE_NT = {np.dtype(np.float32): 5, np.dtype(np.float64): 6,
+             np.dtype(np.int8): 20, np.dtype(np.uint8): 21,
+             np.dtype(np.int16): 22, np.dtype(np.uint16): 23,
+             np.dtype(np.int32): 24, np.dtype(np.uint32): 25}
 
 
 def is_hdf4(path):
@@ -50,18 +70,31 @@ def is_hdf4(path):
 
 
 class Hdf4File:
-    """Walk the HDF4 DD chain and expose SDS arrays by name."""
+    """Parsed HDF4 container: SDS datasets by name + attributes."""
 
     def __init__(self, path):
         self.path = path
         self._fh = open(path, 'rb')
         if self._fh.read(4) != HDF4_MAGIC:
+            self._fh.close()
             raise ValueError(f'not an HDF4 file: {path}')
-        self._dds = []
+        self._dds = {}
         self._read_dd_chain()
+        self._vdatas = None
+        self._vgroups = None
+        self._sds = None
+        self._global_attrs = None
 
     def close(self):
         self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- container ----------------------------------------------------------
 
     def _read_dd_chain(self):
         offset = 4
@@ -72,74 +105,354 @@ class Hdf4File:
             for i in range(ndd):
                 tag, ref, off, length = struct.unpack(
                     '>HHII', raw[12 * i:12 * (i + 1)])
-                if tag != 0:
-                    self._dds.append((tag, ref, off, length))
+                if tag not in (0, 1):  # skip DFTAG_NULL / utility
+                    self._dds[(tag, ref)] = (off, length)
             offset = next_off
 
-    def _read(self, off, length):
-        self._fh.seek(off)
-        return self._fh.read(length)
+    def _read(self, tag, ref):
+        loc = self._dds.get((tag, ref))
+        if loc is None:
+            raise KeyError(f'missing HDF4 element (tag={tag}, ref={ref})')
+        self._fh.seek(loc[0])
+        return self._fh.read(loc[1])
 
-    def dd(self, tag, ref):
-        for t, r, off, length in self._dds:
-            if t == tag and r == ref:
-                return off, length
-        return None
+    # -- vdata / vgroup layer -------------------------------------------------
 
-    def list_sds(self):
-        """Return {name: (ref, shape, dtype)} for each SDS (via vdata/
-        vgroup names is complex; we use the NDG + SDD records)."""
+    def _parse_vdatas(self):
+        if self._vdatas is not None:
+            return self._vdatas
         out = {}
-        for tag, ref, off, length in self._dds:
-            if tag != DFTAG_NDG:
+        for (tag, ref) in self._dds:
+            if tag != DFTAG_VH:
                 continue
-            members = self._read(off, length)
-            sdd_ref = sd_ref = None
-            for i in range(len(members) // 4):
-                mtag, mref = struct.unpack('>HH', members[4 * i:4 * i + 4])
-                if mtag == DFTAG_SDD:
-                    sdd_ref = mref
-                elif mtag == DFTAG_SD:
-                    sd_ref = mref
-            if sdd_ref is None or sd_ref is None:
-                continue
-            shape, dtype = self._parse_sdd(sdd_ref)
-            out[(DFTAG_SD, sd_ref)] = (shape, dtype)
+            data = self._read(tag, ref)
+            p = 0
+
+            def u16():
+                nonlocal p
+                v = struct.unpack('>H', data[p:p + 2])[0]
+                p += 2
+                return v
+
+            def u32():
+                nonlocal p
+                v = struct.unpack('>I', data[p:p + 4])[0]
+                p += 4
+                return v
+
+            _interlace = u16()
+            nvert = u32()
+            ivsize = u16()
+            nfields = u16()
+            types = [u16() for _ in range(nfields)]
+            isizes = [u16() for _ in range(nfields)]
+            offsets = [u16() for _ in range(nfields)]
+            orders = [u16() for _ in range(nfields)]
+            fieldnames = []
+            for _ in range(nfields):
+                ln = u16()
+                fieldnames.append(data[p:p + ln].decode('latin-1'))
+                p += ln
+            ln = u16()
+            name = data[p:p + ln].decode('latin-1').rstrip('\0 ')
+            p += ln
+            ln = u16()
+            klass = data[p:p + ln].decode('latin-1').rstrip('\0 ')
+            out[ref] = {
+                'name': name, 'class': klass, 'nvert': nvert,
+                'ivsize': ivsize, 'types': types, 'orders': orders,
+                'isizes': isizes, 'offsets': offsets,
+                'fields': fieldnames,
+            }
+        self._vdatas = out
         return out
 
+    def _vdata_values(self, ref):
+        """Decode a single-field vdata into a numpy array or string."""
+        vh = self._parse_vdatas()[ref]
+        raw = self._read(DFTAG_VS, ref)
+        nt = vh['types'][0]
+        dtype = np.dtype(_NT_DTYPES[nt]).newbyteorder('>')
+        count = vh['nvert'] * vh['orders'][0]
+        if nt in (3, 4):  # UCHAR8 / CHAR8 -> string
+            return raw[:count].decode('latin-1').rstrip('\0')
+        return np.frombuffer(raw, dtype=dtype, count=count).astype(
+            dtype.newbyteorder('='))
+
+    def _parse_vgroups(self):
+        if self._vgroups is not None:
+            return self._vgroups
+        out = {}
+        for (tag, ref) in self._dds:
+            if tag != DFTAG_VG:
+                continue
+            data = self._read(tag, ref)
+            p = 0
+            nelt = struct.unpack('>H', data[p:p + 2])[0]
+            p += 2
+            tags = struct.unpack('>' + 'H' * nelt,
+                                 data[p:p + 2 * nelt])
+            p += 2 * nelt
+            refs = struct.unpack('>' + 'H' * nelt,
+                                 data[p:p + 2 * nelt])
+            p += 2 * nelt
+            ln = struct.unpack('>H', data[p:p + 2])[0]
+            p += 2
+            name = data[p:p + ln].decode('latin-1').rstrip('\0 ')
+            p += ln
+            ln = struct.unpack('>H', data[p:p + 2])[0]
+            p += 2
+            klass = data[p:p + ln].decode('latin-1').rstrip('\0 ')
+            out[ref] = {'name': name, 'class': klass,
+                        'members': list(zip(tags, refs))}
+        self._vgroups = out
+        return out
+
+    # -- SDS access -----------------------------------------------------------
+
     def _parse_sdd(self, sdd_ref):
-        loc = self.dd(DFTAG_SDD, sdd_ref)
-        if loc is None:
-            raise ValueError(f'missing SDD record {sdd_ref}')
-        data = self._read(*loc)
+        data = self._read(DFTAG_SDD, sdd_ref)
         rank = struct.unpack('>H', data[:2])[0]
         dims = struct.unpack('>' + 'I' * rank, data[2:2 + 4 * rank])
-        # number-type reference follows the dimension records
-        nt_ref = struct.unpack('>HH', data[2 + 4 * rank:6 + 4 * rank])[1]
-        nt_loc = self.dd(DFTAG_NT, nt_ref)
-        if nt_loc is None:
-            raise ValueError(f'missing NT record {nt_ref}')
-        nt = self._read(*nt_loc)
+        # NT references: one for the data, then one per dimension scale
+        nt_tag, nt_ref = struct.unpack('>HH',
+                                       data[2 + 4 * rank:6 + 4 * rank])
+        nt = self._read(DFTAG_NT, nt_ref)
         type_code = nt[1]
-        dtype = _NT_DTYPES.get(type_code)
-        if dtype is None:
+        if type_code not in _NT_DTYPES:
             raise ValueError(f'unsupported HDF4 number type {type_code}')
-        return dims, np.dtype(dtype).newbyteorder('>')
+        return dims, np.dtype(_NT_DTYPES[type_code])
+
+    def datasets(self):
+        """{name: (sd_ref, shape, dtype, attrs)} for every SDS."""
+        if self._sds is not None:
+            return self._sds
+        vgroups = self._parse_vgroups()
+        vdatas = self._parse_vdatas()
+        out = {}
+        for ref, vg in vgroups.items():
+            if vg['class'] != 'Var0.0':
+                continue
+            sd_ref = sdd_ref = None
+            attrs = {}
+            for mtag, mref in vg['members']:
+                if mtag == DFTAG_SD or mtag == (DFTAG_SD | EXT_TAG_BIT):
+                    sd_ref = mref
+                elif mtag == DFTAG_SDD:
+                    sdd_ref = mref
+                elif mtag == DFTAG_VH and mref in vdatas \
+                        and vdatas[mref]['class'] == 'Attr0.0':
+                    attrs[vdatas[mref]['name']] = self._vdata_values(mref)
+            if sd_ref is None or sdd_ref is None:
+                continue
+            shape, dtype = self._parse_sdd(sdd_ref)
+            out[vg['name']] = (sd_ref, shape, dtype, attrs)
+        self._sds = out
+        return out
+
+    def global_attributes(self):
+        """Top-level 'Attr0.0' vdatas not owned by any Var vgroup."""
+        if self._global_attrs is not None:
+            return self._global_attrs
+        vdatas = self._parse_vdatas()
+        owned = set()
+        for vg in self._parse_vgroups().values():
+            for mtag, mref in vg['members']:
+                if mtag == DFTAG_VH:
+                    owned.add(mref)
+        out = {}
+        for ref, vh in vdatas.items():
+            if vh['class'] == 'Attr0.0' and ref not in owned:
+                out[vh['name']] = self._vdata_values(ref)
+        self._global_attrs = out
+        return out
+
+    # -- data element decode ---------------------------------------------------
+
+    def _read_data_element(self, tag, ref, expected_size):
+        """Read a (possibly special) data element's bytes."""
+        if (tag | EXT_TAG_BIT, ref) in self._dds:
+            data = self._read(tag | EXT_TAG_BIT, ref)
+            return self._decode_special(data, expected_size)
+        return self._read(tag, ref)
+
+    def _decode_special(self, header, expected_size):
+        sp = struct.unpack('>h', header[:2])[0]
+        if sp == SPECIAL_COMP:
+            # [i16 sp][u16 version][i32 uncomp_len][u16 comp_ref]
+            # [u16 model_type][u16 comp_type][coder info]
+            _ver, _ulen, comp_ref, _model, comp_type = struct.unpack(
+                '>HiHHH', header[2:14])
+            payload = self._read(DFTAG_COMPRESSED, comp_ref)
+            if comp_type == COMP_CODE_DEFLATE:
+                return zlib.decompress(payload)
+            if comp_type == COMP_CODE_NONE:
+                return payload
+            raise ValueError(
+                f'unsupported HDF4 compression code {comp_type}')
+        if sp == SPECIAL_CHUNKED:
+            return self._decode_chunked(header, expected_size)
+        if sp == SPECIAL_LINKED:
+            # [i16 sp][i32 length][i32 blk_len][i32 num_blk][u16 link_ref]
+            _tot, _blk_len, _nblk, link_ref = struct.unpack(
+                '>iiiH', header[2:16])
+            return self._read_linked(link_ref, expected_size)
+        raise ValueError(f'unsupported HDF4 special element {sp}')
+
+    def _read_linked(self, link_ref, expected_size):
+        out = bytearray()
+        ref = link_ref
+        while ref and len(out) < expected_size:
+            block = self._read(DFTAG_LINKED := 20, ref)
+            nxt = struct.unpack('>H', block[:2])[0]
+            out += block[2:]
+            ref = nxt
+        return bytes(out[:expected_size])
+
+    def _decode_chunked(self, header, expected_size):
+        # [i16 sp][i32 head_len][u8 version][i32 flag][i32 elem_tot]
+        # [i32 chunk_size][i32 nt_size][u16 tbl_tag][u16 tbl_ref]
+        # [u16 sp_tag][u16 sp_ref][i32 ndims]{i32 flag,i32 dim,i32 chunk}*
+        p = 2
+        _head_len, version, flag, _tot, _chunk_size, nt_size = \
+            struct.unpack('>iBiiii', header[p:p + 21])
+        p += 21
+        tbl_tag, tbl_ref, _sp_tag, _sp_ref, ndims = struct.unpack(
+            '>HHHHi', header[p:p + 12])
+        p += 12
+        dims = []
+        chunk_dims = []
+        for _ in range(ndims):
+            _dflag, dim_len, chunk_len = struct.unpack(
+                '>iii', header[p:p + 12])
+            p += 12
+            dims.append(dim_len)
+            chunk_dims.append(chunk_len)
+
+        # chunk table vdata: fields origin[ndims] (int32), chk_tag, chk_ref
+        vh = self._parse_vdatas()[tbl_ref]
+        raw = self._read(DFTAG_VS, tbl_ref)
+        rec_size = vh['ivsize']
+        del version, flag
+        # assemble the padded chunk grid in raw bytes (last axis in bytes)
+        n_chunks = [int(np.ceil(d / c)) for d, c in zip(dims, chunk_dims)]
+        chunk_bytes = int(np.prod(chunk_dims)) * nt_size
+        grid_shape = [nc * cd for nc, cd in zip(n_chunks, chunk_dims)]
+        grid_shape[-1] *= nt_size
+        full = np.zeros(grid_shape, dtype=np.uint8)
+        for rec in range(vh['nvert']):
+            rec_raw = raw[rec * rec_size:(rec + 1) * rec_size]
+            origin = struct.unpack('>' + 'i' * ndims,
+                                   rec_raw[:4 * ndims])
+            chk_tag, chk_ref = struct.unpack(
+                '>HH', rec_raw[4 * ndims:4 * ndims + 4])
+            blob = self._read_data_element(chk_tag, chk_ref, chunk_bytes)
+            chunk = np.frombuffer(blob[:chunk_bytes], dtype=np.uint8)
+            chunk = chunk.reshape([*chunk_dims[:-1],
+                                   chunk_dims[-1] * nt_size])
+            slices = tuple(
+                slice(o * c, (o + 1) * c) for o, c in
+                zip(origin[:-1], chunk_dims[:-1])) + (
+                slice(origin[-1] * chunk_dims[-1] * nt_size,
+                      (origin[-1] + 1) * chunk_dims[-1] * nt_size),)
+            full[slices] = chunk
+        crop = tuple(slice(0, d) for d in dims[:-1]) + (
+            slice(0, dims[-1] * nt_size),)
+        return full[crop].tobytes()
+
+    def read_sds(self, name, window=None):
+        """Read an SDS by name; window=(row0, col0, h, w) for 2-D data."""
+        sd_ref, shape, dtype, _attrs = self.datasets()[name]
+        expected = int(np.prod(shape)) * dtype.itemsize
+        raw = self._read_data_element(DFTAG_SD, sd_ref, expected)
+        arr = np.frombuffer(raw[:expected],
+                            dtype=dtype.newbyteorder('>'))
+        arr = arr.reshape(shape).astype(dtype)
+        if window is not None and arr.ndim == 2:
+            r0, c0, h, w = window
+            arr = arr[r0:r0 + h, c0:c0 + w]
+        return arr
+
+
+def parse_struct_metadata(text):
+    """Parse the HDF-EOS StructMetadata.0 grid block: returns
+    (geotransform, utm_zone, (ydim, xdim)) or None."""
+    import re
+    ul = re.search(r'UpperLeftPointMtrs=\(([-\d.]+),([-\d.]+)\)', text)
+    lr = re.search(r'LowerRightMtrs=\(([-\d.]+),([-\d.]+)\)', text)
+    xd = re.search(r'XDim=(\d+)', text)
+    yd = re.search(r'YDim=(\d+)', text)
+    zone = re.search(r'ZoneCode=(-?\d+)', text)
+    if not (ul and lr and xd and yd):
+        return None
+    ulx, uly = float(ul.group(1)), float(ul.group(2))
+    lrx, lry = float(lr.group(1)), float(lr.group(2))
+    w, h = int(xd.group(1)), int(yd.group(1))
+    gt = (ulx, (lrx - ulx) / w, 0.0, uly, 0.0, (lry - uly) / h)
+    return gt, (int(zone.group(1)) if zone else None), (h, w)
 
 
 class Hdf4Raster:
-    """Raster adapter for one band of an HLS v1 HDF4 product.
-
-    The HLS v1 band layout (names, metadata) requires the vgroup/vdata
-    annotation layer; full support lands with the native HDF4 codec. Until
-    then this raises a descriptive error rather than mis-reading data.
-    """
+    """Raster adapter for one band of an HLS v1 HDF4-EOS product,
+    matching the interface proteus_tpu.io.hls expects."""
 
     def __init__(self, path, band_name):
-        if not is_hdf4(path):
-            raise ValueError(f'not an HDF4 file: {path}')
-        raise NotImplementedError(
-            f'HLS v1 (HDF4-EOS) ingest of band {band_name!r} is not yet '
-            'supported by proteus_tpu; provide HLS v2 per-band GeoTIFFs. '
-            '(HDF4 container walking is implemented in proteus_tpu.io.hdf4;'
-            ' the vdata annotation layer is pending.)')
+        self.f = Hdf4File(path)
+        datasets = self.f.datasets()
+        if band_name not in datasets:
+            self.f.close()
+            raise ValueError(
+                f'band {band_name!r} not found in {path}; available:'
+                f' {sorted(datasets)}')
+        self.band_name = band_name
+        _, self.shape, self.dtype, self.attrs = datasets[band_name]
+        self._meta = {k: (v if isinstance(v, str) else
+                          (float(v[0]) if np.ndim(v) and len(v) == 1
+                           else v))
+                      for k, v in self.f.global_attributes().items()}
+        self._struct = None
+        sm = self._meta.get('StructMetadata.0')
+        if isinstance(sm, str):
+            self._struct = parse_struct_metadata(sm)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.f.close()
+
+    def read(self, window=None):
+        return self.f.read_sds(self.band_name, window=window)
+
+    def nodata(self):
+        fv = self.attrs.get('_FillValue')
+        if fv is None:
+            return None
+        return float(fv[0]) if np.ndim(fv) else float(fv)
+
+    def metadata(self):
+        md = {}
+        for k, v in self._meta.items():
+            if k == 'StructMetadata.0':
+                continue
+            md[k] = v if isinstance(v, str) else str(
+                v[0] if np.ndim(v) and len(v) == 1 else v)
+        for k, v in self.attrs.items():
+            if k == '_FillValue':
+                md.setdefault('_FillValue', str(
+                    v[0] if np.ndim(v) else v))
+            elif k in ('scale_factor', 'add_offset'):
+                md[k] = str(float(v[0] if np.ndim(v) else v))
+        return md
+
+    def geotransform(self):
+        if self._struct:
+            return self._struct[0]
+        return (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+
+    def projection(self):
+        if self._struct and self._struct[1]:
+            from proteus_tpu.geo.crs import CRS
+            zone = self._struct[1]
+            return CRS.from_utm(abs(zone), zone > 0).to_wkt()
+        return ''

@@ -240,3 +240,39 @@ def write_runconfig(path, input_dir, output_dir, scratch_dir,
     with open(path, 'w') as fh:
         fh.write(text)
     return path
+
+
+def make_hls_v1_dataset(out_dir, size=360, seed=11, spacecraft='SENTINEL-2A',
+                        chunked=True):
+    """Write an HLS v1-style HDF4-EOS product (single file, all bands as
+    SDS datasets with HLS v1 naming)."""
+    from proteus_tpu.io.hdf4_writer import Hdf4Writer, make_struct_metadata
+    os.makedirs(out_dir, exist_ok=True)
+    bands = make_bands(size, seed)
+    v2_to_v1 = {'B02': 'band02', 'B03': 'band03', 'B04': 'band04',
+                'B8A': 'band8A', 'B11': 'band11', 'B12': 'band12',
+                'Fmask': 'QA'}
+    w = Hdf4Writer()
+    for key, value in HLS_METADATA.items():
+        if key in ('scale_factor', 'add_offset', '_FillValue'):
+            continue
+        w.add_global_attr(key, value)
+    w.add_global_attr('SPACECRAFT_NAME', spacecraft)
+    gt = geotransform()
+    w.add_global_attr('StructMetadata.0', make_struct_metadata(
+        gt[0], gt[3], gt[0] + size * gt[1], gt[3] + size * gt[5],
+        size, size, 15))
+    for v2name, arr in bands.items():
+        attrs = {}
+        if v2name == 'Fmask':
+            attrs['_FillValue'] = np.array([255], np.uint8)
+        else:
+            attrs['_FillValue'] = np.array([-9999], np.int16)
+            attrs['scale_factor'] = np.array([0.0001], np.float64)
+            attrs['add_offset'] = np.array([0.0], np.float64)
+        w.add_sds(v2_to_v1[v2name], arr, attrs=attrs, compress=True,
+                  chunked=chunked, chunk_dims=[128, 128])
+    path = os.path.join(out_dir,
+                        'HLS.S30.T15RYP.2021210.v1.4.hdf')
+    w.save(path)
+    return path, bands
