@@ -9,8 +9,6 @@ square + 4.9 km margin = 109.8 km).
 
 import re
 
-import numpy as np
-
 from proteus_tpu.geo.crs import utm_forward, utm_inverse
 
 _COL_LETTER_SETS = ['ABCDEFGH', 'JKLMNPQR', 'STUVWXYZ']

@@ -15,8 +15,6 @@ extern/validate_cloud_optimized_geotiff.py (invoked from core.py:76-90):
 Returns a list of error strings (empty = valid COG).
 """
 
-import numpy as np
-
 from proteus_tpu.io import codecs
 from proteus_tpu.io.tiff import (TiffReader, TAG_TILE_OFFSETS,
                                  TAG_TILE_BYTE_COUNTS)

@@ -12,8 +12,7 @@ mode) vmaps/shard_maps this same function.
 """
 
 import dataclasses
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

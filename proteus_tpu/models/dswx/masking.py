@@ -12,9 +12,6 @@ All stages are elementwise selects plus (in 'cover' mode) two short masked
 binary dilations; they fuse with the rest of the WTR chain under jit.
 """
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -23,18 +23,13 @@ stencil and stays on the jnp path (mask/ignore modes are the production
 default).
 """
 
-from functools import partial
-
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from proteus_tpu.core import constants as C
-from proteus_tpu.core.thresholds import ExactThresholds, HlsThresholds
-from proteus_tpu.models.dswx import masking
+from proteus_tpu.core.thresholds import ExactThresholds
 
 
 def _closed_form_interpret(t1, t2, t3, t4, t5):

@@ -12,7 +12,6 @@ compilation cache makes repeated CLI invocations reuse the compiled chain.
 
 import logging
 import os
-import tempfile
 
 import numpy as np
 
@@ -107,6 +106,18 @@ def generate_dswx_layers(input_list,
     """
     _enable_compilation_cache()
     timers = StageTimers()
+
+    # absorb the one-time device->host transfer setup (slow on tunneled
+    # TPUs) concurrently with ingest/warps instead of on the first layer
+    # fetch
+    import threading
+
+    def _prewarm():
+        try:
+            np.asarray(jnp.zeros((8, 128), jnp.uint8))
+        except Exception:  # noqa: BLE001
+            pass
+    threading.Thread(target=_prewarm, daemon=True).start()
 
     # ---- fill None parameters from the default runconfig -----------------
     params = dict(
@@ -419,17 +430,66 @@ def generate_dswx_layers(input_list,
         full = {k: kw.get(k) for k in ('ocean', 'shad', 'lc')}
         return chain_fn(b, g, r, n, s1, s2, fm, inv, **full)
 
+    # opt-in: the hand-fused Pallas kernel instead of the XLA chain
+    # (identical outputs; see proteus_tpu/ops/pallas/wtr_kernel.py)
+    use_pallas = bool(os.environ.get('PROTEUS_TPU_USE_PALLAS')) \
+        and p['mask_adjacent_to_cloud_mode'] != 'cover' \
+        and not flag_offset_and_scale_inputs \
+        and jax.devices()[0].platform == 'tpu'
+
+    def run_pallas():
+        from proteus_tpu.ops.pallas.wtr_kernel import make_wtr_kernel
+        kernel = make_wtr_kernel(
+            chain_config,
+            with_ocean=ocean_mask is not None,
+            with_shadow=shadow_layer is not None,
+            with_landcover=landcover_mask is not None,
+            compute_browse=output_browse_image is not None)
+        args = [jnp.asarray(a) for a in
+                (blue, green, red, nir, swir1, swir2, fmask,
+                 invalid_array)]
+        for extra in (ocean_mask, shadow_layer, landcover_mask):
+            if extra is not None:
+                args.append(jnp.asarray(extra))
+        out = jax.jit(lambda *a: kernel(*a))(*args)
+
+        @jax.jit
+        def stats(fm, inv, ocean):
+            valid = ~inv
+            if ocean is not None:
+                valid = valid & (ocean != 0)
+                n_not_ocean = jnp.sum((ocean != 0).astype(jnp.int32))
+            else:
+                n_not_ocean = jnp.asarray(valid.size, jnp.int32)
+            from proteus_tpu.models.dswx.masking import \
+                compute_preliminary_cloud_layer
+            prelim = compute_preliminary_cloud_layer(
+                fm, p['mask_adjacent_to_cloud_mode'])
+            return {'n_valid': jnp.sum(valid.astype(jnp.int32)),
+                    'n_cloud_and_valid': jnp.sum(
+                        ((prelim != 0) & valid).astype(jnp.int32)),
+                    'n_not_ocean': n_not_ocean}
+        out.update(stats(jnp.asarray(fmask), jnp.asarray(invalid_array),
+                         jnp.asarray(ocean_mask)
+                         if ocean_mask is not None else None))
+        return out
+
     jitted = jax.jit(chain_partial)
     logger.info('running the fused DSWx device chain'
-                f' on {jax.devices()[0].platform}')
+                f" on {jax.devices()[0].platform}"
+                f"{' (pallas kernel)' if use_pallas else ''}")
     with device_trace(os.environ.get('PROTEUS_TPU_TRACE_DIR')):
         with timers.stage('device chain (compile+run)'):
-            out = jitted(jnp.asarray(blue), jnp.asarray(green),
-                         jnp.asarray(red), jnp.asarray(nir),
-                         jnp.asarray(swir1), jnp.asarray(swir2),
-                         jnp.asarray(fmask), jnp.asarray(invalid_array),
-                         **{k: jnp.asarray(v) for k, v in
-                            present.items()})
+            if use_pallas:
+                out = run_pallas()
+            else:
+                out = jitted(jnp.asarray(blue), jnp.asarray(green),
+                             jnp.asarray(red), jnp.asarray(nir),
+                             jnp.asarray(swir1), jnp.asarray(swir2),
+                             jnp.asarray(fmask),
+                             jnp.asarray(invalid_array),
+                             **{k: jnp.asarray(v) for k, v in
+                                present.items()})
             out = jax.tree_util.tree_map(lambda x: x.block_until_ready(),
                                          out)
         with timers.stage('device->host transfer'):

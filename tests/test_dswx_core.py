@@ -257,3 +257,75 @@ class TestShadowAndLandcover:
             want = oracle.landcover_mask(cgls, wc3, mask_type, forest,
                                          year=2021)
             np.testing.assert_array_equal(got, want)
+
+
+class TestResample30m:
+    """BASELINE config 2: raw Sentinel-2 10 m / 20 m -> 30 m ingest."""
+
+    def test_10m_exact_mean(self):
+        from proteus_tpu.ops.resample import resample_to_30m
+        x = np.arange(36, dtype=np.int16).reshape(6, 6)
+        out = np.asarray(resample_to_30m(x, 10))
+        assert out.shape == (2, 2)
+        np.testing.assert_allclose(
+            out, x.reshape(2, 3, 2, 3).mean(axis=(1, 3)))
+
+    def test_20m_rational_resample(self):
+        from proteus_tpu.ops.resample import resample_to_30m
+        x = np.arange(16, dtype=np.float32).reshape(4, 4)
+        out = np.asarray(resample_to_30m(x, 20))
+        assert out.shape == (6, 6)
+        # total mass preserved by area weighting (each source pixel's
+        # 9 copies are pooled into 2x2 windows; mean of all outputs
+        # equals mean of inputs)
+        assert float(out.mean()) == pytest.approx(float(x.mean()))
+
+    def test_30m_identity(self):
+        from proteus_tpu.ops.resample import resample_to_30m
+        x = np.arange(9, dtype=np.int16).reshape(3, 3)
+        np.testing.assert_array_equal(np.asarray(resample_to_30m(x, 30)),
+                                      x)
+
+
+class TestScaledMode:
+    """flag_offset_and_scale_inputs=True: float32 reflectance path."""
+
+    def test_scaled_chain_close_to_oracle(self):
+        shape = (96, 96)
+        bands_i = clipped(random_bands(shape))
+        bands_f = [b.astype(np.float32) * np.float32(1e-4)
+                   for b in bands_i]
+        fmask = RNG.integers(0, 256, shape).astype(np.uint8)
+        invalid = np.zeros(shape, bool)
+        cfg = DswxChainConfig(apply_aerosol_class_remapping=False)
+        got = dswx_chain(*bands_f, fmask, invalid, cfg)
+        want = oracle.full_chain(*[b.astype(np.float64) for b in bands_f],
+                                 fmask, invalid, TDICT)
+        # float32 vs float64: only boundary-straddling pixels may differ
+        for layer in ('WTR', 'DIAG'):
+            frac = (np.asarray(got[layer]) != want[layer]).mean()
+            assert frac < 2e-3, (layer, frac)
+
+
+class TestCustomThresholds:
+    def test_threshold_propagation(self):
+        """Non-default thresholds flow through the exact-rational engine
+        and change the result in agreement with the oracle."""
+        t = HlsThresholds(wigt=0.2, pswt_1_nir=1200, awgt=0.05)
+        tdict = {k: getattr(t, k) for k in t.__dataclass_fields__}
+        bands = clipped(random_bands((64, 64)))
+        got = np.asarray(compute_diagnostic_tests(*bands, t))
+        want = oracle.diagnostic_tests(*bands, tdict)
+        np.testing.assert_array_equal(got, want)
+        default = np.asarray(compute_diagnostic_tests(
+            *bands, HlsThresholds()))
+        assert (got != default).any()
+
+    def test_irrational_threshold_falls_back_to_float(self):
+        import math
+        t = HlsThresholds(wigt=math.pi / 25)  # not an exact decimal
+        bands = clipped(random_bands((32, 32)))
+        got = np.asarray(compute_diagnostic_tests(*bands, t))
+        tdict = {k: getattr(t, k) for k in t.__dataclass_fields__}
+        want = oracle.diagnostic_tests(*bands, tdict)
+        assert (got != want).mean() < 1e-2  # float32 fallback tolerance
