@@ -24,3 +24,20 @@ Layer map (each module's docstring cites the reference behavior it matches):
 from proteus_tpu.version import VERSION
 
 __version__ = VERSION
+
+
+def generate_dswx_layers(*args, **kwargs):
+    """Library API (reference-compatible); see
+    proteus_tpu.runtime.orchestrator.generate_dswx_layers."""
+    from proteus_tpu.runtime.orchestrator import generate_dswx_layers as f
+    return f(*args, **kwargs)
+
+
+def compare_dswx_hls_products(*args, **kwargs):
+    from proteus_tpu.runtime.compare import compare_dswx_hls_products as f
+    return f(*args, **kwargs)
+
+
+def save_as_cog(*args, **kwargs):
+    from proteus_tpu.io.cog import save_as_cog as f
+    return f(*args, **kwargs)

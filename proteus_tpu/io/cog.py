@@ -13,6 +13,7 @@ area-average standing in for the reference's CUBICSPLINE on floats).
 Tile compression fans out over a thread pool (zlib releases the GIL).
 """
 
+import os
 import struct
 import xml.sax.saxutils
 from concurrent.futures import ThreadPoolExecutor
@@ -24,6 +25,14 @@ from proteus_tpu.version import VERSION
 
 DEFAULT_OVERVIEW_LEVELS = (4, 16, 64, 128)
 DEFAULT_TILE_SIZE = 512
+
+
+def _deflate_level():
+    """DEFLATE effort (1=fastest..9=smallest); default 6 like GDAL."""
+    try:
+        return int(os.environ.get('PROTEUS_TPU_DEFLATE_LEVEL', '6'))
+    except ValueError:
+        return 6
 SOFTWARE_TAG = f'proteus_tpu {VERSION}'
 
 _DTYPE_TO_SAMPLEFORMAT = {
@@ -135,7 +144,8 @@ class _IfdPlan:
                 # the native float predictor splits bytes big-endian;
                 # feed native-endian data (it handles the reordering)
                 pass
-            self.tile_blobs = native.deflate_tiles(block, self.predictor)
+            self.tile_blobs = native.deflate_tiles(
+                block, self.predictor, level=_deflate_level())
             return
 
         def make_tile(ty, tx):
@@ -152,7 +162,8 @@ class _IfdPlan:
                                            dtype.itemsize)
             else:
                 raw = block.tobytes()
-            return codecs.deflate_encode(raw) if self.compress else raw
+            return codecs.deflate_encode(raw, _deflate_level()) \
+                if self.compress else raw
 
         jobs = [(ty, tx) for ty in range(self.tiles_down)
                 for tx in range(self.tiles_across)]

@@ -139,3 +139,41 @@ def test_stage_timers_logged(dataset, tmp_path, caplog):
     text = '\n'.join(r.message for r in caplog.records)
     assert 'stage timing breakdown' in text
     assert 'device chain' in text
+
+
+def test_validate_cog_cli(dataset, tmp_path, capsys):
+    from proteus_tpu.cli.validate_cog import main as vmain
+    root, files, _, anc = dataset
+    assert vmain([files[0]]) == 0
+    bad = str(tmp_path / 'bad.tif')
+    open(bad, 'wb').write(b'not a tiff at all')
+    assert vmain([bad]) == 1
+
+
+def test_full_log_format(tmp_path):
+    import logging
+    from proteus_tpu.runtime.logging_util import create_logger
+    logf = str(tmp_path / 'x.log')
+    lg = create_logger(logf, full_log_formatting=True,
+                       capture_std_streams=False)
+    lg.info('hello world')
+    for h in list(lg.handlers):
+        h.flush()
+        lg.removeHandler(h)
+    text = open(logf).read()
+    assert 'DSWx-HLS' in text and '999999' in text and 'hello world' in text
+
+
+def test_stream_to_logger():
+    import logging
+    from proteus_tpu.runtime.logging_util import StreamToLogger
+    records = []
+
+    class L:
+        def log(self, level, msg):
+            records.append(msg)
+    s = StreamToLogger(L(), logging.INFO, prefix='[P] ')
+    s.write('partial')
+    s.write(' line\nsecond\n')
+    s.flush()
+    assert records == ['[P] partial line', '[P] second']

@@ -329,3 +329,37 @@ class TestCustomThresholds:
         tdict = {k: getattr(t, k) for k in t.__dataclass_fields__}
         want = oracle.diagnostic_tests(*bands, tdict)
         assert (got != want).mean() < 1e-2  # float32 fallback tolerance
+
+
+class TestOtsuParity:
+    def test_otsu_matches_numpy_histogram_semantics(self):
+        """Device Otsu equals a NumPy re-derivation of the reference
+        algorithm (256 bins over [min,max], argmax inter-class var)."""
+        x = (RNG.normal(120, 40, (128, 128)) +
+             80 * (RNG.random((128, 128)) > 0.6)).astype(np.float32)
+        hist, edges = np.histogram(x, bins=256)
+        mids = 0.5 * (edges[:-1] + edges[1:])
+        w1 = np.cumsum(hist)
+        w2 = np.cumsum(hist[::-1])[::-1]
+        with np.errstate(invalid='ignore', divide='ignore'):
+            m1 = np.cumsum(hist * mids) / w1
+            m2 = (np.cumsum((hist * mids)[::-1]) / w2[::-1])[::-1]
+            icv = w1[:-1] * w2[1:] * (m1[:-1] - m2[1:]) ** 2
+        thr = mids[:-1][np.nanargmax(icv)]
+        want = x > thr
+        from proteus_tpu.ops.otsu import otsu_binarize
+        got = np.asarray(otsu_binarize(x))
+        assert (got != want).mean() < 1e-3  # f32 binning edge pixels only
+
+
+class TestMorphologyDisk:
+    def test_dilate_disk_matches_scipy_edt(self):
+        from scipy.ndimage import distance_transform_edt
+        from proteus_tpu.ops.morphology import dilate_disk
+        x = np.zeros((48, 48), bool)
+        x[20, 20] = True
+        x[5, 40] = True
+        r = 6.0
+        got = np.asarray(dilate_disk(x, r))
+        want = distance_transform_edt(~x) <= r
+        np.testing.assert_array_equal(got, want)
