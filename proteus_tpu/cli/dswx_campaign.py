@@ -46,6 +46,22 @@ def get_parser():
     parser.add_argument('--mask-adjacent-to-cloud-mode', type=str,
                         choices=['mask', 'ignore', 'cover'],
                         default='mask')
+    parser.add_argument('--dem', dest='dem_file', type=str,
+                        help='Shared DEM covering all tiles (enables the '
+                             'SHAD + DEM layers)')
+    parser.add_argument('-c', '--landcover', dest='landcover_file',
+                        type=str, help='Shared CGLS landcover file')
+    parser.add_argument('-w', '--worldcover', dest='worldcover_file',
+                        type=str, help='Shared ESA WorldCover file')
+    parser.add_argument('-s', '--shoreline',
+                        dest='shoreline_shapefile', type=str,
+                        help='GSHHS shoreline shapefile (enables ocean '
+                             'masking)')
+    parser.add_argument('--ocean-masking-distance-km', type=float,
+                        default=1.0)
+    parser.add_argument('--browse', dest='save_browse',
+                        action='store_true', default=False,
+                        help='Also produce browse GeoTIFF + PNG per tile')
     parser.add_argument('--debug', dest='flag_debug',
                         action='store_true', default=False,
                         help='Read only 1000x1000 windows')
@@ -77,7 +93,12 @@ def main(argv=None):
         tile_id = os.path.basename(os.path.normpath(d))
         jobs.append(TileJob(
             tile_id, files, os.path.join(args.output_dir, tile_id),
-            product_id=tile_id, product_version=args.product_version))
+            product_id=tile_id, product_version=args.product_version,
+            dem_file=args.dem_file, landcover_file=args.landcover_file,
+            worldcover_file=args.worldcover_file,
+            shoreline_shapefile=args.shoreline_shapefile,
+            ocean_masking_shoreline_distance_km=
+            args.ocean_masking_distance_km))
 
     manifest = args.manifest or os.path.join(args.output_dir,
                                              'campaign_manifest.json')
@@ -90,7 +111,8 @@ def main(argv=None):
                             max_retries=args.max_retries,
                             reader_threads=args.reader_threads,
                             writer_threads=args.writer_threads,
-                            flag_debug=args.flag_debug)
+                            flag_debug=args.flag_debug,
+                            save_browse=args.save_browse)
     stats = runner.run(jobs)
     logger.info(f'campaign complete: {stats}')
     if stats['tiles_failed']:

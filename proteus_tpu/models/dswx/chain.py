@@ -40,6 +40,12 @@ class DswxChainConfig:
         (224, 192, 160, 128, 96)
     aerosol_psw_aggressive_fmask_values: Tuple[int, ...] = \
         (224, 192, 160, 128, 96)
+    # ancillary-stage parameters (used by the terrain-shadow and LAND
+    # builders, not by the per-pixel chain itself)
+    min_slope_angle: float = -5.0
+    max_sun_local_inc_angle: float = 40.0
+    forest_mask_landcover_classes: Tuple[int, ...] = \
+        (20, 50, 111, 113, 115, 116, 121, 123, 125, 126)
     # browse options
     exclude_psw_aggressive_in_browse: bool = True
     not_water_in_browse: str = 'white'

@@ -40,20 +40,29 @@ logger = logging.getLogger('dswx_hls')
 
 
 def make_campaign_step(config: DswxChainConfig, mesh,
-                       compute_browse=False):
+                       compute_browse=False, with_ocean=False,
+                       with_shadow=False, with_landcover=False):
     """Build the sharded multi-tile step.
 
     The returned function maps batched [B, H, W] band/fmask/invalid arrays
-    (B sharded over the mesh's tile axis) to per-tile output layers (same
-    sharding) plus replicated campaign totals (psum over ICI).
+    (plus optional ocean/shadow/landcover mask batches, B sharded over the
+    mesh's tile axis) to per-tile output layers (same sharding) plus
+    replicated campaign totals (psum over ICI).
     """
+    n_extra = int(with_ocean) + int(with_shadow) + int(with_landcover)
 
-    def per_tile(b, g, r, n, s1, s2, fm, inv):
+    def per_tile(b, g, r, n, s1, s2, fm, inv, *extras):
+        it = iter(extras)
+        ocean = next(it) if with_ocean else None
+        shadow = next(it) if with_shadow else None
+        lc = next(it) if with_landcover else None
         return dswx_chain(b, g, r, n, s1, s2, fm, inv, config,
+                          ocean_mask=ocean, shadow_layer=shadow,
+                          landcover_mask=lc,
                           compute_browse=compute_browse)
 
-    def local_step(b, g, r, n, s1, s2, fm, inv):
-        out = jax.vmap(per_tile)(b, g, r, n, s1, s2, fm, inv)
+    def local_step(b, g, r, n, s1, s2, fm, inv, *extras):
+        out = jax.vmap(per_tile)(b, g, r, n, s1, s2, fm, inv, *extras)
         # int32 is safe per batch (<= local_tiles * 13.4M counts); the
         # runner re-accumulates across batches in Python integers
         totals = {
@@ -78,7 +87,7 @@ def make_campaign_step(config: DswxChainConfig, mesh,
                     'n_tiles_total': P()}
 
     sharded = shard_map(local_step, mesh=mesh,
-                        in_specs=(spec,) * 8,
+                        in_specs=(spec,) * (8 + n_extra),
                         out_specs=(layer_specs, totals_specs))
     return jax.jit(sharded)
 
@@ -200,49 +209,177 @@ class CampaignManifest:
 
 
 class TileJob:
-    """One campaign work item: HLS band files -> output layer files."""
+    """One campaign work item: HLS band files (+ optional ancillaries)
+    -> output layer files."""
 
     def __init__(self, tile_id, input_files, output_dir,
-                 product_id='dswx_hls', product_version='0.1'):
+                 product_id='dswx_hls', product_version='0.1',
+                 dem_file=None, landcover_file=None, worldcover_file=None,
+                 shoreline_shapefile=None,
+                 ocean_masking_shoreline_distance_km=1.0):
         self.tile_id = tile_id
         self.input_files = input_files
         self.output_dir = output_dir
         self.product_id = product_id
         self.product_version = product_version
+        self.dem_file = dem_file
+        self.landcover_file = landcover_file
+        self.worldcover_file = worldcover_file
+        self.shoreline_shapefile = shoreline_shapefile
+        self.ocean_masking_shoreline_distance_km = \
+            ocean_masking_shoreline_distance_km
 
 
-def _read_tile(job, flag_debug=False):
-    """Decode one tile's bands on host (runs in the reader pool)."""
+def _read_tile(job, flag_debug=False, config=None):
+    """Decode one tile's bands + prepare its ancillary masks (runs in the
+    reader pool, overlapping the device step of the previous batch)."""
     from proteus_tpu.io import hls as hls_io
     image_dict = {}
+    metadata = {}
     ok = hls_io.load_hls_product_v2(job.input_files, image_dict, {}, {},
-                                    {'SPACECRAFT_NAME': 'Sentinel-2A'},
-                                    False, flag_debug=flag_debug)
+                                    metadata, False,
+                                    flag_debug=flag_debug)
     if not ok:
         raise IOError(f'could not read tile {job.tile_id}')
+    image_dict['hls_metadata'] = metadata
+
+    gt = image_dict['geotransform']
+    proj = image_dict['projection']
+    length = image_dict['length']
+    width = image_dict['width']
+
+    if job.shoreline_shapefile:
+        from proteus_tpu.geo.polygon import create_ocean_mask
+        image_dict['ocean_mask'] = create_ocean_mask(
+            job.shoreline_shapefile,
+            job.ocean_masking_shoreline_distance_km, '.', gt, proj,
+            length, width)
+
+    if job.dem_file:
+        from proteus_tpu.geo.warp import warp_to_grid_device
+        from proteus_tpu.models.dswx.shadow import \
+            compute_opera_shadow_layer
+        from proteus_tpu.runtime.orchestrator import _mean_angle
+        az = _mean_angle(metadata.get('MEAN_SUN_AZIMUTH_ANGLE', '0'))
+        zen = _mean_angle(metadata.get('MEAN_SUN_ZENITH_ANGLE', '0'))
+        min_slope = (config.min_slope_angle
+                     if config is not None else -5.0)
+        max_inc = (config.max_sun_local_inc_angle
+                   if config is not None else 40.0)
+        m = C.DEM_MARGIN_IN_PIXELS
+        dem_m = warp_to_grid_device(job.dem_file, gt, proj, length,
+                                    width, resample_algorithm='cubic',
+                                    margin_in_pixels=m)
+        shad = compute_opera_shadow_layer(dem_m, az, 90.0 - zen,
+                                          min_slope, max_inc)
+        image_dict['shadow_layer'] = np.asarray(
+            shad[m:-m, m:-m]).astype(np.uint8)
+        image_dict['dem'] = np.asarray(dem_m[m:-m, m:-m])
+
+    if job.landcover_file and job.worldcover_file:
+        from proteus_tpu.geo.warp import (warp_to_grid_device,
+                                          worldcover_year_of)
+        from proteus_tpu.models.dswx.landcover import \
+            create_landcover_mask_arrays
+        cgls = warp_to_grid_device(job.landcover_file, gt, proj, length,
+                                   width, resample_algorithm='nearest')
+        gt3 = (gt[0], gt[1] / 3, 0.0, gt[3], 0.0, gt[5] / 3)
+        wc3 = warp_to_grid_device(job.worldcover_file, gt3, proj,
+                                  3 * length, 3 * width,
+                                  resample_algorithm='nearest')
+        year = worldcover_year_of(job.worldcover_file)
+        forest = (config.forest_mask_landcover_classes
+                  if config is not None else
+                  (20, 50, 111, 113, 115, 116, 121, 123, 125, 126))
+        image_dict['landcover_mask'] = np.asarray(
+            create_landcover_mask_arrays(
+                cgls, wc3, C.LANDCOVER_MASK_TYPE, forest,
+                worldcover_year=year)).astype(np.uint8)
     return image_dict
 
 
-def _write_tile(job, layers, geotransform, projection, metadata):
+def _write_tile(job, layers, image_dict, metadata):
+    """Write all available layers (+ browse) for one tile."""
+    from proteus_tpu.runtime import ctables
     from proteus_tpu.runtime import product_writer as pw
+    from proteus_tpu.io.png import geotiff2png
+    geotransform = image_dict['geotransform']
+    projection = image_dict['projection']
     os.makedirs(job.output_dir, exist_ok=True)
     saved = []
-    names = {'WTR': 'B01_WTR', 'BWTR': 'B02_BWTR', 'CONF': 'B03_CONF',
-             'DIAG': 'B04_DIAG', 'WTR-1': 'B05_WTR-1',
-             'WTR-2': 'B06_WTR-2', 'CLOUD': 'B09_CLOUD'}
-    for layer, tag in names.items():
-        path = os.path.join(
+
+    def path_for(nn, layer):
+        return os.path.join(
             job.output_dir,
-            f'{job.product_id}_v{job.product_version}_{tag}.tif')
+            f'{job.product_id}_v{job.product_version}_B{nn:02}'
+            f'_{layer}.tif')
+
+    order = [('WTR', 1), ('BWTR', 2), ('CONF', 3), ('DIAG', 4),
+             ('WTR-1', 5), ('WTR-2', 6), ('CLOUD', 9)]
+    for layer, nn in order:
+        path = path_for(nn, layer)
         if layer in ('WTR', 'WTR-1', 'WTR-2'):
             pw.save_dswx_product(layers[layer], layer, path, metadata,
                                  geotransform, projection)
-        else:
-            no_data = (C.DIAGNOSTIC_LAYER_NO_DATA_BINARY_REPR
-                       if layer == 'DIAG' else C.UINT8_FILL_VALUE)
+        elif layer == 'CLOUD':
+            pw.save_cloud_layer(layers[layer], path, metadata,
+                                geotransform, projection,
+                                description=C.BAND_DESCRIPTION_DICT[
+                                    'CLOUD'])
+        elif layer == 'BWTR':
+            pw.save_binary_water(layers[layer], path, metadata,
+                                 geotransform, projection,
+                                 description=C.BAND_DESCRIPTION_DICT[
+                                     'BWTR'])
+        elif layer == 'CONF':
             pw.save_array(layers[layer], path, metadata, geotransform,
-                          projection, no_data_value=no_data)
+                          projection,
+                          description=C.BAND_DESCRIPTION_DICT['CONF'],
+                          ctable=ctables.get_confidence_layer_ctable(),
+                          no_data_value=C.UINT8_FILL_VALUE)
+        else:
+            pw.save_array(layers[layer], path, metadata, geotransform,
+                          projection,
+                          description=C.BAND_DESCRIPTION_DICT['DIAG'],
+                          no_data_value=
+                          C.DIAGNOSTIC_LAYER_NO_DATA_BINARY_REPR)
         saved.append(path)
+
+    if 'landcover_mask' in image_dict:
+        path = path_for(7, 'LAND')
+        pw.save_array(image_dict['landcover_mask'], path, metadata,
+                      geotransform, projection,
+                      description=C.BAND_DESCRIPTION_DICT['LAND'],
+                      ctable=ctables.get_landcover_mask_ctable(),
+                      no_data_value=C.UINT8_FILL_VALUE)
+        saved.append(path)
+    if 'shadow_layer' in image_dict:
+        path = path_for(8, 'SHAD')
+        pw.save_array(image_dict['shadow_layer'], path, metadata,
+                      geotransform, projection,
+                      description=C.BAND_DESCRIPTION_DICT['SHAD'],
+                      ctable=ctables.get_binary_mask_ctable())
+        saved.append(path)
+    if 'dem' in image_dict:
+        path = path_for(10, 'DEM')
+        pw.save_array(image_dict['dem'], path, metadata, geotransform,
+                      projection,
+                      description=C.BAND_DESCRIPTION_DICT['DEM'],
+                      no_data_value=float('nan'))
+        saved.append(path)
+
+    if 'BROWSE' in layers:
+        browse_tif = os.path.join(
+            job.output_dir,
+            f'{job.product_id}_v{job.product_version}_BROWSE.tif')
+        browse_png = browse_tif.replace('.tif', '.png')
+        ct = ctables.get_browse_ctable()
+        pw.save_array(layers['BROWSE'], browse_tif, metadata,
+                      geotransform, projection, ctable=ct,
+                      no_data_value=C.UINT8_FILL_VALUE)
+        geotiff2png(browse_tif, browse_png, output_height=1024,
+                    output_width=1024, rgba_ctable=ct)
+        saved += [browse_tif, browse_png]
     return saved
 
 
@@ -257,16 +394,41 @@ class CampaignRunner:
 
     def __init__(self, config: DswxChainConfig = None, mesh=None,
                  manifest_path=None, max_retries=2, reader_threads=8,
-                 writer_threads=8, flag_debug=False):
+                 writer_threads=8, flag_debug=False, save_browse=False,
+                 processing_params=None):
         self.config = config or DswxChainConfig()
         self.mesh = mesh or make_tile_mesh()
         self.manifest = CampaignManifest(manifest_path)
         self.max_retries = max_retries
         self.flag_debug = flag_debug
-        self._step = make_campaign_step(self.config, self.mesh)
+        self.save_browse = save_browse
+        self.processing_params = processing_params or {}
+        self._steps = {}  # keyed by (ocean, shadow, landcover) presence
         self._readers = ThreadPoolExecutor(reader_threads)
         self._writers = ThreadPoolExecutor(writer_threads)
         self.batch_size = len(self.mesh.devices.flat)
+
+    def _step_for(self, with_ocean, with_shadow, with_landcover):
+        key = (with_ocean, with_shadow, with_landcover)
+        if key not in self._steps:
+            self._steps[key] = make_campaign_step(
+                self.config, self.mesh, compute_browse=self.save_browse,
+                with_ocean=with_ocean, with_shadow=with_shadow,
+                with_landcover=with_landcover)
+        return self._steps[key]
+
+    def _tile_metadata(self, job, image_dict):
+        """Per-tile product metadata from the tile's HLS attributes."""
+        from proteus_tpu.runtime import metadata as md_util
+        md = md_util.get_dswx_metadata_dict(job.product_id,
+                                            job.product_version)
+        md.update(image_dict.get('hls_metadata', {}))
+        md_util.populate_dswx_metadata_datasets(
+            md, image_dict.get('hls_dataset_name', job.tile_id),
+            dem_file=job.dem_file, landcover_file=job.landcover_file,
+            worldcover_file=job.worldcover_file,
+            shoreline_shapefile=job.shoreline_shapefile)
+        return md
 
     def run(self, jobs, metadata=None):
         """Process all jobs; returns campaign statistics."""
@@ -289,7 +451,8 @@ class CampaignRunner:
 
         def submit(batch):
             return [(j, self._readers.submit(_read_tile, j,
-                                             self.flag_debug))
+                                             self.flag_debug,
+                                             self.config))
                     for j in batch]
 
         # prefetch the first batch; retries may append batches mid-flight
@@ -329,17 +492,18 @@ class CampaignRunner:
             stats['n_cloud_and_valid_total'] += int(
                 totals['n_cloud_and_valid_total'])
 
+            layer_names = ['WTR', 'BWTR', 'CONF', 'DIAG', 'WTR-1',
+                           'WTR-2', 'CLOUD']
+            if self.save_browse:
+                layer_names.append('BROWSE')
             for k, (job, image_dict) in enumerate(loaded):
                 layers = {name: np.asarray(out[name][k])
-                          for name in ('WTR', 'BWTR', 'CONF', 'DIAG',
-                                       'WTR-1', 'WTR-2', 'CLOUD')}
-                md = dict(metadata or {})
-                md['PRODUCT_ID'] = job.product_id
+                          for name in layer_names}
+                md = self._tile_metadata(job, image_dict)
+                md.update(metadata or {})
                 write_futures.append(
                     (job, self._writers.submit(
-                        _write_tile, job, layers,
-                        image_dict['geotransform'],
-                        image_dict['projection'], md)))
+                        _write_tile, job, layers, image_dict, md)))
 
         for job, fut in write_futures:
             try:
@@ -375,7 +539,22 @@ class CampaignRunner:
         # campaign statistics
         args.append(jax.device_put(
             stack('invalid_ind_array', bool, pad_value=True), sharding))
-        out, totals = self._step(*args)
+        d0 = loaded[0][1]
+        with_ocean = 'ocean_mask' in d0
+        with_shadow = 'shadow_layer' in d0
+        with_landcover = 'landcover_mask' in d0
+        if with_ocean:
+            args.append(jax.device_put(
+                stack('ocean_mask', np.uint8, pad_value=1), sharding))
+        if with_shadow:
+            args.append(jax.device_put(
+                stack('shadow_layer', np.uint8, pad_value=1), sharding))
+        if with_landcover:
+            args.append(jax.device_put(
+                stack('landcover_mask', np.uint8, pad_value=255),
+                sharding))
+        step = self._step_for(with_ocean, with_shadow, with_landcover)
+        out, totals = step(*args)
         out = jax.device_get(out)
         totals = jax.device_get(totals)
         del n

@@ -169,3 +169,44 @@ def test_campaign_cli(tmp_path):
         produced = glob.glob(os.path.join(out, f'tile_{t}', '*.tif'))
         assert len(produced) == 7
     assert os.path.isfile(os.path.join(out, 'campaign_manifest.json'))
+
+
+def test_campaign_full_product_with_ancillaries(tmp_path):
+    """Campaign runner with DEM/landcover/ocean ancillaries + browse:
+    all 10 layers and browse per tile, metadata from the tile's HLS
+    attributes."""
+    from proteus_tpu.cli.dswx_campaign import main as campaign_main
+    root = tmp_path
+    dirs = []
+    for t in range(3):
+        d = str(root / f'tile_{t}')
+        synthetic.make_hls_v2_dataset(d, size=96, seed=500 + t)
+        dirs.append(d)
+    dem = synthetic.make_dem(str(root), size=96)
+    lc = synthetic.make_landcover(str(root), size=96)
+    wc = synthetic.make_worldcover(str(root), size=96)
+    shore = synthetic.make_shoreline(str(root), size=96)
+    out = str(root / 'out')
+    campaign_main(dirs + ['-o', out, '--dem', dem, '--landcover', lc,
+                          '--worldcover', wc, '--shoreline', shore,
+                          '--browse',
+                          '--ocean-masking-distance-km', '0.3'])
+    for t in range(3):
+        tdir = os.path.join(out, f'tile_{t}')
+        tifs = sorted(os.path.basename(f)
+                      for f in glob.glob(os.path.join(tdir, '*.tif')))
+        layers = {n.split('_')[-1].replace('.tif', '') for n in tifs}
+        assert layers >= {'WTR', 'BWTR', 'CONF', 'DIAG', 'WTR-1',
+                          'WTR-2', 'LAND', 'SHAD', 'CLOUD', 'DEM',
+                          'BROWSE'}, layers
+        assert glob.glob(os.path.join(tdir, '*_BROWSE.png'))
+        with TiffReader(glob.glob(os.path.join(tdir, '*_B01_WTR.tif'))[0]) \
+                as r:
+            md = r.metadata()
+            wtr = r.read()
+        assert md['SPACECRAFT_NAME'] == 'Sentinel-2A'
+        assert md['SENSOR'] == 'MSI'
+        # ocean masked on the east side (excluding the fill wedge and
+        # the 0.3 km shoreline margin)
+        east = wtr[:60, -5:]
+        assert (east == 254).mean() > 0.9, east
