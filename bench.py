@@ -12,6 +12,7 @@ reference's single-process NumPy execution model).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -21,7 +22,8 @@ import numpy as np
 def main():
     import jax
 
-    sys.path.insert(0, 'tests')
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'tests'))
     import oracle
 
     from proteus_tpu.core.thresholds import HlsThresholds

@@ -38,7 +38,16 @@ def _str_metadata(md):
 
 
 def _finish(output_file, output_files_list):
-    errors = validate_cog(output_file)
+    # write-time validation effort: 'full' re-decompresses every tile
+    # (reference behavior: --full-check=yes), 'fast' checks structure
+    # only, 'off' skips
+    mode = os.environ.get('PROTEUS_TPU_COG_VALIDATE', 'full').lower()
+    if mode == 'off':
+        if output_files_list is not None:
+            output_files_list.append(output_file)
+        logger.info(f'file saved: {output_file}')
+        return
+    errors = validate_cog(output_file, full_check=(mode != 'fast'))
     if errors:
         logger.warning(f'    file "{output_file}" is NOT a valid cloud'
                        f' optimized GeoTIFF! ({errors[0]})')
