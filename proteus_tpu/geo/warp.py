@@ -26,8 +26,10 @@ from proteus_tpu.io.tiff import TiffReader
 
 logger = logging.getLogger('dswx_hls')
 
+# supported resampling kernels and their tap radii (the reference only
+# uses 'nearest' and 'cubic'; 'cubicspline' maps to cubic convolution)
 _KERNEL_RADIUS = {'nearest': 0, 'bilinear': 1, 'cubic': 2,
-                  'cubicspline': 2, 'average': 1, 'sum': 1}
+                  'cubicspline': 2}
 
 
 def _cubic_weights(t):

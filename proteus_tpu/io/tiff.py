@@ -394,6 +394,7 @@ class TiffReader:
             tiles_down = (h + tl - 1) // tl
             planes = spp if planar == 2 else 1
             spp_block = 1 if planar == 2 else spp
+            jobs = []
             for plane in range(planes):
                 for ty in range(r0 // tl, (r0 + wh - 1) // tl + 1):
                     if ty >= tiles_down:
@@ -403,12 +404,32 @@ class TiffReader:
                             continue
                         idx = (plane * tiles_down * tiles_across
                                + ty * tiles_across + tx)
-                        block = self._read_block(ifd, offsets[idx],
-                                                 counts[idx], tl, tw,
-                                                 spp_block, dtype)
-                        self._blit(out, block, ty * tl, tx * tw, r0, c0,
-                                   wh, ww,
-                                   plane if planar == 2 else None)
+                        jobs.append((idx, ty, tx, plane))
+            # raw bytes serially (one file handle), decode in parallel
+            # (zlib / the native codec release the GIL)
+            raws = []
+            for idx, ty, tx, plane in jobs:
+                self._fh.seek(offsets[idx])
+                raws.append(self._fh.read(counts[idx]))
+
+            def decode(raw):
+                return self._decode_block(ifd, raw, tl, tw, spp_block,
+                                          dtype)
+
+            if len(jobs) >= 8:
+                from concurrent.futures import ThreadPoolExecutor
+                import os as _os
+                workers = min(8, _os.cpu_count() or 1)
+                if workers > 1:
+                    with ThreadPoolExecutor(workers) as pool:
+                        blocks = list(pool.map(decode, raws))
+                else:
+                    blocks = [decode(r) for r in raws]
+            else:
+                blocks = [decode(r) for r in raws]
+            for (idx, ty, tx, plane), block in zip(jobs, blocks):
+                self._blit(out, block, ty * tl, tx * tw, r0, c0, wh, ww,
+                           plane if planar == 2 else None)
         else:
             rps = int(ifd.scalar(TAG_ROWS_PER_STRIP, h))
             offsets = ifd.get(TAG_STRIP_OFFSETS)
@@ -436,9 +457,16 @@ class TiffReader:
     def _read_block(self, ifd, offset, count, rows, cols, spp, dtype):
         self._fh.seek(offset)
         raw = self._fh.read(count)
+        return self._decode_block(ifd, raw, rows, cols, spp, dtype)
+
+    def _decode_block(self, ifd, raw, rows, cols, spp, dtype):
         pred = ifd.predictor
         itemsize = dtype.itemsize
         expected = rows * cols * spp * itemsize
+        if not raw:
+            # sparse block (offset/count 0): implicit zeros (GDAL
+            # SPARSE_OK convention)
+            return np.zeros((rows, cols, spp), dtype=dtype)
         raw = codecs.decode_block(ifd.compression, raw, expected)
         if len(raw) < expected:
             raw = raw + b'\0' * (expected - len(raw))
@@ -452,7 +480,16 @@ class TiffReader:
                             dtype=dtype.newbyteorder(self.endian))
         arr = arr.reshape(rows, cols, spp)
         if pred == codecs.PREDICTOR_HORIZONTAL:
-            arr = codecs.unpredict_horizontal(arr, spp)
+            from proteus_tpu import native
+            if (self.endian == '<' and native.available()
+                    and itemsize in (1, 2, 4)):
+                import ctypes
+                arr = arr.copy()  # frombuffer views are read-only
+                native._load().tt_unpredict_h(
+                    arr.ctypes.data_as(ctypes.c_void_p),
+                    rows, cols, spp, itemsize)
+            else:
+                arr = codecs.unpredict_horizontal(arr, spp)
         if self.endian == '>':
             arr = arr.astype(dtype)
         return arr

@@ -363,3 +363,36 @@ class TestMorphologyDisk:
         got = np.asarray(dilate_disk(x, r))
         want = distance_transform_edt(~x) <= r
         np.testing.assert_array_equal(got, want)
+
+
+class TestHillshadeAnalytic:
+    def test_flat_dem_constant_hillshade(self):
+        from proteus_tpu.models.dswx.shadow import compute_hillshade
+        dem = np.full((32, 32), 500.0, np.float32)
+        hs = np.asarray(compute_hillshade(dem, 135.0, 45.0))
+        want = int(np.round(1.0 + 254.0 * np.sin(np.radians(45.0))))
+        assert (hs == want).all()
+
+    def test_sun_facing_slope_brighter(self):
+        from proteus_tpu.models.dswx.shadow import compute_hillshade
+        yy, xx = np.mgrid[0:64, 0:64]
+        # slope dipping to the east; sun from the east (az=90) lights it
+        dem_east = (-(xx.astype(np.float32)) * 10.0)
+        hs_lit = np.asarray(compute_hillshade(dem_east, 90.0, 30.0))
+        hs_dark = np.asarray(compute_hillshade(dem_east, 270.0, 30.0))
+        assert hs_lit[32, 32] > hs_dark[32, 32]
+
+    def test_flat_dem_shadow_depends_on_sun_elevation(self):
+        from proteus_tpu.models.dswx.shadow import \
+            compute_opera_shadow_layer
+        dem = np.full((32, 32), 100.0, np.float32)
+        # flat ground: local incidence angle == solar zenith angle
+        # zenith 30 (elev 60) <= max 40 -> "not shadow" mask True
+        shad = np.asarray(compute_opera_shadow_layer(dem, 100.0, 60.0,
+                                                     -5.0, 40.0))
+        assert shad.all()
+        # zenith 80 (elev 10) > 40 and directional slope 0 > min(-5):
+        # mask stays True through the backslope branch
+        shad2 = np.asarray(compute_opera_shadow_layer(dem, 100.0, 10.0,
+                                                      -5.0, 40.0))
+        assert shad2.all()

@@ -214,3 +214,11 @@ class TestCoverage:
             check_ancillary_inputs(True, False, dem, dem, dem, None,
                                    synthetic.geotransform(),
                                    'EPSG:32615', 360, 360, {})
+
+
+def test_unsupported_resample_algorithm_raises(latlon_source):
+    path, gt, arr = latlon_source
+    tile_gt = (700000.0, 30.0, 0.0, 3395100.0, 0.0, -30.0)
+    with pytest.raises((ValueError, KeyError)):
+        warp_to_grid(path, tile_gt, 'EPSG:32615', 64, 64,
+                     resample_algorithm='average')

@@ -132,3 +132,43 @@ class TestCogRoundtrip:
         write_cog(path, arr, epsg=4326, overview_levels=())
         with TiffReader(path) as r:
             assert r.epsg() == 4326
+
+
+def test_compare_handles_nan_rgb(tmp_path):
+    """float32 RGB products with NaN fill compare equal (equal_nan), and
+    differing pixels are detected."""
+    from proteus_tpu.runtime.compare import compare_dswx_hls_products
+    rgb = RNG.normal(0.1, 0.02, (64, 64, 3)).astype(np.float32)
+    rgb[:8, :8, :] = np.nan
+    a = str(tmp_path / 'a.tif')
+    b = str(tmp_path / 'b.tif')
+    write_cog(a, rgb, epsg=32615, overview_levels=())
+    write_cog(b, rgb, epsg=32615, overview_levels=())
+    assert compare_dswx_hls_products(a, b)
+    rgb2 = rgb.copy()
+    rgb2[30, 30, 1] += 0.5
+    c = str(tmp_path / 'c.tif')
+    write_cog(c, rgb2, epsg=32615, overview_levels=())
+    assert not compare_dswx_hls_products(a, c)
+
+
+def test_sparse_tiles_read_as_zeros(tmp_path):
+    """Blocks with zero offset/count (GDAL sparse files) decode as
+    zeros."""
+    import struct
+    from proteus_tpu.io.tiff import (TAG_TILE_OFFSETS,
+                                     TAG_TILE_BYTE_COUNTS)
+    arr = np.zeros((1024, 1024), np.uint8)
+    arr[:512, :512] = 7
+    path = str(tmp_path / 's.tif')
+    write_cog(path, arr, epsg=32615, overview_levels=(),
+              compress=False)
+    with TiffReader(path) as r:
+        # simulate sparseness by zeroing one tile's count in the parsed
+        # IFD and re-reading
+        counts = list(r.main.tags[TAG_TILE_BYTE_COUNTS])
+        counts[3] = 0
+        r.main.tags[TAG_TILE_BYTE_COUNTS] = tuple(counts)
+        got = r.read()
+    assert (got[:512, :512] == 7).all()
+    assert (got[512:, 512:] == 0).all()
