@@ -3,12 +3,15 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The metric is full-chain tiles/min at production size (3660 x 3660 int16
-bands -> DIAG/WTR-1/WTR-2/WTR/BWTR/CONF/CLOUD/BROWSE + coverage stats) on
-device. The baseline is the reference-equivalent NumPy float64
-implementation of the same chain (the reference publishes no numbers —
-BASELINE.md — so the baseline is self-measured on this host, matching the
-reference's single-process NumPy execution model).
+Methodology: K distinct full-chain evaluations (3660 x 3660 int16 bands ->
+all product layers) run inside ONE jit-compiled on-device fori_loop with a
+data dependency between iterations and a final scalar fetch — so the
+measurement cannot be fooled by async dispatch or relay acknowledgment
+(block_until_ready on tunneled devices can return before execution
+finishes; see BENCH_NOTES.md). The baseline is the reference-equivalent
+NumPy float64 implementation of the same chain on this host (the reference
+publishes no numbers — BASELINE.md — and its execution model is
+single-process NumPy).
 """
 
 import json
@@ -21,6 +24,7 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.abspath(__file__)), 'tests'))
@@ -47,24 +51,37 @@ def main():
     baseline_s = time.time() - t0
     baseline_tiles_per_min = 60.0 / baseline_s
 
-    # --- TPU fused chain ----------------------------------------------------
+    # --- device: K chained chains in one dispatch ---------------------------
     config = DswxChainConfig()
-    fn = jax.jit(lambda *a: dswx_chain(*a, config))
-    dev_args = [jax.device_put(a) for a in bands + [fmask, invalid]]
-    jax.block_until_ready(dev_args)
-    out = jax.block_until_ready(fn(*dev_args))  # compile
-    n_iter = 20
+    dev = [jax.device_put(a) for a in bands + [fmask, invalid]]
+    jax.block_until_ready(dev)
+    K = int(os.environ.get('PROTEUS_TPU_BENCH_ITERS', '4'))
+
+    def one(k, b, g, r, n, s1, s2, fm, inv):
+        out = dswx_chain(b + k.astype(jnp.int16), g, r, n, s1, s2, fm,
+                         inv, config)
+        return sum(jnp.sum(v.astype(jnp.int32)) for v in out.values()
+                   if hasattr(v, 'ndim') and v.ndim == 2)
+
+    @jax.jit
+    def loop(*a):
+        def body(k, acc):
+            return acc + one(k, *a)
+        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+
+    s = loop(*dev)
+    _ = int(s)  # compile + first run, forced by the scalar fetch
     t0 = time.time()
-    for _ in range(n_iter):
-        out = jax.block_until_ready(fn(*dev_args))
-    device_s = (time.time() - t0) / n_iter
+    s = loop(*dev)
+    _ = int(s)
+    device_s = (time.time() - t0) / K
     tiles_per_min = 60.0 / device_s
 
     print(json.dumps({
         'metric': 'full_chain_tiles_per_min_3660x3660',
-        'value': round(tiles_per_min, 1),
+        'value': round(tiles_per_min, 2),
         'unit': 'tiles/min',
-        'vs_baseline': round(tiles_per_min / baseline_tiles_per_min, 1),
+        'vs_baseline': round(tiles_per_min / baseline_tiles_per_min, 2),
     }))
 
 
