@@ -36,6 +36,7 @@ DFTAG_VS = 1963
 DFTAG_VG = 1965
 DFTAG_COMPRESSED = 40
 DFTAG_CHUNK = 61
+DFTAG_LINKED = 20
 DFTAG_VERSION = 30
 
 EXT_TAG_BIT = 0x4000
@@ -303,7 +304,7 @@ class Hdf4File:
         out = bytearray()
         ref = link_ref
         while ref and len(out) < expected_size:
-            block = self._read(DFTAG_LINKED := 20, ref)
+            block = self._read(DFTAG_LINKED, ref)
             nxt = struct.unpack('>H', block[:2])[0]
             out += block[2:]
             ref = nxt

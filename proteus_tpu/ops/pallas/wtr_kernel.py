@@ -4,9 +4,11 @@ One pass over HBM computes every elementwise product layer — DIAG (pseudo-
 binary), WTR-1, WTR-2, WTR, BWTR, CONF, CLOUD, BROWSE — from the six
 reflectance bands + fmask + masks. The XLA-fused jnp chain
 (proteus_tpu.models.dswx.chain) is already bandwidth-bound; this kernel
-exists to pin the roofline: it reads each int16 band exactly once per tile
-(178 MB in, 107 MB out for a 3660^2 tile) with no intermediate HBM
-round-trips, using 256-row full-width VMEM blocks.
+pins the roofline: it reads each int16 band exactly once per tile
+(187 MB in, ~107 MB out for a 3660^2 tile) with no intermediate HBM
+round-trips, using 256-row full-width VMEM blocks. Verified bit-identical
+to the jnp chain on the TPU backend (tests + product path under
+PROTEUS_TPU_USE_PALLAS=1).
 
 Two TPU-native rewrites relative to the reference algorithms:
 

@@ -172,3 +172,42 @@ def test_sparse_tiles_read_as_zeros(tmp_path):
         got = r.read()
     assert (got[:512, :512] == 7).all()
     assert (got[512:, 512:] == 0).all()
+
+
+def test_bigtiff_read(tmp_path):
+    """Hand-craft a minimal BigTIFF (uncompressed, one strip) and read
+    it (Copernicus DEM distributions can be BigTIFF)."""
+    import struct
+    h, w = 20, 30
+    arr = (np.arange(h * w) % 251).astype(np.uint8).reshape(h, w)
+    data = arr.tobytes()
+
+    entries = []
+
+    def entry(tag, typ, count, value_bytes):
+        entries.append(struct.pack('<HHQ', tag, typ, count)
+                       + value_bytes.ljust(8, b'\0'))
+
+    data_offset = 16 + 8 + 11 * 20 + 8
+    entry(256, 4, 1, struct.pack('<I', w))          # width
+    entry(257, 4, 1, struct.pack('<I', h))          # length
+    entry(258, 3, 1, struct.pack('<H', 8))          # bits
+    entry(259, 3, 1, struct.pack('<H', 1))          # no compression
+    entry(262, 3, 1, struct.pack('<H', 1))          # minisblack
+    entry(273, 16, 1, struct.pack('<Q', data_offset))  # strip offset
+    entry(277, 3, 1, struct.pack('<H', 1))          # samples
+    entry(278, 4, 1, struct.pack('<I', h))          # rows per strip
+    entry(279, 16, 1, struct.pack('<Q', len(data)))  # strip bytes
+    entry(284, 3, 1, struct.pack('<H', 1))          # chunky
+    entry(339, 3, 1, struct.pack('<H', 1))          # uint
+
+    path = str(tmp_path / 'big.tif')
+    with open(path, 'wb') as fh:
+        fh.write(struct.pack('<2sHHHQ', b'II', 43, 8, 0, 16))
+        fh.write(struct.pack('<Q', len(entries)))
+        fh.write(b''.join(entries))
+        fh.write(struct.pack('<Q', 0))  # next IFD
+        fh.write(data)
+    with TiffReader(path) as r:
+        assert r.bigtiff
+        np.testing.assert_array_equal(r.read(), arr)
