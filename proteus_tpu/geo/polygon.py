@@ -66,49 +66,95 @@ def rasterize_rings(rings, geotransform, length, width, out=None):
     """Even-odd rasterization of polygon rings at pixel centers.
 
     Matches GDAL RasterizeLayer semantics (burn where the pixel center is
-    inside). Vectorized scanline: for every edge, accumulate crossings per
-    row, then fill between sorted crossing pairs.
+    inside). Fully vectorized scanline: all edge/row crossings are
+    computed in one NumPy pass (rows expanded with a repeat/arange trick),
+    then even-odd spans fill through a per-row difference array — no
+    Python loop over edges or rows, so full-resolution GSHHS shorelines
+    (100k+ vertices) rasterize in milliseconds.
     """
     x0, dx, _, y0, _, dy = geotransform
     if out is None:
         out = np.zeros((length, width), dtype=np.uint8)
-    # pixel-center y of row i: y0 + (i + 0.5) * dy
-    rows_y = y0 + (np.arange(length) + 0.5) * dy
 
-    crossings = [[] for _ in range(length)]
+    # gather all edges from all rings
+    p1 = []
+    p2 = []
     for ring in rings:
         pts = np.asarray(ring, dtype=np.float64)
-        n = len(pts)
-        for k in range(n):
-            x1, y1 = pts[k]
-            x2, y2 = pts[(k + 1) % n]
-            if y1 == y2:
-                continue
-            ylo, yhi = (y1, y2) if y1 < y2 else (y2, y1)
-            # rows whose center y is in [ylo, yhi)
-            mask = (rows_y >= ylo) & (rows_y < yhi)
-            idx = np.nonzero(mask)[0]
-            if idx.size == 0:
-                continue
-            t = (rows_y[idx] - y1) / (y2 - y1)
-            xs = x1 + t * (x2 - x1)
-            for i, x in zip(idx, xs):
-                crossings[i].append(x)
-
-    half_px = 0.5 * dx
-    for i, xs in enumerate(crossings):
-        if not xs:
+        if len(pts) < 3:
             continue
-        xs = sorted(xs)
-        for j in range(0, len(xs) - 1, 2):
-            xa, xb = xs[j], xs[j + 1]
-            # pixel centers x0 + (c + 0.5) dx within [xa, xb)
-            c0 = int(np.ceil((xa - x0 - half_px) / dx))
-            c1 = int(np.ceil((xb - x0 - half_px) / dx))
-            c0 = max(c0, 0)
-            c1 = min(c1, width)
-            if c1 > c0:
-                out[i, c0:c1] = 1
+        nxt = np.roll(pts, -1, axis=0)
+        p1.append(pts)
+        p2.append(nxt)
+    if not p1:
+        return out
+    p1 = np.concatenate(p1)
+    p2 = np.concatenate(p2)
+    x1, y1 = p1[:, 0], p1[:, 1]
+    x2, y2 = p2[:, 0], p2[:, 1]
+    keep = y1 != y2
+    x1, y1, x2, y2 = x1[keep], y1[keep], x2[keep], y2[keep]
+    if x1.size == 0:
+        return out
+
+    # pixel-center y of row i: yc(i) = y0 + (i + 0.5) * dy; an edge
+    # contributes a crossing at every row whose center lies in the
+    # half-open interval [min(y1,y2), max(y1,y2)).
+    ylo = np.minimum(y1, y2)
+    yhi = np.maximum(y1, y2)
+
+    def f(yv):  # real-valued row index whose center equals yv
+        return (yv - y0) / dy - 0.5
+    if dy < 0:
+        # yc decreases with i: yc >= ylo -> i <= f(ylo);
+        # yc < yhi -> i > f(yhi)
+        r_start = np.floor(f(yhi)).astype(np.int64) + 1
+        r_end = np.floor(f(ylo)).astype(np.int64)
+    else:
+        # yc increases with i: yc >= ylo -> i >= f(ylo);
+        # yc < yhi -> i < f(yhi)
+        r_start = np.ceil(f(ylo)).astype(np.int64)
+        r_end = np.ceil(f(yhi)).astype(np.int64) - 1
+    r_start = np.clip(r_start, 0, length)
+    r_end = np.clip(r_end, -1, length - 1)
+    counts = np.maximum(r_end - r_start + 1, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return out
+
+    # expand (edge, row) pairs: rows = r_start[e] + arange within count
+    edge_idx = np.repeat(np.arange(x1.size), counts)
+    offsets = np.arange(total) - np.repeat(
+        np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+    rows = r_start[edge_idx] + offsets
+    yc = y0 + (rows + 0.5) * dy
+    t = (yc - y1[edge_idx]) / (y2[edge_idx] - y1[edge_idx])
+    xs = x1[edge_idx] + t * (x2[edge_idx] - x1[edge_idx])
+
+    # per-row even-odd spans: sort by (row, x); pair consecutive
+    # crossings; fill via difference array + cumulative sum
+    order = np.lexsort((xs, rows))
+    rows = rows[order]
+    xs = xs[order]
+    # crossings per row are even for closed rings; pair (0,1), (2,3)...
+    pos_in_row = np.arange(rows.size) - np.searchsorted(rows, rows)
+    is_open = (pos_in_row % 2) == 0
+    xa = xs[is_open]
+    xb = xs[~is_open]
+    ra = rows[is_open]
+    half_px = 0.5 * dx
+    c0 = np.ceil((xa - x0 - half_px) / dx).astype(np.int64)
+    c1 = np.ceil((xb - x0 - half_px) / dx).astype(np.int64)
+    c0 = np.clip(c0, 0, width)
+    c1 = np.clip(c1, 0, width)
+    good = c1 > c0
+    if not good.any():
+        return out
+    diff = np.zeros((length, width + 1), dtype=np.int32)
+    np.add.at(diff, (ra[good], c0[good]), 1)
+    np.add.at(diff, (ra[good], c1[good]), -1)
+    inside = np.cumsum(diff, axis=1)[:, :width] > 0
+    out |= inside.astype(np.uint8)
     return out
 
 

@@ -222,3 +222,59 @@ def test_unsupported_resample_algorithm_raises(latlon_source):
     with pytest.raises((ValueError, KeyError)):
         warp_to_grid(path, tile_gt, 'EPSG:32615', 64, 64,
                      resample_algorithm='average')
+
+
+class TestRasterizer:
+    def test_matches_brute_force_point_in_polygon(self):
+        from proteus_tpu.geo.polygon import rasterize_rings
+        rng = np.random.default_rng(8)
+        gt = (0.0, 1.0, 0.0, 40.0, 0.0, -1.0)
+        H = Wd = 40
+        for trial in range(20):
+            n = int(rng.integers(3, 12))
+            ring = np.stack([rng.uniform(-5, 45, n),
+                             rng.uniform(-5, 45, n)], axis=1)
+            got = rasterize_rings([ring], gt, H, Wd)
+            # brute force even-odd test at pixel centers
+            yy, xx = np.mgrid[0:H, 0:Wd]
+            cx = gt[0] + (xx + 0.5) * gt[1]
+            cy = gt[3] + (yy + 0.5) * gt[5]
+            inside = np.zeros((H, Wd), bool)
+            x1, y1 = ring[:, 0], ring[:, 1]
+            x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+            for k in range(n):
+                cond = ((y1[k] <= cy) != (y2[k] <= cy))
+                with np.errstate(divide='ignore', invalid='ignore'):
+                    xint = x1[k] + (cy - y1[k]) / (y2[k] - y1[k]) \
+                        * (x2[k] - x1[k])
+                inside ^= cond & (cx < xint)
+            np.testing.assert_array_equal(got.astype(bool), inside,
+                                          err_msg=f'trial {trial}')
+
+    def test_holes_even_odd(self):
+        from proteus_tpu.geo.polygon import rasterize_rings
+        gt = (0.0, 1.0, 0.0, 20.0, 0.0, -1.0)
+        outer = np.array([[2, 2], [18, 2], [18, 18], [2, 18]], float)
+        hole = np.array([[8, 8], [12, 8], [12, 12], [8, 12]], float)
+        got = rasterize_rings([outer, hole], gt, 20, 20)
+        assert got[5, 5] == 1          # inside outer
+        assert got[10, 10] == 0        # inside the hole
+        assert got[0, 0] == 0          # outside
+
+    def test_large_polygon_fast(self):
+        import time
+        from proteus_tpu.geo.polygon import rasterize_rings
+        rng = np.random.default_rng(9)
+        # 100k-vertex wiggly circle (GSHHS-scale shoreline)
+        n = 100_000
+        th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        r = 1500 + 100 * np.sin(37 * th) + rng.normal(0, 5, n)
+        ring = np.stack([2000 + r * np.cos(th), 2000 + r * np.sin(th)],
+                        axis=1)
+        gt = (0.0, 1.0, 0.0, 4000.0, 0.0, -1.0)
+        t0 = time.time()
+        got = rasterize_rings([ring], gt, 4000, 4000)
+        dt = time.time() - t0
+        assert dt < 5.0, f'rasterization too slow: {dt:.1f}s'
+        # area sanity: ~ pi * 1500^2
+        assert abs(got.sum() - np.pi * 1500 ** 2) < 0.02 * np.pi * 1500**2
