@@ -27,9 +27,11 @@ def test_mesh_has_8_devices():
     assert len(mesh.devices.flat) == 8
 
 
-def test_campaign_step_matches_oracle():
+@pytest.mark.parametrize('mode', ['mask', 'cover'])
+def test_campaign_step_matches_oracle(mode):
     mesh = make_tile_mesh()
-    cfg = DswxChainConfig(apply_aerosol_class_remapping=False)
+    cfg = DswxChainConfig(apply_aerosol_class_remapping=False,
+                          mask_adjacent_to_cloud_mode=mode)
     step = make_campaign_step(cfg, mesh)
     rng = np.random.default_rng(0)
     B, H, W = 8, 64, 64
@@ -42,7 +44,7 @@ def test_campaign_step_matches_oracle():
     n_valid = 0
     for k in range(B):
         want = oracle.full_chain(*[b[k] for b in bands], fmask[k],
-                                 invalid[k], TDICT)
+                                 invalid[k], TDICT, mode=mode)
         for layer in ('DIAG', 'WTR', 'CONF', 'CLOUD'):
             np.testing.assert_array_equal(np.asarray(out[layer][k]),
                                           want[layer],

@@ -177,3 +177,20 @@ def test_stream_to_logger():
     s.write(' line\nsecond\n')
     s.flush()
     assert records == ['[P] partial line', '[P] second']
+
+
+def test_multiband_output_file(dataset, tmp_path):
+    """-o product.tif: combined 10-band uint8 product (all bands byte,
+    collapsable layers collapsed, missing-layer planes filled)."""
+    root, files, _, anc = dataset
+    out = str(tmp_path / 'combined.tif')
+    dswx_hls_main(files + anc + ['-o', out])
+    with TiffReader(out) as r:
+        arr = r.read()
+        assert r.count == 10
+        assert arr.dtype == np.uint8
+        descs = r.band_descriptions()
+    assert descs[0].startswith('Water classification')
+    assert descs[9].startswith('Digital elevation model')
+    # WTR band is collapsed
+    assert set(np.unique(arr[:, :, 0])) <= {0, 1, 2, 252, 253, 254, 255}
