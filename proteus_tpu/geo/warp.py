@@ -158,10 +158,18 @@ def _gather(data, valid, rows, cols, wraps, width):
     return vals, ok
 
 
+def _auto_grid_spacing(tile_crs, dx):
+    """Lattice spacing in target pixels for ~240 m physical spacing
+    (interpolation error ~(240 m)^2 / 2R ~ 5 mm); minimum 8 px."""
+    if tile_crs.is_geographic:
+        return 8
+    return max(8, int(round(240.0 / max(abs(dx), 1e-9))))
+
+
 def warp_to_grid(input_file, geotransform, projection, length, width,
                  resample_algorithm='nearest', margin_in_pixels=0,
                  chunk_rows=1024, dtype=None, transformer='grid',
-                 grid_spacing=8):
+                 grid_spacing=None):
     """Reproject ``input_file`` onto the target grid (plus margin).
 
     Returns an array of shape (length + 2*margin, width + 2*margin) in the
@@ -176,6 +184,8 @@ def warp_to_grid(input_file, geotransform, projection, length, width,
     out_h = length + 2 * m
     out_w = width + 2 * m
     tile_crs = CRS.from_any(projection)
+    if grid_spacing is None:
+        grid_spacing = _auto_grid_spacing(tile_crs, dx)
 
     src = SourceRaster(input_file)
     try:
@@ -463,7 +473,8 @@ def _device_resample_impl(data, valid, lat_u, lat_v, spacing, out_h,
 
 def warp_to_grid_device(input_file, geotransform, projection, length,
                         width, resample_algorithm='nearest',
-                        margin_in_pixels=0, grid_spacing=8, dtype=None):
+                        margin_in_pixels=0, grid_spacing=None,
+                        dtype=None):
     """warp_to_grid with the interpolation+gather on the JAX device.
 
     Returns a device array (jnp). Keeping the result on device lets the
@@ -480,6 +491,8 @@ def warp_to_grid_device(input_file, geotransform, projection, length,
     out_h = length + 2 * m
     out_w = width + 2 * m
     tile_crs = CRS.from_any(projection)
+    if grid_spacing is None:
+        grid_spacing = _auto_grid_spacing(tile_crs, dx)
 
     src = SourceRaster(input_file)
     try:

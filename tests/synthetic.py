@@ -92,15 +92,28 @@ def make_bands(size, seed=11):
     return bands
 
 
-def make_hls_v2_dataset(out_dir, size=360, seed=11):
-    """Write per-band HLS v2-style GeoTIFFs; returns the file list."""
+def make_hls_v2_dataset(out_dir, size=360, seed=11, product='S30'):
+    """Write per-band HLS v2-style GeoTIFFs (S30 or L30 naming and
+    metadata); returns the file list."""
     os.makedirs(out_dir, exist_ok=True)
     bands = make_bands(size, seed)
-    base = 'HLS.S30.T15RYP.2021210T163819.v2.0'
+    if product == 'L30':
+        # Landsat band names + Landsat-style metadata (no SPACECRAFT_NAME;
+        # platform detected from SENSOR + LANDSAT_PRODUCT_ID)
+        rename = {'B8A': 'B05', 'B11': 'B06', 'B12': 'B07'}
+        bands = {rename.get(k, k): v for k, v in bands.items()}
+        base = 'HLS.L30.T15RYP.2021210T163819.v2.0'
+    else:
+        base = 'HLS.S30.T15RYP.2021210T163819.v2.0'
     files = []
     for name, arr in bands.items():
         path = os.path.join(out_dir, f'{base}.{name}.tif')
         md = dict(HLS_METADATA)
+        if product == 'L30':
+            md.pop('SPACECRAFT_NAME')
+            md.pop('PRODUCT_URI')
+            md['SENSOR'] = 'OLI_TIRS; OLI_TIRS'
+            md['LANDSAT_PRODUCT_ID'] =                 'LC08_L1TP_022039_20210729_20210804_02_T1'
         if name == 'Fmask':
             md.pop('scale_factor')
             md.pop('add_offset')

@@ -202,3 +202,35 @@ class TestWorkflowWithAncillaries:
         valid_classes = set(range(0, 200)) | {200, 201, 255}
         assert set(np.unique(land)) <= valid_classes
         assert (land != 255).any()
+
+
+def test_l30_landsat_ingest(tmp_path):
+    """L30 products: Landsat band names (B05/B06/B07) and platform
+    detection from SENSOR + LANDSAT_PRODUCT_ID."""
+    files, bands = synthetic.make_hls_v2_dataset(
+        str(tmp_path / 'in'), size=96, product='L30')
+    out = str(tmp_path / 'wtr_l30.tif')
+    from proteus_tpu.runtime.orchestrator import generate_dswx_layers
+    ok = generate_dswx_layers(files, output_interpreted_band=out,
+                              check_ancillary_inputs_coverage=False,
+                              apply_ocean_masking=False)
+    assert ok
+    with TiffReader(out) as r:
+        md = r.metadata()
+        wtr = r.read()
+    assert md['SPACECRAFT_NAME'] == 'Landsat-8'
+    assert md['SENSOR'] == 'OLI'
+    assert md['SENSOR_PRODUCT_ID'].startswith('LC08')
+    # golden comparison against the oracle (L30 band mapping)
+    invalid = np.zeros(bands['B02'].shape, bool)
+    arrs = {}
+    for key, name in [('blue', 'B02'), ('green', 'B03'), ('red', 'B04'),
+                      ('nir', 'B05'), ('swir1', 'B06'),
+                      ('swir2', 'B07')]:
+        invalid |= (bands[name] == -9999)
+        arrs[key] = np.clip(bands[name], 1, None)
+    want = oracle.full_chain(arrs['blue'], arrs['green'], arrs['red'],
+                             arrs['nir'], arrs['swir1'], arrs['swir2'],
+                             bands['Fmask'], invalid, TDICT,
+                             aerosol_lists=AEROSOL_LISTS)
+    np.testing.assert_array_equal(wtr, oracle.collapse(want['WTR']))
