@@ -62,6 +62,10 @@ def get_parser():
     parser.add_argument('--browse', dest='save_browse',
                         action='store_true', default=False,
                         help='Also produce browse GeoTIFF + PNG per tile')
+    parser.add_argument('--spatial-shards', type=int, default=1,
+                        help='Shard each tile spatially over this many '
+                             'devices (2-D tile x space mesh with ICI '
+                             'halo exchange)')
     parser.add_argument('--debug', dest='flag_debug',
                         action='store_true', default=False,
                         help='Read only 1000x1000 windows')
@@ -112,7 +116,8 @@ def main(argv=None):
                             reader_threads=args.reader_threads,
                             writer_threads=args.writer_threads,
                             flag_debug=args.flag_debug,
-                            save_browse=args.save_browse)
+                            save_browse=args.save_browse,
+                            spatial_shards=args.spatial_shards)
     stats = runner.run(jobs)
     logger.info(f'campaign complete: {stats}')
     if stats['tiles_failed']:

@@ -315,7 +315,7 @@ class Hdf4File:
         # [i32 chunk_size][i32 nt_size][u16 tbl_tag][u16 tbl_ref]
         # [u16 sp_tag][u16 sp_ref][i32 ndims]{i32 flag,i32 dim,i32 chunk}*
         p = 2
-        _head_len, version, flag, _tot, _chunk_size, nt_size = \
+        _head_len, _version, _flag, _tot, _chunk_size, nt_size = \
             struct.unpack('>iBiiii', header[p:p + 21])
         p += 21
         tbl_tag, tbl_ref, _sp_tag, _sp_ref, ndims = struct.unpack(
@@ -334,7 +334,6 @@ class Hdf4File:
         vh = self._parse_vdatas()[tbl_ref]
         raw = self._read(DFTAG_VS, tbl_ref)
         rec_size = vh['ivsize']
-        del version, flag
         # assemble the padded chunk grid in raw bytes (last axis in bytes)
         n_chunks = [int(np.ceil(d / c)) for d, c in zip(dims, chunk_dims)]
         chunk_bytes = int(np.prod(chunk_dims)) * nt_size

@@ -100,7 +100,9 @@ SPATIAL_HALO = 17
 
 
 def make_spatial_campaign_step(config: DswxChainConfig, mesh,
-                               halo=SPATIAL_HALO, compute_browse=False):
+                               halo=SPATIAL_HALO, compute_browse=False,
+                               with_ocean=False, with_shadow=False,
+                               with_landcover=False):
     """Sharded step over a 2-D ('tile', 'space') mesh: tile batches are
     data-parallel on the tile axis AND each tile's rows are sharded over
     the space axis (the SP/CP analogue from SURVEY.md section 2).
@@ -134,12 +136,20 @@ def make_spatial_campaign_step(config: DswxChainConfig, mesh,
             bot = jnp.where(idx == n_space - 1, fill, bot)
         return jnp.concatenate([top, x, bot], axis=1)
 
-    def per_tile(b, g, r, n, s1, s2, fm, inv):
+    n_extra = int(with_ocean) + int(with_shadow) + int(with_landcover)
+
+    def per_tile(b, g, r, n, s1, s2, fm, inv, *extras):
+        it = iter(extras)
+        ocean = next(it) if with_ocean else None
+        shadow = next(it) if with_shadow else None
+        lc = next(it) if with_landcover else None
         return dswx_chain(b, g, r, n, s1, s2, fm, inv, config,
+                          ocean_mask=ocean, shadow_layer=shadow,
+                          landcover_mask=lc,
                           compute_browse=compute_browse,
                           compute_stats=False)
 
-    def local_step(b, g, r, n, s1, s2, fm, inv):
+    def local_step(b, g, r, n, s1, s2, fm, inv, *extras):
         if halo > b.shape[1]:
             raise ValueError(
                 f'spatial halo ({halo}) exceeds the per-shard tile height'
@@ -147,7 +157,20 @@ def make_spatial_campaign_step(config: DswxChainConfig, mesh,
         padded = [with_halo(a) for a in (b, g, r, n, s1, s2)]
         padded.append(with_halo(fm, edge_fill=2))
         inv_p = with_halo(inv.astype(jnp.uint8)).astype(bool)
-        out = jax.vmap(per_tile)(*padded, inv_p)
+        padded.append(inv_p)
+        # ancillary masks feed the dilation mask through WTR-2, so they
+        # are halo-exchanged too; edge ghosts use their nodata-neutral
+        # values (land=1 / not-shadow=1 / landcover fill 255), though the
+        # ghost rows only matter within the dilation halo that is cropped
+        # at the true image boundary anyway
+        it = iter(extras)
+        if with_ocean:
+            padded.append(with_halo(next(it), edge_fill=1))
+        if with_shadow:
+            padded.append(with_halo(next(it), edge_fill=1))
+        if with_landcover:
+            padded.append(with_halo(next(it), edge_fill=255))
+        out = jax.vmap(per_tile)(*padded)
         out = {k: v[:, halo:-halo, :] for k, v in out.items()}
 
         prelim = masking.compute_preliminary_cloud_layer(
@@ -173,7 +196,7 @@ def make_spatial_campaign_step(config: DswxChainConfig, mesh,
     totals_specs = {'n_valid_total': P(), 'n_cloud_and_valid_total': P(),
                     'n_tiles_total': P()}
     sharded = shard_map(local_step, mesh=mesh,
-                        in_specs=(spec,) * 8,
+                        in_specs=(spec,) * (8 + n_extra),
                         out_specs=(layer_specs, totals_specs))
     return jax.jit(sharded)
 
@@ -395,9 +418,23 @@ class CampaignRunner:
     def __init__(self, config: DswxChainConfig = None, mesh=None,
                  manifest_path=None, max_retries=2, reader_threads=8,
                  writer_threads=8, flag_debug=False, save_browse=False,
-                 processing_params=None):
+                 processing_params=None, spatial_shards=1):
         self.config = config or DswxChainConfig()
-        self.mesh = mesh or make_tile_mesh()
+        self.spatial_shards = max(1, int(spatial_shards))
+        if mesh is not None:
+            self.mesh = mesh
+        elif self.spatial_shards > 1:
+            import jax as _jax
+            from proteus_tpu.parallel.mesh import make_tile_space_mesh
+            n_dev = len(_jax.devices())
+            if n_dev % self.spatial_shards:
+                raise ValueError(
+                    f'{n_dev} devices not divisible by spatial_shards='
+                    f'{self.spatial_shards}')
+            self.mesh = make_tile_space_mesh(
+                n_dev // self.spatial_shards, self.spatial_shards)
+        else:
+            self.mesh = make_tile_mesh()
         self.manifest = CampaignManifest(manifest_path)
         self.max_retries = max_retries
         self.flag_debug = flag_debug
@@ -406,15 +443,23 @@ class CampaignRunner:
         self._steps = {}  # keyed by (ocean, shadow, landcover) presence
         self._readers = ThreadPoolExecutor(reader_threads)
         self._writers = ThreadPoolExecutor(writer_threads)
-        self.batch_size = len(self.mesh.devices.flat)
+        self.batch_size = int(self.mesh.shape[TILE_AXIS])
 
     def _step_for(self, with_ocean, with_shadow, with_landcover):
         key = (with_ocean, with_shadow, with_landcover)
         if key not in self._steps:
-            self._steps[key] = make_campaign_step(
-                self.config, self.mesh, compute_browse=self.save_browse,
-                with_ocean=with_ocean, with_shadow=with_shadow,
-                with_landcover=with_landcover)
+            if self.spatial_shards > 1:
+                self._steps[key] = make_spatial_campaign_step(
+                    self.config, self.mesh,
+                    compute_browse=self.save_browse,
+                    with_ocean=with_ocean, with_shadow=with_shadow,
+                    with_landcover=with_landcover)
+            else:
+                self._steps[key] = make_campaign_step(
+                    self.config, self.mesh,
+                    compute_browse=self.save_browse,
+                    with_ocean=with_ocean, with_shadow=with_shadow,
+                    with_landcover=with_landcover)
         return self._steps[key]
 
     def _tile_metadata(self, job, image_dict):
@@ -530,7 +575,10 @@ class CampaignRunner:
                 arrs.append(np.full((h, w), pad_value, dtype=dtype))
             return np.stack(arrs)
 
-        sharding = NamedSharding(self.mesh, P(TILE_AXIS))
+        if self.spatial_shards > 1:
+            sharding = NamedSharding(self.mesh, P(TILE_AXIS, SPACE_AXIS))
+        else:
+            sharding = NamedSharding(self.mesh, P(TILE_AXIS))
         args = []
         for key in ('blue', 'green', 'red', 'nir', 'swir1', 'swir2'):
             args.append(jax.device_put(stack(key, np.int16), sharding))

@@ -517,9 +517,9 @@ def generate_dswx_layers(input_list,
     dswx_metadata_dict['CLOUD_COVERAGE'] = cloud_coverage
 
     # ---- layer saves (reference order; dswx_hls.py:5138-5397) ---------------
-    import time as _time
+    import time
     timers_saves_elapsed = [0.0]
-    _saves_t0 = _time.perf_counter()
+    _saves_t0 = time.perf_counter()
     if dem is not None and output_dem_layer is not None:
         pw.save_array(dem, output_dem_layer, dswx_metadata_dict,
                       geotransform, projection,
@@ -628,7 +628,7 @@ def generate_dswx_layers(input_list,
         build_vrt_list.append(output_file)
         logger.info(f'file saved: {output_file}')
 
-    timers_saves_elapsed[0] = _time.perf_counter() - _saves_t0
+    timers_saves_elapsed[0] = time.perf_counter() - _saves_t0
     logger.info('removing temporary files:')
     for filename in temp_files_list:
         if os.path.isfile(filename):

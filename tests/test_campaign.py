@@ -212,3 +212,42 @@ def test_campaign_full_product_with_ancillaries(tmp_path):
         # the 0.3 km shoreline margin)
         east = wtr[:60, -5:]
         assert (east == 254).mean() > 0.9, east
+
+
+def test_campaign_runner_spatial_shards(tmp_path):
+    """CampaignRunner with a 2-D (tile x space) mesh produces the same
+    products as the data-parallel runner, ancillaries included."""
+    import oracle as _oracle
+    dirs = []
+    for t in range(2):
+        d = str(tmp_path / f's_{t}')
+        synthetic.make_hls_v2_dataset(d, size=96, seed=700 + t)
+        dirs.append(d)
+    shore = synthetic.make_shoreline(str(tmp_path), size=96)
+
+    def run(spatial, outdir):
+        jobs = [TileJob(f'S{t}', sorted(glob.glob(f'{d}/*.tif')),
+                        os.path.join(outdir, f'S{t}'),
+                        product_id=f'sp{t}',
+                        shoreline_shapefile=shore,
+                        ocean_masking_shoreline_distance_km=0.3)
+                for t, d in enumerate(dirs)]
+        runner = CampaignRunner(
+            manifest_path=os.path.join(outdir, 'm.json'),
+            spatial_shards=spatial,
+            config=DswxChainConfig(mask_adjacent_to_cloud_mode='cover'))
+        stats = runner.run(jobs)
+        assert stats['tiles_failed'] == 0
+        return outdir
+
+    out_dp = run(1, str(tmp_path / 'dp'))
+    out_sp = run(4, str(tmp_path / 'sp'))
+    for t in range(2):
+        for layer in ('B01_WTR', 'B09_CLOUD', 'B03_CONF'):
+            a = glob.glob(os.path.join(out_dp, f'S{t}',
+                                       f'*_{layer}.tif'))[0]
+            b = glob.glob(os.path.join(out_sp, f'S{t}',
+                                       f'*_{layer}.tif'))[0]
+            with TiffReader(a) as ra, TiffReader(b) as rb:
+                np.testing.assert_array_equal(ra.read(), rb.read(),
+                                              err_msg=f'{t} {layer}')
