@@ -161,22 +161,20 @@ def dswx_chain(blue, green, red, nir, swir1, swir2, fmask, invalid_mask,
 def make_jitted_chain(config: DswxChainConfig, with_ocean=False,
                       with_shadow=False, with_landcover=False,
                       compute_browse=True):
-    """Build a jit-compiled chain function with the config baked in.
+    """Build a jit-compiled chain with the config baked in.
 
-    The returned function takes only arrays (in a fixed order) so it can be
-    reused across tiles without retracing.
+    The returned function takes positional arrays only — the six bands,
+    fmask, invalid mask, then the enabled ancillary masks in
+    (ocean, shadow, landcover) order — so it never retraces across tiles.
     """
     def fn(blue, green, red, nir, swir1, swir2, fmask, invalid_mask,
-           ocean_mask=None, shadow_layer=None, landcover_mask=None):
+           *extras):
+        it = iter(extras)
+        ocean = next(it) if with_ocean else None
+        shadow = next(it) if with_shadow else None
+        landcover = next(it) if with_landcover else None
         return dswx_chain(blue, green, red, nir, swir1, swir2, fmask,
-                          invalid_mask, config,
-                          ocean_mask=ocean_mask if with_ocean else None,
-                          shadow_layer=shadow_layer if with_shadow else None,
-                          landcover_mask=(landcover_mask if with_landcover
-                                          else None),
+                          invalid_mask, config, ocean_mask=ocean,
+                          shadow_layer=shadow, landcover_mask=landcover,
                           compute_browse=compute_browse)
-
-    if with_ocean or with_shadow or with_landcover:
-        return jax.jit(fn)
-    return jax.jit(lambda b, g, r, n, s1, s2, f, inv:
-                   fn(b, g, r, n, s1, s2, f, inv))
+    return jax.jit(fn)

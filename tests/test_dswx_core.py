@@ -396,3 +396,18 @@ class TestHillshadeAnalytic:
         shad2 = np.asarray(compute_opera_shadow_layer(dem, 100.0, 10.0,
                                                       -5.0, 40.0))
         assert shad2.all()
+
+
+def test_make_jitted_chain_helper():
+    from proteus_tpu.models.dswx.chain import make_jitted_chain
+    cfg = DswxChainConfig()
+    fn = make_jitted_chain(cfg, with_shadow=True, compute_browse=False)
+    bands = clipped(random_bands((32, 32)))
+    fmask = RNG.integers(0, 256, (32, 32)).astype(np.uint8)
+    invalid = np.zeros((32, 32), bool)
+    shadow = (RNG.random((32, 32)) < 0.8).astype(np.uint8)
+    out = fn(*bands, fmask, invalid, shadow)
+    want = dswx_chain(*bands, fmask, invalid, cfg, shadow_layer=shadow,
+                      compute_browse=False)
+    np.testing.assert_array_equal(np.asarray(out['WTR']),
+                                  np.asarray(want['WTR']))
