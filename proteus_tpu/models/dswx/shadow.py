@@ -9,14 +9,34 @@ Two algorithms, selected by runconfig (reference default:
   np.gradient semantics (central differences in the interior, one-sided at
   the edges).
 
+- ``compute_opera_shadow_layer_exact``: the production variant —
+  bit-identical to the reference's float64 decision chain. The reference,
+  fed the float32 warped DEM, computes the gradient/terrain normal in
+  float32 but the arccos/arctan threshold comparisons in float64 (NumPy 2
+  promotion of float64 trig scalars). A plain float32 device chain flips a
+  pixel whenever its angle lands within ~1 float32 ULP of the threshold
+  (~1e-7/pixel — a few pixels per 3660^2 tile). Instead of emulating f64
+  on the MXU, the device decides each pixel in *comparison space* (the
+  cosine of the incidence angle vs a float64-bisected boundary; likewise
+  tan of the directional slope), flags the epsilon-band of near-boundary
+  pixels, and the host re-decides only those (typically zero) in float64
+  with the reference's exact dtype mix. The decisions never route through
+  a device transcendental, so the result is also invariant to TPU-vs-host
+  libm differences.
+
 - ``compute_hillshade`` + Otsu: GDAL DEMProcessing("hillshade") equivalent
   (Horn's formula, GDAL gdaldem conventions) followed by Otsu binarization
   (reference dswx_hls.py:4177-4212 and :1638-1684).
 
-Both consume a DEM with a margin (DEM_MARGIN_IN_PIXELS) that the caller
-crops afterwards, so edge-handling differences never reach the product.
+All variants consume a DEM with a margin (DEM_MARGIN_IN_PIXELS) that the
+caller crops afterwards, so edge-handling differences never reach the
+product.
 """
 
+import functools
+import struct
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -75,6 +95,237 @@ def compute_opera_shadow_layer(dem, sun_azimuth_angle, sun_elevation_angle,
     low_sun_inc_angle_mask = sun_inc_angle_degrees <= max_sun_local_inc_angle
     shadow_mask = low_sun_inc_angle_mask | (~backslope_mask)
     return shadow_mask
+
+
+# ---------------------------------------------------------------------------
+# Exact (reference-float64-parity) shadow layer
+# ---------------------------------------------------------------------------
+
+# Max pixels host-resolved per tile before falling back to a full host
+# recompute. Random 3660^2 terrain puts O(100) pixels in the epsilon band.
+_MAX_UNCERTAIN = 16384
+_EPS_X = 1e-5          # band half-width in cos(incidence) space
+_EPS_T_REL = 1e-5      # band half-width in tan(slope) space, x(1+|t_crit|)
+
+
+def _float_to_ordered_int(x):
+    i = struct.unpack('<q', struct.pack('<d', float(x)))[0]
+    return i if i >= 0 else -(i & 0x7FFFFFFFFFFFFFFF)
+
+
+def _ordered_int_to_float(i):
+    raw = i if i >= 0 else (-i) | (1 << 63)
+    return struct.unpack('<d', struct.pack('<Q', raw & ((1 << 64) - 1)))[0]
+
+
+def _bisect_largest_true(pred, lo, hi):
+    """Largest float64 in [lo, hi] with pred true, for pred monotone
+    nonincreasing (true below the boundary); None if pred(lo) is false.
+    Bisection runs over the ordered-integer encoding of float64, so the
+    boundary is exact to the last ULP."""
+    ilo, ihi = _float_to_ordered_int(lo), _float_to_ordered_int(hi)
+    if not pred(_ordered_int_to_float(ilo)):
+        return None
+    if pred(_ordered_int_to_float(ihi)):
+        return _ordered_int_to_float(ihi)
+    while ihi - ilo > 1:
+        mid = (ilo + ihi) // 2
+        if pred(_ordered_int_to_float(mid)):
+            ilo = mid
+        else:
+            ihi = mid
+    return _ordered_int_to_float(ilo)
+
+
+def _bisect_smallest_true(pred, lo, hi):
+    """Smallest float64 in [lo, hi] with pred true, for pred monotone
+    nondecreasing; None if pred never true on the interval."""
+    ilo, ihi = _float_to_ordered_int(lo), _float_to_ordered_int(hi)
+    if not pred(_ordered_int_to_float(ihi)):
+        return None
+    if pred(_ordered_int_to_float(ilo)):
+        return _ordered_int_to_float(ilo)
+    while ihi - ilo > 1:
+        mid = (ilo + ihi) // 2
+        if pred(_ordered_int_to_float(mid)):
+            ihi = mid
+        else:
+            ilo = mid
+    return _ordered_int_to_float(ihi)
+
+
+def _sun_vector_f64(sun_azimuth_angle, sun_elevation_angle):
+    az = np.radians(np.float64(sun_azimuth_angle))
+    zen = np.radians(np.float64(90.0 - np.float64(sun_elevation_angle)))
+    return (np.sin(az) * np.sin(zen), np.cos(az) * np.sin(zen),
+            np.cos(zen), np.sin(az), np.cos(az))
+
+
+def _decision_boundaries(sun_azimuth_angle, sun_elevation_angle,
+                         min_slope_angle, max_sun_local_inc_angle):
+    """Exact float64 decision boundaries in comparison space.
+
+    x_crit: smallest x in [-1, 1] with degrees(arccos(x)) <= max_inc
+            (the low-incidence test is x >= x_crit within the domain).
+    t_crit: largest t with degrees(arctan(t)) <= min_slope
+            (the backslope test is t <= t_crit).
+    """
+    maxi = float(max_sun_local_inc_angle)
+    mins = float(min_slope_angle)
+
+    def p_inc(x):
+        with np.errstate(invalid='ignore'):
+            return bool(np.degrees(np.arccos(np.float64(x))) <= maxi)
+
+    x_crit = _bisect_smallest_true(p_inc, -1.0, 1.0)
+    if x_crit is None:
+        x_crit = 2.0  # low-incidence test never true
+
+    def p_slope(t):
+        return bool(np.degrees(np.arctan(np.float64(t))) <= mins)
+
+    t_crit = _bisect_largest_true(p_slope, -1.79e308, 1.79e308)
+    if t_crit is None:
+        t_crit = -1.79e308  # backslope never true -> ~backslope always
+    return x_crit, t_crit
+
+
+@functools.partial(jax.jit, static_argnames=('psx', 'psy'))
+def _shadow_comparison_space(dem, tsv_f32, x_crit32, t_crit32,
+                             eps_x, eps_t, psx=30, psy=30):
+    """Device pass: f32 comparison-space decisions + uncertainty band.
+
+    Returns (shadow, gx, gy, uncertain). The *gradients* — built from
+    subtraction and an exact x0.5, so bit-identical to np.gradient — are
+    what the host re-decision consumes: XLA strength-reduces division by a
+    constant into a reciprocal multiply (~1 ULP off IEEE division), so the
+    device tn values are only band-accurate, never handed to the host.
+    """
+    tsv_x, tsv_y, tsv_z, sin_az, cos_az = tsv_f32
+    gy = _np_gradient_axis(dem, 0)
+    gx = _np_gradient_axis(dem, 1)
+    tn_x = -gx / psx
+    tn_y = -gy / -abs(psy)
+
+    norm = jnp.sqrt(tn_x ** 2 + tn_y ** 2 + 1.0)
+    x = (tn_x * tsv_x + tn_y * tsv_y + tsv_z) / norm
+    t = tn_x * sin_az + tn_y * cos_az
+
+    low_inc = (x >= x_crit32) & (x <= 1.0)
+    backslope = t <= t_crit32
+    shadow = low_inc | (~backslope)
+
+    uncertain = (jnp.abs(x - x_crit32) <= eps_x) | \
+                (jnp.abs(x) >= 1.0 - eps_x) | \
+                (jnp.abs(t - t_crit32) <= eps_t)
+    return shadow, gx, gy, uncertain
+
+
+def _host_decide_f64(tn_x32, tn_y32, sun_azimuth_angle, sun_elevation_angle,
+                     min_slope_angle, max_sun_local_inc_angle):
+    """Reference-exact float64 decision from float32 terrain normals.
+
+    Replicates the reference's dtype mix under NumPy 2 (dswx_hls.py:
+    4245-4283): the normalization factor stays float32, the dot product and
+    trig run in float64 (float32 array x float64 scalar promotes)."""
+    tn_x = np.asarray(tn_x32, dtype=np.float32)
+    tn_y = np.asarray(tn_y32, dtype=np.float32)
+    tsv_x, tsv_y, tsv_z, sin_az, cos_az = _sun_vector_f64(
+        sun_azimuth_angle, sun_elevation_angle)
+    norm = np.sqrt(tn_x ** 2 + tn_y ** 2 + 1)  # float32, like the reference
+    with np.errstate(invalid='ignore'):
+        inc_deg = np.degrees(np.arccos(
+            (tn_x * tsv_x + tn_y * tsv_y + tsv_z) / norm))
+        dslope_deg = np.degrees(np.arctan(tn_x * sin_az + tn_y * cos_az))
+    low_inc = inc_deg <= float(max_sun_local_inc_angle)
+    backslope = dslope_deg <= float(min_slope_angle)
+    return low_inc | (~backslope)
+
+
+def _host_shadow_exact(dem, sun_azimuth_angle, sun_elevation_angle,
+                       min_slope_angle, max_sun_local_inc_angle,
+                       psx=30, psy=30):
+    """Full host recompute with the reference's exact semantics (fallback
+    path, and the primary path for float64 DEMs)."""
+    g = np.gradient(dem)
+    tn_x = -g[1] / psx
+    tn_y = -g[0] / -abs(psy)
+    if dem.dtype == np.float64:
+        tsv_x, tsv_y, tsv_z, sin_az, cos_az = _sun_vector_f64(
+            sun_azimuth_angle, sun_elevation_angle)
+        norm = np.sqrt(tn_x ** 2 + tn_y ** 2 + 1)
+        with np.errstate(invalid='ignore'):
+            inc_deg = np.degrees(np.arccos(
+                (tn_x * tsv_x + tn_y * tsv_y + tsv_z) / norm))
+            dslope_deg = np.degrees(np.arctan(
+                tn_x * sin_az + tn_y * cos_az))
+        low_inc = inc_deg <= float(max_sun_local_inc_angle)
+        backslope = dslope_deg <= float(min_slope_angle)
+        return low_inc | (~backslope)
+    return _host_decide_f64(tn_x, tn_y, sun_azimuth_angle,
+                            sun_elevation_angle, min_slope_angle,
+                            max_sun_local_inc_angle)
+
+
+def compute_opera_shadow_layer_exact(dem, sun_azimuth_angle,
+                                     sun_elevation_angle, min_slope_angle,
+                                     max_sun_local_inc_angle,
+                                     pixel_spacing_x=30, pixel_spacing_y=30):
+    """Shadow mask bit-identical to the reference float64 chain.
+
+    Accepts a host or device DEM. float32 DEMs (the production case —
+    Copernicus GLO-30 after cubic warp) run on device with host resolution
+    of the epsilon band; float64 DEMs run on host directly. Returns a host
+    numpy bool array.
+    """
+    if isinstance(dem, np.ndarray) and dem.dtype == np.float64:
+        return _host_shadow_exact(dem, sun_azimuth_angle,
+                                  sun_elevation_angle, min_slope_angle,
+                                  max_sun_local_inc_angle,
+                                  pixel_spacing_x, pixel_spacing_y)
+
+    x_crit, t_crit = _decision_boundaries(
+        sun_azimuth_angle, sun_elevation_angle, min_slope_angle,
+        max_sun_local_inc_angle)
+    tsv64 = _sun_vector_f64(sun_azimuth_angle, sun_elevation_angle)
+    tsv32 = tuple(jnp.float32(v) for v in tsv64)
+    eps_t = np.float32(_EPS_T_REL * (1.0 + min(abs(t_crit), 1e30)))
+
+    shadow, gx, gy, uncertain = _shadow_comparison_space(
+        jnp.asarray(dem, dtype=jnp.float32), tsv32,
+        jnp.float32(x_crit), jnp.float32(t_crit),
+        jnp.float32(_EPS_X), eps_t,
+        psx=pixel_spacing_x, psy=pixel_spacing_y)
+
+    # one small fetch: band indices (+count via fill sentinel)
+    idx = jnp.flatnonzero(uncertain, size=_MAX_UNCERTAIN, fill_value=-1)
+    idx = np.asarray(idx)
+    n_uncertain = int((idx >= 0).sum())
+
+    if n_uncertain >= _MAX_UNCERTAIN:
+        # epsilon band overflow (pathological flat-at-threshold DEM):
+        # recompute everything on host with reference semantics
+        return _host_shadow_exact(np.asarray(dem, dtype=np.float32),
+                                  sun_azimuth_angle, sun_elevation_angle,
+                                  min_slope_angle, max_sun_local_inc_angle,
+                                  pixel_spacing_x, pixel_spacing_y)
+
+    shadow = np.array(shadow)  # writable host copy (np.asarray of a jax
+    if n_uncertain:            # array is a read-only view)
+        sel = idx[:n_uncertain]
+        # recompute tn on host IEEE division (reference semantics) from the
+        # bit-exact device gradients
+        flat_gx = np.asarray(gx.ravel()[sel], dtype=np.float32)
+        flat_gy = np.asarray(gy.ravel()[sel], dtype=np.float32)
+        flat_tn_x = -flat_gx / pixel_spacing_x
+        flat_tn_y = -flat_gy / -abs(pixel_spacing_y)
+        decided = _host_decide_f64(flat_tn_x, flat_tn_y, sun_azimuth_angle,
+                                   sun_elevation_angle, min_slope_angle,
+                                   max_sun_local_inc_angle)
+        flat = shadow.ravel()
+        flat[sel] = decided
+        shadow = flat.reshape(shadow.shape)
+    return shadow
 
 
 def compute_hillshade(dem, sun_azimuth_angle, sun_elevation_angle,

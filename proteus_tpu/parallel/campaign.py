@@ -281,7 +281,7 @@ def _read_tile(job, flag_debug=False, config=None):
     if job.dem_file:
         from proteus_tpu.geo.warp import warp_to_grid_device
         from proteus_tpu.models.dswx.shadow import \
-            compute_opera_shadow_layer
+            compute_opera_shadow_layer_exact
         from proteus_tpu.runtime.orchestrator import _mean_angle
         az = _mean_angle(metadata.get('MEAN_SUN_AZIMUTH_ANGLE', '0'))
         zen = _mean_angle(metadata.get('MEAN_SUN_ZENITH_ANGLE', '0'))
@@ -293,8 +293,8 @@ def _read_tile(job, flag_debug=False, config=None):
         dem_m = warp_to_grid_device(job.dem_file, gt, proj, length,
                                     width, resample_algorithm='cubic',
                                     margin_in_pixels=m)
-        shad = compute_opera_shadow_layer(dem_m, az, 90.0 - zen,
-                                          min_slope, max_inc)
+        shad = compute_opera_shadow_layer_exact(dem_m, az, 90.0 - zen,
+                                                min_slope, max_inc)
         image_dict['shadow_layer'] = np.asarray(
             shad[m:-m, m:-m]).astype(np.uint8)
         image_dict['dem'] = np.asarray(dem_m[m:-m, m:-m])

@@ -25,7 +25,7 @@ from proteus_tpu.io import hls as hls_io
 from proteus_tpu.io.png import geotiff2png
 from proteus_tpu.models.dswx.chain import DswxChainConfig, dswx_chain
 from proteus_tpu.models.dswx.landcover import create_landcover_mask_arrays
-from proteus_tpu.models.dswx.shadow import (compute_opera_shadow_layer,
+from proteus_tpu.models.dswx.shadow import (compute_opera_shadow_layer_exact,
                                             compute_hillshade)
 from proteus_tpu.ops.otsu import otsu_binarize
 from proteus_tpu.runtime import ctables, metadata as md_util
@@ -354,7 +354,7 @@ def generate_dswx_layers(input_list,
                 dem_with_margin, sun_azimuth_angle, sun_elevation_angle)
             shadow_with_margin = otsu_binarize(hillshade)
         else:
-            shadow_with_margin = compute_opera_shadow_layer(
+            shadow_with_margin = compute_opera_shadow_layer_exact(
                 dem_with_margin, sun_azimuth_angle, sun_elevation_angle,
                 p['min_slope_angle'], p['max_sun_local_inc_angle'])
         shadow_layer = np.asarray(
