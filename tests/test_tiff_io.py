@@ -33,6 +33,19 @@ class TestCodecs:
             dec = codecs.unpredict_horizontal(enc, 3)
             np.testing.assert_array_equal(dec, arr)
 
+    def test_deflate_roundtrip_levels(self):
+        # libdeflate when present, zlib otherwise; either way the streams
+        # are standard zlib format and interchangeable
+        import zlib
+        data = RNG.integers(0, 255, 300_000).astype(np.uint8).tobytes()
+        for level in (1, 6, 9):
+            enc = codecs.deflate_encode(data, level)
+            assert zlib.decompress(enc) == data
+            assert codecs.deflate_decode(enc, len(data)) == data
+        # zlib-produced stream decodes through our decoder too
+        assert codecs.deflate_decode(zlib.compress(data, 6), len(data)) \
+            == data
+
     def test_float_predictor_roundtrip(self):
         arr = RNG.normal(size=(8, 16, 1)).astype(np.float32)
         be = np.ascontiguousarray(
@@ -117,6 +130,29 @@ class TestCogRoundtrip:
             assert [o.width for o in r.overviews] == [128, 32, 8, 4]
             ov = r.read(ifd_index=1)
             assert ov.shape == (128, 128)
+
+    def test_cubicspline_float_overviews(self, tmp_path):
+        from proteus_tpu.io.cog import _cubicspline_decimate
+        # constants are preserved exactly by the normalized B-spline kernel
+        const = np.full((130, 97), 3.5, np.float32)
+        for f in (4, 16, 64):
+            d = _cubicspline_decimate(const, f)
+            assert d.shape == ((130 + f - 1) // f, (97 + f - 1) // f)
+            np.testing.assert_allclose(d, 3.5, atol=1e-6)
+        # a linear ramp decimates to a linear ramp (B-spline reproduces
+        # affine signals away from the truncated edge windows)
+        ramp = np.tile(np.arange(400, dtype=np.float32), (16, 1))
+        d = _cubicspline_decimate(ramp, 4)
+        steps = np.diff(d[0, 2:-2])
+        np.testing.assert_allclose(steps, 4.0, atol=1e-4)
+        # float COG carries cubicspline overviews end-to-end
+        arr = RNG.normal(100, 10, (512, 512)).astype(np.float32)
+        path = str(tmp_path / 'f.tif')
+        write_cog(path, arr, epsg=32601)
+        with TiffReader(path) as r:
+            ov = r.read(ifd_index=1)
+        np.testing.assert_allclose(
+            ov, _cubicspline_decimate(arr, 4), rtol=1e-6)
 
     def test_uncompressed(self, tmp_path):
         arr = RNG.integers(0, 255, (100, 100)).astype(np.uint8)
