@@ -8,10 +8,13 @@ all product layers) run inside ONE jit-compiled on-device fori_loop with a
 data dependency between iterations and a final scalar fetch — so the
 measurement cannot be fooled by async dispatch or relay acknowledgment
 (block_until_ready on tunneled devices can return before execution
-finishes; see BENCH_NOTES.md). The baseline is the reference-equivalent
-NumPy float64 implementation of the same chain on this host (the reference
-publishes no numbers — BASELINE.md — and its execution model is
-single-process NumPy).
+finishes; see BENCH_NOTES.md). The median of PROTEUS_TPU_BENCH_PASSES
+timing passes is reported (this environment's speed varies run-to-run).
+On TPU the measured path is the hand-fused Pallas kernel (the default
+product path); PROTEUS_TPU_BENCH_PATH=xla benches the jnp chain instead.
+The baseline is the reference-equivalent NumPy float64 implementation of
+the same chain on this host (the reference publishes no numbers —
+BASELINE.md — and its execution model is single-process NumPy).
 """
 
 import json
@@ -52,14 +55,31 @@ def main():
     baseline_tiles_per_min = 60.0 / baseline_s
 
     # --- device: K chained chains in one dispatch ---------------------------
+    # PROTEUS_TPU_BENCH_PATH selects the compute path: 'pallas' (the
+    # hand-fused kernel — the default product path on TPU) or 'xla' (the
+    # jnp chain). Defaults to pallas on TPU, xla elsewhere.
     config = DswxChainConfig()
+    on_tpu = jax.devices()[0].platform == 'tpu'
+    path = os.environ.get('PROTEUS_TPU_BENCH_PATH',
+                          'pallas' if on_tpu else 'xla')
     dev = [jax.device_put(a) for a in bands + [fmask, invalid]]
     jax.block_until_ready(dev)
     K = int(os.environ.get('PROTEUS_TPU_BENCH_ITERS', '4'))
+    N_PASSES = int(os.environ.get('PROTEUS_TPU_BENCH_PASSES', '3'))
+
+    if path == 'pallas':
+        from proteus_tpu.ops.pallas.wtr_kernel import make_wtr_kernel
+        kernel = make_wtr_kernel(config, compute_browse=True,
+                                 interpret=not on_tpu)
+
+        def chain_out(b, g, r, n, s1, s2, fm, inv):
+            return kernel(b, g, r, n, s1, s2, fm, inv)
+    else:
+        def chain_out(b, g, r, n, s1, s2, fm, inv):
+            return dswx_chain(b, g, r, n, s1, s2, fm, inv, config)
 
     def one(k, b, g, r, n, s1, s2, fm, inv):
-        out = dswx_chain(b + k.astype(jnp.int16), g, r, n, s1, s2, fm,
-                         inv, config)
+        out = chain_out(b + k.astype(jnp.int16), g, r, n, s1, s2, fm, inv)
         return sum(jnp.sum(v.astype(jnp.int32)) for v in out.values()
                    if hasattr(v, 'ndim') and v.ndim == 2)
 
@@ -71,10 +91,14 @@ def main():
 
     s = loop(*dev)
     _ = int(s)  # compile + first run, forced by the scalar fetch
-    t0 = time.time()
-    s = loop(*dev)
-    _ = int(s)
-    device_s = (time.time() - t0) / K
+    per_tile = []
+    for _pass in range(N_PASSES):
+        t0 = time.time()
+        s = loop(*dev)
+        _ = int(s)
+        per_tile.append((time.time() - t0) / K)
+    per_tile.sort()
+    device_s = per_tile[len(per_tile) // 2]  # median of N passes
     tiles_per_min = 60.0 / device_s
 
     print(json.dumps({
@@ -82,6 +106,9 @@ def main():
         'value': round(tiles_per_min, 2),
         'unit': 'tiles/min',
         'vs_baseline': round(tiles_per_min / baseline_tiles_per_min, 2),
+        'path': path,
+        'n_passes': N_PASSES,
+        'pass_s_per_tile': [round(t, 3) for t in per_tile],
     }))
 
 

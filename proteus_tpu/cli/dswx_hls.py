@@ -3,36 +3,53 @@
 Equivalent of the reference bin/dswx_hls.py: accepts either a YAML
 runconfig or HLS raster files, merges CLI > runconfig > defaults, and runs
 the product generation.
+
+PROTEUS_TPU_PLATFORM=cpu|tpu forces the JAX backend before it initializes
+(the environment may pin JAX_PLATFORMS externally; the config update is
+the only reliable override — see tests/conftest.py).
 """
 
 import logging
-import mimetypes
+import os
 
 from proteus_tpu.cli.args import get_dswx_hls_cli_parser
 from proteus_tpu.config.runconfig import parse_runconfig_file
 from proteus_tpu.runtime.logging_util import create_logger
-from proteus_tpu.runtime.orchestrator import generate_dswx_layers
 
 logger = logging.getLogger('dswx_hls')
 
+_RUNCONFIG_SUFFIXES = ('.yaml', '.yml')
+
+
+def _is_runconfig(path):
+    """A runconfig is a YAML text file; everything else is treated as a
+    raster input (the reference dispatches on MIME type at
+    bin/dswx_hls.py:33-44 — same outcome, decided by suffix here)."""
+    return os.path.splitext(path)[1].lower() in _RUNCONFIG_SUFFIXES
+
 
 def main(argv=None):
+    forced = os.environ.get('PROTEUS_TPU_PLATFORM')
+    if forced:
+        import jax
+        jax.config.update('jax_platforms', forced)
+
     parser = get_dswx_hls_cli_parser()
     args = parser.parse_args(argv)
 
     create_logger(args.log_file, args.full_log_formatting)
 
-    mimetypes.add_type('text/yaml', '.yaml', strict=True)
-    guessed = mimetypes.guess_type(args.input_list[0])[0]
-    first_is_text = guessed is not None and 'text' in guessed
+    runconfigs = [f for f in args.input_list if _is_runconfig(f)]
+    if runconfigs and len(args.input_list) > 1:
+        parser.error('a runconfig file must be the only input '
+                     f'(got {len(args.input_list)} inputs)')
 
-    if len(args.input_list) > 1 and first_is_text:
-        logger.info('ERROR only one runconfig file is allowed')
-        return
-
-    user_runconfig_file = args.input_list[0] if first_is_text else None
+    user_runconfig_file = runconfigs[0] if runconfigs else None
     runconfig_constants = parse_runconfig_file(
         user_runconfig_file=user_runconfig_file, args=args)
+
+    # imported late so the jax platform override above applies first
+    from proteus_tpu.runtime.orchestrator import generate_dswx_layers
 
     generate_dswx_layers(
         args.input_list,

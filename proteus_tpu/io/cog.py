@@ -359,8 +359,24 @@ def write_cog(path, array, geotransform=None, epsg=None, nodata=None,
     photometric = tiff.PHOTOMETRIC_PALETTE if color_map is not None \
         else tiff.PHOTOMETRIC_MINISBLACK
 
+    # GDAL "ghost area": hidden structural metadata right after the 8-byte
+    # header declaring the cloud-optimized layout, plus per-tile leader
+    # (size as uint32 before the data) and trailer (last 4 data bytes
+    # repeated after it) ghost bytes. GDAL and the reference's validator
+    # (extern/validate_cloud_optimized_geotiff.py:82-95,196-203) recognize
+    # and verify these.
+    ghost_items = ('LAYOUT=IFDS_BEFORE_DATA\n'
+                   'BLOCK_ORDER=ROW_MAJOR\n'
+                   'BLOCK_LEADER=SIZE_AS_UINT4\n'
+                   'BLOCK_TRAILER=LAST_4_BYTES_REPEATED\n'
+                   'KNOWN_INCOMPATIBLE_EDITION=NO\n ')
+    ghost = ('GDAL_STRUCTURAL_METADATA_SIZE=%06d bytes\n'
+             % len(ghost_items)) + ghost_items
+    ghost = ghost.encode('latin1')
+
     # sizing pass with dummy offsets
-    header_size = 8
+    header_size = 8 + len(ghost)
+    header_size += header_size % 2  # IFDs start on a 2-byte boundary
     ifd_offsets = []
     pos = header_size
     sizes = []
@@ -372,17 +388,16 @@ def write_cog(path, array, geotransform=None, epsg=None, nodata=None,
         pos += len(body)
 
     data_start = pos
-    # data layout: overviews (smallest first) then main resolution last
+    # data layout: overviews (smallest first) then main resolution last,
+    # row-major within each level; every tile is leader + data + trailer
     data_order = list(range(len(plans) - 1, 0, -1)) + [0]
     offset = data_start
     for i in data_order:
         p = plans[i]
         p.tile_offsets = []
         for blob in p.tile_blobs:
-            p.tile_offsets.append(offset)
-            offset += len(blob)
-            if offset % 2:
-                offset += 1
+            p.tile_offsets.append(offset + 4)      # points at the data
+            offset += 4 + len(blob) + 4            # leader + data + trailer
 
     # final pass with real offsets
     bodies = []
@@ -394,13 +409,17 @@ def write_cog(path, array, geotransform=None, epsg=None, nodata=None,
 
     with open(path, 'wb') as fh:
         fh.write(struct.pack('<2sHI', b'II', 42, ifd_offsets[0]))
+        fh.write(ghost)
+        fh.seek(header_size)
         for body in bodies:
             fh.write(body)
         for i in data_order:
             p = plans[i]
             for off, blob in zip(p.tile_offsets, p.tile_blobs):
-                fh.seek(off)
-                fh.write(blob)
+                fh.seek(off - 4)
+                trailer = blob[-4:] if len(blob) >= 4 \
+                    else blob + b'\0' * (4 - len(blob))
+                fh.write(struct.pack('<I', len(blob)) + blob + trailer)
     return path
 
 

@@ -106,12 +106,33 @@ def load_hls_band(filename, image_dict, offset_dict, scale_dict,
         elif fill_value is None:
             fill_value = -9999
 
+        geotransform = r.geotransform()
+
+        # raw-Sentinel-2 ingest: bands distributed on 10 m / 20 m grids are
+        # area-resampled to the 30 m product grid (BASELINE.json config 2;
+        # HLS v1/v2 products are always 30 m, so this never triggers for
+        # them). A 30 m pixel with any fill contributor stays fill.
+        src_res = abs(geotransform[1]) if geotransform is not None else 30.0
+        if band_name != 'fmask' and src_res in (10.0, 20.0):
+            from proteus_tpu.ops.resample import resample_to_30m
+            native_invalid = image == fill_value
+            mean = np.asarray(resample_to_30m(
+                np.where(native_invalid, 0, image), int(src_res)))
+            fill_frac = np.asarray(resample_to_30m(
+                native_invalid.astype(np.float32), int(src_res)))
+            image = np.rint(mean).astype(image.dtype)
+            image[fill_frac > 0] = image.dtype.type(fill_value)
+            sx = 1.0 if geotransform[1] > 0 else -1.0
+            sy = 1.0 if geotransform[5] > 0 else -1.0
+            geotransform = (geotransform[0], 30.0 * sx, geotransform[2],
+                            geotransform[3], geotransform[4], 30.0 * sy)
+
         invalid = image == fill_value
         if 'invalid_ind_array' in image_dict:
             invalid = np.logical_or(image_dict['invalid_ind_array'], invalid)
         image_dict['invalid_ind_array'] = invalid
 
-        image_dict.setdefault('geotransform', r.geotransform())
+        image_dict.setdefault('geotransform', geotransform)
         image_dict.setdefault('projection', r.projection())
         image_dict.setdefault('length', image.shape[0])
         image_dict.setdefault('width', image.shape[1])

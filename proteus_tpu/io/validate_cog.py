@@ -10,14 +10,57 @@ extern/validate_cloud_optimized_geotiff.py (invoked from core.py:76-90):
   4. image data for each overview precedes the main-resolution data, and
      the smallest overview's data comes first;
   5. within each IFD, tile offsets are increasing (full check);
-  6. every tile decompresses to the expected size (full check).
+  6. every tile decompresses to the expected size (full check);
+  7. when the GDAL structural ghost area declares them
+     (reference :196-203), per-tile ghost bytes hold: the 4 bytes before
+     each tile are its byte count (BLOCK_LEADER=SIZE_AS_UINT4,
+     reference :82-87) and the 4 bytes after repeat its last 4 data bytes
+     (BLOCK_TRAILER=LAST_4_BYTES_REPEATED, reference :89-95), and the main
+     IFD sits exactly where the ghost area says it should
+     (reference :205-214).
 
 Returns a list of error strings (empty = valid COG).
 """
 
+import struct
+
 from proteus_tpu.io import codecs
 from proteus_tpu.io.tiff import (TiffReader, TAG_TILE_OFFSETS,
                                  TAG_TILE_BYTE_COUNTS)
+
+
+def _read_ghost_flags(path, errors):
+    """Parse the GDAL structural-metadata ghost area (if present)."""
+    flags = {'leader': False, 'trailer': False, 'row_major': False,
+             'expected_ifd': None}
+    with open(path, 'rb') as fh:
+        header = fh.read(8)
+        if header[:2] not in (b'II', b'MM'):
+            return flags
+        endian = '<' if header[:2] == b'II' else '>'
+        ifd_off = struct.unpack(endian + 'I', header[4:8])[0]
+        if ifd_off == 8:
+            return flags
+        pattern_len = len('GDAL_STRUCTURAL_METADATA_SIZE=000000 bytes\n')
+        got = fh.read(pattern_len).decode('latin1', 'replace')
+        if not got.startswith('GDAL_STRUCTURAL_METADATA_SIZE='):
+            return flags
+        size = int(got[len('GDAL_STRUCTURAL_METADATA_SIZE='):][:6])
+        extra = fh.read(size).decode('latin1', 'replace')
+        flags['leader'] = 'BLOCK_LEADER=SIZE_AS_UINT4' in extra
+        flags['trailer'] = 'BLOCK_TRAILER=LAST_4_BYTES_REPEATED' in extra
+        flags['row_major'] = 'BLOCK_ORDER=ROW_MAJOR' in extra
+        if 'KNOWN_INCOMPATIBLE_EDITION=YES' in extra:
+            errors.append(
+                'KNOWN_INCOMPATIBLE_EDITION=YES is declared in the file')
+        expected = 8 + pattern_len + size
+        expected += expected % 2
+        flags['expected_ifd'] = expected
+        if ifd_off != expected:
+            errors.append(
+                f'main IFD offset should be {expected} per the structural '
+                f'metadata; it is {ifd_off}')
+    return flags
 
 
 def validate_cog(path, full_check=True):
@@ -81,18 +124,33 @@ def validate_cog(path, full_check=True):
                     f'overview IFD {i} data begins after the main-'
                     'resolution data (main image should be last)')
 
+        ghost = _read_ghost_flags(path, errors)
+
         if full_check:
             for i, nonempty in all_offsets:
                 ifd = reader.ifds[i]
                 decoder = codecs.get_decoder(ifd.compression)
                 with open(path, 'rb') as fh:
                     for off, cnt in nonempty:
+                        if ghost['leader']:
+                            fh.seek(off - 4)
+                            leader = struct.unpack('<I', fh.read(4))[0]
+                            if leader != cnt:
+                                errors.append(
+                                    f'IFD {i}: tile at {off} leader size '
+                                    f'is {leader} instead of {cnt}')
                         fh.seek(off)
                         blob = fh.read(cnt)
                         if len(blob) != cnt:
                             errors.append(
                                 f'IFD {i}: truncated tile at {off}')
                             continue
+                        if ghost['trailer'] and cnt >= 4:
+                            trailer = fh.read(4)
+                            if trailer != blob[-4:]:
+                                errors.append(
+                                    f'IFD {i}: tile at {off} trailer '
+                                    'bytes are invalid')
                         try:
                             decoder(blob)
                         except Exception as e:  # noqa: BLE001

@@ -20,9 +20,13 @@ Two TPU-native rewrites relative to the reference algorithms:
   moderate-conf water, >=4 -> high-conf water. Verified exhaustively
   against the table in tests.
 
-Restriction: the 'cover' cloud-adjacent mode needs a 17-pixel dilation
-stencil and stays on the jnp path (mask/ignore modes are the production
-default).
+The 'cover' cloud-adjacent mode (scipy-masked dilation, 10 snow + 7
+unmask iterations; reference dswx_hls.py:2060-2076) runs fused too: input
+blocks carry a 17-row halo (element-indexed overlapping BlockSpecs), the
+two masked dilations run as zero-fill shift/OR stencils on the VPU inside
+the same VMEM residency, and only the halo-cropped center rows are stored.
+Out-of-image halo rows are masked off (the Element padding region is
+uninitialized), which matches scipy's zeros-outside-the-border semantics.
 """
 
 import jax
@@ -65,19 +69,57 @@ def _ratio_lt(num, den, p, q):
             | ((den == 0) & (num < 0)))
 
 
+# 'cover' mode influence radius: 10 snow-dilation + 7 unmask-dilation
+# iterations of the 4-connected cross need 17 halo rows; padded to 20 so
+# the (block + 2*halo) VMEM block height stays divisible by 8 (a Mosaic
+# tiling requirement)
+_COVER_HALO = 20
+
+
+def _shift_or_i32(x):
+    """Bitwise OR of the four cross-shifted copies of a 0/1 int32 block,
+    zero-fill at the block edges (one dilation step, center excluded)."""
+    h, w = x.shape
+    zrow = jnp.zeros((1, w), dtype=x.dtype)
+    zcol = jnp.zeros((h, 1), dtype=x.dtype)
+    out = jnp.concatenate([x[1:], zrow], axis=0)          # from below
+    out = out | jnp.concatenate([zrow, x[:-1]], axis=0)   # from above
+    out = out | jnp.concatenate([x[:, 1:], zcol], axis=1)
+    out = out | jnp.concatenate([zcol, x[:, :-1]], axis=1)
+    return out
+
+
+def _dilate_masked_block(x, mask, iterations):
+    """scipy binary_dilation(x, cross, iterations, mask=mask) on a block:
+    each step turns on masked pixels adjacent to the current set.
+
+    Bool in/out; the stencil runs on 0/1 int32 and the Python loop is
+    unrolled — Mosaic legalizes neither i1-vector concatenates ("invalid
+    vector register cast") nor scf.for with i1-vector carries, and the
+    iteration counts are small static constants (10/7).
+    """
+    cur = x.astype(jnp.int32)
+    m = mask.astype(jnp.int32)
+    for _ in range(iterations):
+        grown = cur | _shift_or_i32(cur)
+        cur = cur | (grown & m)
+    return cur != 0
+
+
 def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
                     with_landcover=False, compute_browse=True,
-                    block_rows=256, interpret=False):
+                    block_rows=None, interpret=False):
     """Build the fused kernel. ``config`` is a DswxChainConfig; static
     choices are baked in at trace time.
 
     Returns fn(blue, green, red, nir, swir1, swir2, fmask, invalid
                [, ocean][, shadow][, landcover]) -> dict of layers.
     """
-    if config.mask_adjacent_to_cloud_mode == 'cover':
-        raise ValueError("the Pallas kernel does not support the 'cover' "
-                         'adjacent-to-cloud mode (needs a dilation '
-                         'stencil); use the jnp chain')
+    cover = config.mask_adjacent_to_cloud_mode == 'cover'
+    if block_rows is None:
+        # cover mode holds (block + 2*17 halo) rows of every input in
+        # VMEM; a smaller block keeps the residency comfortable
+        block_rows = 128 if cover else 256
     et = ExactThresholds.from_thresholds(config.thresholds)
     if not all(getattr(et, f)[2] for f in (
             'wigt', 'awgt', 'pswt_1_mndwi', 'pswt_1_nir', 'pswt_1_swir1',
@@ -103,7 +145,7 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
 
     n_extra = int(with_ocean) + int(with_shadow) + int(with_landcover)
 
-    def kernel(*refs):
+    def kernel(*refs, h_total=None):
         (blue_r, green_r, red_r, nir_r, swir1_r, swir2_r, fmask_r,
          invalid_r) = refs[:8]
         idx = 8
@@ -121,6 +163,21 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
         (diag_o, wtr1_o, wtr2_o, wtr_o, bwtr_o, conf_o, cloud_o) = \
             outs[:7]
         browse_o = outs[7] if compute_browse else None
+
+        if cover:
+            # halo blocks: mask off rows outside the image — the Element
+            # padding region and the final partial block are uninitialized
+            row0 = pl.program_id(0) * block_rows - _COVER_HALO
+            blk_h = block_rows + 2 * _COVER_HALO
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (blk_h, 1), 0) + row0
+            valid_rows = (rows >= 0) & (rows < h_total)
+
+        def store(ref, arr):
+            if cover:
+                ref[:] = arr[_COVER_HALO:_COVER_HALO + block_rows]
+            else:
+                ref[:] = arr
 
         # all arithmetic in int32 (v5e Mosaic has no packed int16 vector
         # compares); NumPy's int16 wrap-around is emulated explicitly
@@ -168,7 +225,7 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
         for i, b in enumerate(bits):
             diag_rep = diag_rep + b.astype(jnp.int32) * (10 ** i)
         diag_rep = jnp.where(invalid, 65535, diag_rep)
-        diag_o[:] = diag_rep.astype(jnp.uint16)
+        store(diag_o, diag_rep.astype(jnp.uint16))
 
         # WTR-1 via closed-form popcount interpretation (int32 pipeline;
         # uint8 only at the output stores)
@@ -178,7 +235,7 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
             wtr1 = jnp.where(ocean_r[:].astype(jnp.int32) == 0,
                              C.WTR_OCEAN_MASKED, wtr1)
         wtr1 = jnp.where(invalid, C.UINT8_FILL_VALUE, wtr1)
-        wtr1_o[:] = wtr1.astype(jnp.uint8)
+        store(wtr1_o, wtr1.astype(jnp.uint8))
 
         # preliminary CLOUD
         shadow_bit = (fmask & 8) != 0
@@ -223,13 +280,26 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
                       | ((lc >= 0) & (lc < 100) & nir_bright & psw)
                       | ((lc >= 100) & (lc < 200) & water))
             wtr2 = jnp.where(demote, 0, wtr2)
-        wtr2_o[:] = wtr2.astype(jnp.uint8)
+        store(wtr2_o, wtr2.astype(jnp.uint8))
 
         # snow + fill -> final CLOUD
         snow = (fmask & 16) != 0
+        if cover:
+            # scipy-masked dilations (reference dswx_hls.py:2033-2076):
+            # grow snow 10 steps into clear cloud-adjacent areas, then
+            # retract where 7 unmask steps reach from clear non-snow
+            snow = snow & valid_rows
+            clear = (cloud == 0) & valid_rows
+            areas = ((fmask & 4) != 0) & clear
+            snow = _dilate_masked_block(snow, areas, 10)
+            # water test on the FINAL wtr2 (post landcover/shadow masks)
+            areas_water = areas & (wtr2 >= 1) & (wtr2 <= 4)
+            not_masked = (~snow) & clear
+            not_masked = _dilate_masked_block(not_masked, areas_water, 7)
+            snow = snow & (~not_masked)
         cloud = cloud + 2 * snow.astype(jnp.int32)
         cloud = jnp.where(wtr2 == C.UINT8_FILL_VALUE, 255, cloud)
-        cloud_o[:] = cloud.astype(jnp.uint8)
+        store(cloud_o, cloud.astype(jnp.uint8))
 
         # WTR
         cloudy = (cloud != 0) & (cloud != 8)
@@ -240,11 +310,11 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
                         C.WTR_OCEAN_MASKED, wtr)
         wtr = jnp.where(wtr2 == C.UINT8_FILL_VALUE,
                         C.UINT8_FILL_VALUE, wtr)
-        wtr_o[:] = wtr.astype(jnp.uint8)
+        store(wtr_o, wtr.astype(jnp.uint8))
 
         # BWTR
-        bwtr_o[:] = jnp.where((wtr >= 1) & (wtr <= 4), 1,
-                              wtr).astype(jnp.uint8)
+        store(bwtr_o, jnp.where((wtr >= 1) & (wtr <= 4), 1,
+                              wtr).astype(jnp.uint8))
 
         # CONF
         conf_cloudy = cloudy & ~snowy  # {1,3..7,9,11..15}: cloud values
@@ -252,7 +322,7 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
         is_clear_class = conf <= 4
         conf = jnp.where(conf_cloudy & is_clear_class, conf + 10, conf)
         conf = jnp.where((cloud == 2) & is_clear_class, conf + 20, conf)
-        conf_o[:] = conf.astype(jnp.uint8)
+        store(conf_o, conf.astype(jnp.uint8))
 
         # BROWSE
         if compute_browse:
@@ -269,14 +339,33 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
             if config.snow_in_browse == 'nodata':
                 br = jnp.where(br == C.WTR_SNOW_MASKED, 255, br)
             br = jnp.where(br == C.WTR_OCEAN_MASKED, 255, br)
-            browse_o[:] = br.astype(jnp.uint8)
+            store(browse_o, br.astype(jnp.uint8))
 
     def build(h, w):
+        import functools
         grid = (pl.cdiv(h, block_rows),)
 
-        def bspec(_dtype):
+        def out_bspec():
             return pl.BlockSpec((block_rows, w), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
+
+        def in_bspec():
+            if not cover:
+                return out_bspec()
+            # overlapping halo windows, element-indexed: the runtime
+            # shifts the window start by -padding_lo itself, so index_map
+            # returns the UNSHIFTED block start; rows outside the array
+            # are undefined and masked in the kernel
+            halo = _COVER_HALO
+            # overlapping element-indexed windows over the PRE-PADDED
+            # inputs (fn pads by halo rows; Mosaic supports neither low
+            # padding nor mixed Element/Blocked dims, hence zero-padding
+            # Element on both dims over in-bounds windows)
+            return pl.BlockSpec(
+                (pl.Element(block_rows + 2 * halo, (0, 0)),
+                 pl.Element(w, (0, 0))),
+                lambda i: (i * block_rows, 0),
+                memory_space=pltpu.VMEM)
 
         n_in = 8 + n_extra
         n_out = 8 if compute_browse else 7
@@ -284,10 +373,10 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
             [jax.ShapeDtypeStruct((h, w), jnp.uint8)
              for _ in range(n_out - 1)]
         return pl.pallas_call(
-            kernel,
+            functools.partial(kernel, h_total=h),
             grid=grid,
-            in_specs=[bspec(None)] * n_in,
-            out_specs=[bspec(None)] * n_out,
+            in_specs=[in_bspec() for _ in range(n_in)],
+            out_specs=[out_bspec() for _ in range(n_out)],
             out_shape=out_shapes,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
@@ -300,6 +389,14 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
         arrays = list(arrays)
         # bool invalid -> uint8 for the kernel
         arrays[7] = arrays[7].astype(jnp.uint8)
+        if cover:
+            # pre-pad so every overlapping halo window is in-bounds (the
+            # pad rows are masked via valid_rows); one fused XLA copy
+            halo = _COVER_HALO
+            n_blocks = pl.cdiv(h, block_rows)
+            padded_h = (n_blocks - 1) * block_rows + block_rows + 2 * halo
+            arrays = [jnp.pad(a, ((halo, padded_h - h - halo), (0, 0)))
+                      for a in arrays]
         outs = call(*arrays)
         names = ['DIAG', 'WTR-1', 'WTR-2', 'WTR', 'BWTR', 'CONF',
                  'CLOUD']

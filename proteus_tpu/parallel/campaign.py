@@ -322,10 +322,15 @@ def _read_tile(job, flag_debug=False, config=None):
 
 
 def _write_tile(job, layers, image_dict, metadata):
-    """Write all available layers (+ browse) for one tile."""
+    """Write all available layers (+ browse) for one tile.
+
+    ``layers`` values may still be device arrays — materialized here, in
+    the writer pool, so the device->host transfer overlaps the next
+    batch's compute."""
     from proteus_tpu.runtime import ctables
     from proteus_tpu.runtime import product_writer as pw
     from proteus_tpu.io.png import geotiff2png
+    layers = {name: np.asarray(a) for name, a in layers.items()}
     geotransform = image_dict['geotransform']
     projection = image_dict['projection']
     os.makedirs(job.output_dir, exist_ok=True)
@@ -542,8 +547,10 @@ class CampaignRunner:
             if self.save_browse:
                 layer_names.append('BROWSE')
             for k, (job, image_dict) in enumerate(loaded):
-                layers = {name: np.asarray(out[name][k])
-                          for name in layer_names}
+                # hand the writer the DEVICE slices: the np.asarray
+                # materialization (slow tunnel readback) happens in the
+                # writer pool, overlapping the next batch's compute
+                layers = {name: out[name][k] for name in layer_names}
                 md = self._tile_metadata(job, image_dict)
                 md.update(metadata or {})
                 write_futures.append(

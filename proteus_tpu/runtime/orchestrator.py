@@ -337,32 +337,33 @@ def generate_dswx_layers(input_list,
     if dem_file is not None:
         from proteus_tpu.geo.warp import warp_to_grid, warp_to_grid_device
         logger.info(f'Preparing DEM file: {dem_file}')
-        _t_dem = timers.stage('DEM warp + terrain shadow')
-        _t_dem.__enter__()
-        if use_host_warp:
-            dem_with_margin = jnp.asarray(warp_to_grid(
-                dem_file, geotransform, projection, length, width,
-                resample_algorithm='cubic',
-                margin_in_pixels=C.DEM_MARGIN_IN_PIXELS))
-        else:
-            dem_with_margin = warp_to_grid_device(
-                dem_file, geotransform, projection, length, width,
-                resample_algorithm='cubic',
-                margin_in_pixels=C.DEM_MARGIN_IN_PIXELS)
-        if p['shadow_masking_algorithm'] == 'otsu':
-            hillshade = compute_hillshade(
-                dem_with_margin, sun_azimuth_angle, sun_elevation_angle)
-            shadow_with_margin = otsu_binarize(hillshade)
-        else:
-            shadow_with_margin = compute_opera_shadow_layer_exact(
-                dem_with_margin, sun_azimuth_angle, sun_elevation_angle,
-                p['min_slope_angle'], p['max_sun_local_inc_angle'])
-        shadow_layer = np.asarray(
-            _crop_margin(shadow_with_margin, C.DEM_MARGIN_IN_PIXELS)
-        ).astype(np.uint8)
-        dem = np.asarray(_crop_margin(dem_with_margin,
-                                      C.DEM_MARGIN_IN_PIXELS))
-        _t_dem.__exit__(None, None, None)
+        with timers.stage('DEM warp'):
+            if use_host_warp:
+                dem_with_margin = jnp.asarray(warp_to_grid(
+                    dem_file, geotransform, projection, length, width,
+                    resample_algorithm='cubic',
+                    margin_in_pixels=C.DEM_MARGIN_IN_PIXELS))
+            else:
+                dem_with_margin = warp_to_grid_device(
+                    dem_file, geotransform, projection, length, width,
+                    resample_algorithm='cubic',
+                    margin_in_pixels=C.DEM_MARGIN_IN_PIXELS)
+            dem_with_margin.block_until_ready()
+        with timers.stage('terrain shadow'):
+            if p['shadow_masking_algorithm'] == 'otsu':
+                hillshade = compute_hillshade(
+                    dem_with_margin, sun_azimuth_angle, sun_elevation_angle)
+                shadow_with_margin = otsu_binarize(hillshade)
+            else:
+                shadow_with_margin = compute_opera_shadow_layer_exact(
+                    dem_with_margin, sun_azimuth_angle, sun_elevation_angle,
+                    p['min_slope_angle'], p['max_sun_local_inc_angle'])
+        with timers.stage('DEM/shadow fetch'):
+            shadow_layer = np.asarray(
+                _crop_margin(shadow_with_margin, C.DEM_MARGIN_IN_PIXELS)
+            ).astype(np.uint8)
+            dem = np.asarray(_crop_margin(dem_with_margin,
+                                          C.DEM_MARGIN_IN_PIXELS))
 
     # ---- landcover (host warps + device combine) ----------------------------
     landcover_mask = None
@@ -430,12 +431,24 @@ def generate_dswx_layers(input_list,
         full = {k: kw.get(k) for k in ('ocean', 'shad', 'lc')}
         return chain_fn(b, g, r, n, s1, s2, fm, inv, **full)
 
-    # opt-in: the hand-fused Pallas kernel instead of the XLA chain
-    # (identical outputs; see proteus_tpu/ops/pallas/wtr_kernel.py)
-    use_pallas = bool(os.environ.get('PROTEUS_TPU_USE_PALLAS')) \
-        and p['mask_adjacent_to_cloud_mode'] != 'cover' \
+    # the hand-fused Pallas kernel is the default product path on TPU
+    # (identical outputs, incl. 'cover' mode; see
+    # proteus_tpu/ops/pallas/wtr_kernel.py); PROTEUS_TPU_USE_PALLAS=0
+    # opts out, and configs the kernel cannot express (float-scaled
+    # inputs, non-rational thresholds) fall back to the XLA chain
+    use_pallas = (os.environ.get('PROTEUS_TPU_USE_PALLAS', '1')
+                  not in ('0', 'off', 'false')) \
         and not flag_offset_and_scale_inputs \
         and jax.devices()[0].platform == 'tpu'
+    if use_pallas:
+        from proteus_tpu.core.thresholds import ExactThresholds
+        et = ExactThresholds.from_thresholds(chain_config.thresholds)
+        if not all(getattr(et, f)[2] for f in (
+                'wigt', 'awgt', 'pswt_1_mndwi', 'pswt_1_nir',
+                'pswt_1_swir1', 'pswt_1_ndvi', 'pswt_2_mndwi',
+                'pswt_2_blue', 'pswt_2_nir', 'pswt_2_swir1',
+                'pswt_2_swir2', 'lcmask_nir')):
+            use_pallas = False  # inexact thresholds: XLA float chain
 
     def run_pallas():
         from proteus_tpu.ops.pallas.wtr_kernel import make_wtr_kernel

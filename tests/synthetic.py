@@ -259,7 +259,7 @@ def make_hls_v1_dataset(out_dir, size=360, seed=11, spacecraft='SENTINEL-2A',
                         chunked=True):
     """Write an HLS v1-style HDF4-EOS product (single file, all bands as
     SDS datasets with HLS v1 naming)."""
-    from proteus_tpu.io.hdf4_writer import Hdf4Writer, make_struct_metadata
+    from hdf4_writer import Hdf4Writer, make_struct_metadata
     os.makedirs(out_dir, exist_ok=True)
     bands = make_bands(size, seed)
     v2_to_v1 = {'B02': 'band02', 'B03': 'band03', 'B04': 'band04',

@@ -6,7 +6,7 @@ import pytest
 import synthetic
 
 from proteus_tpu.io import hdf4
-from proteus_tpu.io.hdf4_writer import Hdf4Writer, make_struct_metadata
+from hdf4_writer import Hdf4Writer, make_struct_metadata
 
 RNG = np.random.default_rng(17)
 

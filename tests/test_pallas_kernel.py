@@ -22,7 +22,7 @@ def test_closed_form_interpretation_matches_lut():
     np.testing.assert_array_equal(got.ravel(), lut[:32])
 
 
-@pytest.mark.parametrize('mode', ['mask', 'ignore'])
+@pytest.mark.parametrize('mode', ['mask', 'ignore', 'cover'])
 def test_kernel_matches_chain(mode):
     cfg = DswxChainConfig(mask_adjacent_to_cloud_mode=mode)
     shape = (64, 128)
@@ -50,6 +50,33 @@ def test_kernel_matches_chain(mode):
                                       err_msg=f'{layer} mode={mode}')
 
 
+def test_kernel_cover_blob_propagation():
+    """'cover' dilation across block boundaries: snow blobs next to
+    cloud-adjacent areas must grow identically to the scipy-semantics jnp
+    chain even when the 10+7-step growth spans halo rows."""
+    cfg = DswxChainConfig(mask_adjacent_to_cloud_mode='cover')
+    shape = (160, 128)
+    bands = [np.clip(RNG.integers(-2000, 18000, shape), 1,
+                     None).astype(np.int16) for _ in range(6)]
+    # structured fmask: a snow stripe crossing block boundaries inside a
+    # large adjacent-to-cloud field
+    fmask = np.zeros(shape, np.uint8)
+    fmask[:, :] = 4                      # adjacent-to-cloud everywhere
+    fmask[30:34, :] |= 16                # snow stripe at rows 30-33
+    fmask[95:97, 40:90] |= 16            # blob spanning the 96-row split
+    fmask[60:70, 60:70] |= 2             # a cloud block
+    invalid = np.zeros(shape, bool)
+    kernel = make_wtr_kernel(cfg, block_rows=32, interpret=True)
+    import jax.numpy as jnp
+    got = kernel(*[jnp.asarray(a) for a in bands], jnp.asarray(fmask),
+                 jnp.asarray(invalid))
+    want = dswx_chain(*bands, fmask, invalid, cfg)
+    for layer in ('CLOUD', 'WTR', 'BWTR', 'CONF'):
+        np.testing.assert_array_equal(np.asarray(got[layer]),
+                                      np.asarray(want[layer]),
+                                      err_msg=layer)
+
+
 def test_kernel_minimal_no_ancillaries():
     cfg = DswxChainConfig()
     shape = (96, 64)
@@ -69,7 +96,8 @@ def test_kernel_minimal_no_ancillaries():
                                       err_msg=layer)
 
 
-def test_kernel_rejects_cover_mode():
+def test_kernel_rejects_inexact_thresholds():
+    from proteus_tpu.core.thresholds import HlsThresholds
     with pytest.raises(ValueError):
         make_wtr_kernel(DswxChainConfig(
-            mask_adjacent_to_cloud_mode='cover'))
+            thresholds=HlsThresholds(wigt=0.1 + 1e-13)))

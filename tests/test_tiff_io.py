@@ -154,6 +154,39 @@ class TestCogRoundtrip:
         np.testing.assert_allclose(
             ov, _cubicspline_decimate(arr, 4), rtol=1e-6)
 
+    def test_ghost_bytes_and_validator(self, tmp_path):
+        """GDAL structural ghost area + block leader/trailer bytes
+        (reference validator extern/validate_cloud_optimized_geotiff.py:
+        82-95,196-214)."""
+        from proteus_tpu.io.validate_cog import validate_cog
+        arr = RNG.integers(0, 255, (700, 600)).astype(np.uint8)
+        path = str(tmp_path / 'g.tif')
+        write_cog(path, arr, epsg=32601)
+        raw = open(path, 'rb').read()
+        assert raw[8:38].startswith(b'GDAL_STRUCTURAL_METADATA_SIZE=')
+        assert b'BLOCK_LEADER=SIZE_AS_UINT4' in raw[:400]
+        assert b'BLOCK_TRAILER=LAST_4_BYTES_REPEATED' in raw[:400]
+        assert validate_cog(path, full_check=True) == []
+
+        # corrupt one tile's leader -> the full check must catch it
+        with TiffReader(path) as r:
+            off = r.main.get(324)[0]  # first tile offset
+        bad = bytearray(raw)
+        bad[off - 4:off] = (123456).to_bytes(4, 'little')
+        bad_path = str(tmp_path / 'bad.tif')
+        open(bad_path, 'wb').write(bytes(bad))
+        errs = validate_cog(bad_path, full_check=True)
+        assert any('leader size' in e for e in errs)
+
+        # corrupt a trailer
+        with TiffReader(path) as r:
+            cnt = r.main.get(325)[0]
+        bad = bytearray(raw)
+        bad[off + cnt:off + cnt + 4] = b'\xde\xad\xbe\xef'
+        open(bad_path, 'wb').write(bytes(bad))
+        errs = validate_cog(bad_path, full_check=True)
+        assert any('trailer bytes' in e for e in errs)
+
     def test_uncompressed(self, tmp_path):
         arr = RNG.integers(0, 255, (100, 100)).astype(np.uint8)
         path = str(tmp_path / 'u.tif')
