@@ -39,9 +39,29 @@ from proteus_tpu.parallel.mesh import TILE_AXIS, make_tile_mesh
 logger = logging.getLogger('dswx_hls')
 
 
+def _campaign_uses_pallas(config):
+    """The fused Pallas kernel runs the per-tile science on TPU (49x the
+    XLA chain on-device; see tools/pallas_tpu_parity.py for the committed
+    bit-identity evidence). Opt out with PROTEUS_TPU_USE_PALLAS=0; falls
+    back automatically off-TPU or for non-rational thresholds."""
+    if os.environ.get('PROTEUS_TPU_USE_PALLAS', '1') in ('0', 'off',
+                                                         'false'):
+        return False
+    import jax as _jax
+    if _jax.devices()[0].platform != 'tpu':
+        return False
+    from proteus_tpu.core.thresholds import ExactThresholds
+    et = ExactThresholds.from_thresholds(config.thresholds)
+    return all(getattr(et, f)[2] for f in (
+        'wigt', 'awgt', 'pswt_1_mndwi', 'pswt_1_nir', 'pswt_1_swir1',
+        'pswt_1_ndvi', 'pswt_2_mndwi', 'pswt_2_blue', 'pswt_2_nir',
+        'pswt_2_swir1', 'pswt_2_swir2', 'lcmask_nir'))
+
+
 def make_campaign_step(config: DswxChainConfig, mesh,
                        compute_browse=False, with_ocean=False,
-                       with_shadow=False, with_landcover=False):
+                       with_shadow=False, with_landcover=False,
+                       use_pallas=None):
     """Build the sharded multi-tile step.
 
     The returned function maps batched [B, H, W] band/fmask/invalid arrays
@@ -50,6 +70,14 @@ def make_campaign_step(config: DswxChainConfig, mesh,
     replicated campaign totals (psum over ICI).
     """
     n_extra = int(with_ocean) + int(with_shadow) + int(with_landcover)
+    if use_pallas is None:
+        use_pallas = _campaign_uses_pallas(config)
+    pallas_kernel = None
+    if use_pallas:
+        from proteus_tpu.ops.pallas.wtr_kernel import make_wtr_kernel
+        pallas_kernel = make_wtr_kernel(
+            config, with_ocean=with_ocean, with_shadow=with_shadow,
+            with_landcover=with_landcover, compute_browse=compute_browse)
 
     def per_tile(b, g, r, n, s1, s2, fm, inv, *extras):
         it = iter(extras)
@@ -61,8 +89,36 @@ def make_campaign_step(config: DswxChainConfig, mesh,
                           landcover_mask=lc,
                           compute_browse=compute_browse)
 
+    def per_tile_pallas(b, g, r, n, s1, s2, fm, inv, *extras):
+        out = pallas_kernel(b, g, r, n, s1, s2, fm, inv, *extras)
+        # coverage stats (the kernel emits layers only)
+        it = iter(extras)
+        ocean = next(it) if with_ocean else None
+        valid = ~inv
+        if ocean is not None:
+            valid = valid & (ocean != 0)
+            out['n_not_ocean'] = jnp.sum((ocean != 0).astype(jnp.int32))
+        else:
+            out['n_not_ocean'] = jnp.asarray(valid.size, jnp.int32)
+        prelim = masking.compute_preliminary_cloud_layer(
+            fm, config.mask_adjacent_to_cloud_mode)
+        out['n_valid'] = jnp.sum(valid.astype(jnp.int32))
+        out['n_cloud_and_valid'] = jnp.sum(
+            ((prelim != 0) & valid).astype(jnp.int32))
+        return out
+
     def local_step(b, g, r, n, s1, s2, fm, inv, *extras):
-        out = jax.vmap(per_tile)(b, g, r, n, s1, s2, fm, inv, *extras)
+        if use_pallas:
+            # static per-device batch loop (pallas_call + vmap do not mix
+            # with element-indexed halo block specs)
+            tiles = [per_tile_pallas(
+                b[i], g[i], r[i], n[i], s1[i], s2[i], fm[i], inv[i],
+                *[e[i] for e in extras]) for i in range(b.shape[0])]
+            out = {k: jnp.stack([t[k] for t in tiles])
+                   for k in tiles[0]}
+        else:
+            out = jax.vmap(per_tile)(b, g, r, n, s1, s2, fm, inv,
+                                     *extras)
         # int32 is safe per batch (<= local_tiles * 13.4M counts); the
         # runner re-accumulates across batches in Python integers
         totals = {
@@ -86,9 +142,12 @@ def make_campaign_step(config: DswxChainConfig, mesh,
     totals_specs = {'n_valid_total': P(), 'n_cloud_and_valid_total': P(),
                     'n_tiles_total': P()}
 
+    # check_vma off for the pallas path: pallas_call outputs carry no
+    # varying-mesh-axes annotation, which the checker would require
     sharded = shard_map(local_step, mesh=mesh,
                         in_specs=(spec,) * (8 + n_extra),
-                        out_specs=(layer_specs, totals_specs))
+                        out_specs=(layer_specs, totals_specs),
+                        check_vma=not use_pallas)
     return jax.jit(sharded)
 
 

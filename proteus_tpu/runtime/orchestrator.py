@@ -46,6 +46,24 @@ def _mean_angle(meta_value):
     return float(parts[0])
 
 
+def _start_transfer_prewarm():
+    """Kick off the one-time device->host transfer setup in the background.
+
+    On tunneled TPUs the first fetch of a session can stall for seconds to
+    minutes while the relay warms its transfer path; a tiny async fetch
+    absorbs that concurrently with ingest and the ancillary warps (the
+    thread is I/O-bound, so it does not contend for the host core)."""
+    import threading
+
+    def prewarm():
+        try:
+            np.asarray(jnp.zeros((8, 128), jnp.uint8))
+        except Exception as exc:  # noqa: BLE001 - advisory only
+            logger.debug(f'transfer prewarm failed (harmless): {exc!r}')
+    threading.Thread(target=prewarm, name='proteus-transfer-prewarm',
+                     daemon=True).start()
+
+
 def _crop_margin(arr, margin):
     return arr[margin:-margin, margin:-margin]
 
@@ -106,18 +124,7 @@ def generate_dswx_layers(input_list,
     """
     _enable_compilation_cache()
     timers = StageTimers()
-
-    # absorb the one-time device->host transfer setup (slow on tunneled
-    # TPUs) concurrently with ingest/warps instead of on the first layer
-    # fetch
-    import threading
-
-    def _prewarm():
-        try:
-            np.asarray(jnp.zeros((8, 128), jnp.uint8))
-        except Exception:  # noqa: BLE001
-            pass
-    threading.Thread(target=_prewarm, daemon=True).start()
+    _start_transfer_prewarm()
 
     # ---- fill None parameters from the default runconfig -----------------
     params = dict(
@@ -222,29 +229,26 @@ def generate_dswx_layers(input_list,
     dswx_metadata_dict = md_util.get_dswx_metadata_dict(product_id,
                                                         product_version)
 
-    _t_ingest = timers.stage('ingest (HLS bands)')
-    _t_ingest.__enter__()
-    version = None
-    if not isinstance(input_list, list) or len(input_list) == 1:
-        success = hls_io.load_hls_product_v1(
-            input_list, image_dict, offset_dict, scale_dict,
-            dswx_metadata_dict, flag_offset_and_scale_inputs,
-            flag_debug=flag_debug)
-        if success:
-            version = '1.4'
-    else:
-        success = None
-    if success is not True:
-        success = hls_io.load_hls_product_v2(
-            input_list, image_dict, offset_dict, scale_dict,
-            dswx_metadata_dict, flag_offset_and_scale_inputs,
-            flag_debug=flag_debug)
-        if not success:
-            logger.info(f'ERROR could not read file(s): {input_list}')
-            return False
-        version = '2.0'
-
-    _t_ingest.__exit__(None, None, None)
+    with timers.stage('ingest (HLS bands)'):
+        version = None
+        if not isinstance(input_list, list) or len(input_list) == 1:
+            success = hls_io.load_hls_product_v1(
+                input_list, image_dict, offset_dict, scale_dict,
+                dswx_metadata_dict, flag_offset_and_scale_inputs,
+                flag_debug=flag_debug)
+            if success:
+                version = '1.4'
+        else:
+            success = None
+        if success is not True:
+            success = hls_io.load_hls_product_v2(
+                input_list, image_dict, offset_dict, scale_dict,
+                dswx_metadata_dict, flag_offset_and_scale_inputs,
+                flag_debug=flag_debug)
+            if not success:
+                logger.info(f'ERROR could not read file(s): {input_list}')
+                return False
+            version = '2.0'
     hls_dataset_name = image_dict['hls_dataset_name']
     md_util.populate_dswx_metadata_datasets(
         dswx_metadata_dict, hls_dataset_name,
@@ -324,13 +328,12 @@ def generate_dswx_layers(input_list,
     ocean_mask = None
     if shoreline_shapefile is not None:
         from proteus_tpu.geo.polygon import create_ocean_mask
-        _t_ocean = timers.stage('ocean mask')
-        _t_ocean.__enter__()
-        ocean_mask = create_ocean_mask(
-            shoreline_shapefile, p['ocean_masking_shoreline_distance_km'],
-            scratch_dir, geotransform, projection, length, width,
-            temp_files_list=temp_files_list)
-        _t_ocean.__exit__(None, None, None)
+        with timers.stage('ocean mask'):
+            ocean_mask = create_ocean_mask(
+                shoreline_shapefile,
+                p['ocean_masking_shoreline_distance_km'],
+                scratch_dir, geotransform, projection, length, width,
+                temp_files_list=temp_files_list)
 
     # ---- DEM warp + terrain shadow (device) ---------------------------------
     use_host_warp = bool(os.environ.get('PROTEUS_TPU_HOST_WARP'))
@@ -371,31 +374,29 @@ def generate_dswx_layers(input_list,
         from proteus_tpu.geo.warp import (warp_to_grid,
                                           warp_to_grid_device,
                                           worldcover_year_of)
-        _t_lc = timers.stage('landcover warps + LAND')
-        _t_lc.__enter__()
-        _warp = warp_to_grid if use_host_warp else warp_to_grid_device
-        logger.info('creating LAND layer combining Copernicus Landcover'
-                    ' 100m and ESA WorldCover 10m maps')
-        if not os.path.isfile(landcover_file):
-            logger.error(f'ERROR file not found: {landcover_file}')
-        elif not os.path.isfile(worldcover_file):
-            logger.error(f'ERROR file not found: {worldcover_file}')
-        else:
-            cgls = _warp(landcover_file, geotransform, projection,
-                         length, width, resample_algorithm='nearest')
-            gt3 = (geotransform[0], geotransform[1] / 3, 0.0,
-                   geotransform[3], 0.0, geotransform[5] / 3)
-            wc3 = _warp(worldcover_file, gt3, projection,
-                        3 * length, 3 * width,
-                        resample_algorithm='nearest')
-            year = worldcover_year_of(worldcover_file,
-                                      worldcover_file_description)
-            landcover_mask = np.asarray(create_landcover_mask_arrays(
-                jnp.asarray(cgls), jnp.asarray(wc3),
-                C.LANDCOVER_MASK_TYPE,
-                p['forest_mask_landcover_classes'],
-                worldcover_year=year)).astype(np.uint8)
-        _t_lc.__exit__(None, None, None)
+        with timers.stage('landcover warps + LAND'):
+            _warp = warp_to_grid if use_host_warp else warp_to_grid_device
+            logger.info('creating LAND layer combining Copernicus '
+                        'Landcover 100m and ESA WorldCover 10m maps')
+            if not os.path.isfile(landcover_file):
+                logger.error(f'ERROR file not found: {landcover_file}')
+            elif not os.path.isfile(worldcover_file):
+                logger.error(f'ERROR file not found: {worldcover_file}')
+            else:
+                cgls = _warp(landcover_file, geotransform, projection,
+                             length, width, resample_algorithm='nearest')
+                gt3 = (geotransform[0], geotransform[1] / 3, 0.0,
+                       geotransform[3], 0.0, geotransform[5] / 3)
+                wc3 = _warp(worldcover_file, gt3, projection,
+                            3 * length, 3 * width,
+                            resample_algorithm='nearest')
+                year = worldcover_year_of(worldcover_file,
+                                          worldcover_file_description)
+                landcover_mask = np.asarray(create_landcover_mask_arrays(
+                    jnp.asarray(cgls), jnp.asarray(wc3),
+                    C.LANDCOVER_MASK_TYPE,
+                    p['forest_mask_landcover_classes'],
+                    worldcover_year=year)).astype(np.uint8)
 
     # ---- the fused device chain ---------------------------------------------
     chain_config = DswxChainConfig(
