@@ -88,6 +88,21 @@ def load_reference_dswx():
         gdalconst = _make_stub('osgeo.gdalconst', GDT_Float32=6, GDT_Byte=1)
         for attr in ('UseExceptions', 'DontUseExceptions'):
             setattr(gdal, attr, lambda *a, **k: None)
+        # functional ColorTable so the reference's pure-logic color-table
+        # builders (dswx_hls.py:1381-1636,2427-2575) execute for real
+        class _ColorTable:
+            def __init__(self):
+                self.entries = {}
+
+            def SetColorEntry(self, value, rgba):
+                rgba = tuple(rgba)
+                if len(rgba) == 3:
+                    rgba = rgba + (255,)
+                self.entries[int(value)] = rgba
+
+            def GetColorEntry(self, value):
+                return self.entries.get(int(value))
+        gdal.ColorTable = _ColorTable
         # anything else accessed at call time raises loudly
         inert = _InertAttr('osgeo.gdal')
         gdal.__getattr__ = lambda item, _i=inert: getattr(_i, item)

@@ -276,6 +276,123 @@ class TestPerStageParity:
         np.testing.assert_array_equal(arr[5:-5, 5:-5], want)
 
 
+class TestCtableAndMetadataParity:
+    """Color tables (dswx_hls.py:1381-1636,2427-2575) and the metadata
+    engine (:3817-3972), executed through the functional ColorTable stub."""
+
+    def _compare(self, ref_ct, ours):
+        ours_rgba = {k: (v if len(v) == 4 else tuple(v) + (255,))
+                     for k, v in ours.items()}
+        assert ref_ct.entries == ours_rgba
+
+    @pytest.mark.parametrize('collapse,layer', [
+        (True, 'WTR'), (False, 'WTR'), (True, 'WTR-1'), (False, 'WTR-2')])
+    def test_interpreted_ctable(self, collapse, layer):
+        from proteus_tpu.runtime import ctables
+        ref_ct = REF._get_interpreted_dswx_ctable(collapse, layer)
+        self._compare(ref_ct, ctables.get_interpreted_dswx_ctable(
+            collapse, layer))
+
+    @pytest.mark.parametrize('kw', [
+        dict(),
+        dict(flag_collapse_wtr_classes=False),
+        dict(cloud_color='nodata', snow_color='gray'),
+        dict(not_water_color='nodata', snow_color='nodata'),
+    ])
+    def test_browse_ctable(self, kw):
+        from proteus_tpu.runtime import ctables
+        ref_ct = REF._get_browse_ctable(**kw)
+        self._compare(ref_ct, ctables.get_browse_ctable(**kw))
+
+    def test_fixed_ctables(self):
+        from proteus_tpu.runtime import ctables
+        self._compare(REF._get_cloud_layer_ctable(),
+                      ctables.get_cloud_layer_ctable())
+        self._compare(REF._get_landcover_mask_ctable(),
+                      ctables.get_landcover_mask_ctable())
+        self._compare(REF._get_binary_mask_ctable(),
+                      ctables.get_binary_mask_ctable())
+        self._compare(REF._get_binary_water_ctable(),
+                      ctables.get_binary_water_ctable())
+        self._compare(REF._get_confidence_layer_ctable(),
+                      ctables.get_confidence_layer_ctable())
+
+    def test_transparency_rgb(self):
+        from proteus_tpu.runtime import ctables
+        for alpha in (0.0, 0.25, 0.5, 0.9, 1.0):
+            want = REF.get_transparency_rgb_vals((10, 200, 30),
+                                                 (255, 255, 255), alpha)
+            got = ctables.get_transparency_rgb_vals((10, 200, 30),
+                                                    (255, 255, 255), alpha)
+            assert tuple(want) == tuple(got), alpha
+
+    def test_metadata_dict_and_datasets(self):
+        from proteus_tpu.runtime import metadata as md_util
+        want = REF._get_dswx_metadata_dict('OPERA_L3_DSWx', '1.0')
+        got = md_util.get_dswx_metadata_dict('OPERA_L3_DSWx', '1.0')
+        for k in want:
+            if k in ('PROCESSING_DATETIME', 'SOFTWARE_VERSION'):
+                continue  # volatile / package-version fields
+            assert got[k] == want[k], k
+        assert list(got)[:-1] == list(want)[:-1]  # same key order
+
+        for spacecraft, dem_desc in [
+                ('SENTINEL-2A', 'Copernicus DEM GLO-30 2021 WGS84'),
+                ('LANDSAT-8', None),
+                ('SENTINEL-2B', None)]:
+            want = REF._get_dswx_metadata_dict('p', 'v')
+            got = md_util.get_dswx_metadata_dict('p', 'v')
+            want['SPACECRAFT_NAME'] = spacecraft
+            got['SPACECRAFT_NAME'] = spacecraft
+            kw = dict(dem_file='/a/dem.tif',
+                      dem_file_description=dem_desc,
+                      landcover_file='/a/lc.tif',
+                      shoreline_shapefile=None)
+            REF._populate_dswx_metadata_datasets(want, 'HLS.S30.T15RYP',
+                                                 **kw)
+            md_util.populate_dswx_metadata_datasets(got, 'HLS.S30.T15RYP',
+                                                    **kw)
+            for k in want:
+                if k in ('PROCESSING_DATETIME', 'SOFTWARE_VERSION'):
+                    continue
+                assert got[k] == want[k], (spacecraft, k)
+
+
+    @pytest.mark.parametrize('ocean,aerosol,algo', [
+        (True, True, 'sun_local_inc_angle'),
+        (False, True, 'otsu'),
+        (True, False, 'sun_local_inc_angle')])
+    def test_metadata_processing_parameters(self, ocean, aerosol, algo):
+        from proteus_tpu.runtime import metadata as md_util
+        kw = dict(
+            apply_ocean_masking=ocean,
+            apply_aerosol_class_remapping=aerosol,
+            aerosol_not_water_to_high_conf_water_fmask_values=[224, 160],
+            aerosol_water_moderate_conf_to_high_conf_water_fmask_values=
+                [224, 160, 96],
+            aerosol_partial_surface_water_conservative_to_high_conf_water_fmask_values=
+                [224, 192],
+            aerosol_partial_surface_aggressive_to_high_conf_water_fmask_values=
+                [224],
+            shadow_masking_algorithm=algo,
+            min_slope_angle=-5.0,
+            max_sun_local_inc_angle=40.0,
+            mask_adjacent_to_cloud_mode='mask',
+            forest_mask_landcover_classes=[20, 50, 111],
+            shoreline_shapefile='/a/shore.shp' if ocean else None,
+            ocean_masking_shoreline_distance_km=1.0)
+        want, got = {}, {}
+        REF._populate_dswx_metadata_processing_parameters(want, **kw)
+        md_util.populate_dswx_metadata_processing_parameters(got, **kw)
+        assert got == dict(want)
+
+    def test_science_constant_dicts(self):
+        assert dict(REF.interpreted_dswx_band_dict) == oracle.INTERP
+        assert dict(REF.collapse_wtr_classes_dict) == oracle.COLLAPSE
+        from proteus_tpu.core import constants as C2
+        assert dict(REF.band_description_dict) == C2.BAND_DESCRIPTION_DICT
+
+
 class TestShadowParity:
     """The DEM branch: reference float64 trig chain (dswx_hls.py:4215-4283).
 
