@@ -196,6 +196,13 @@ def make_spatial_campaign_step(config: DswxChainConfig, mesh,
         return jnp.concatenate([top, x, bot], axis=1)
 
     n_extra = int(with_ocean) + int(with_shadow) + int(with_landcover)
+    use_pallas = _campaign_uses_pallas(config)
+    pallas_kernel = None
+    if use_pallas:
+        from proteus_tpu.ops.pallas.wtr_kernel import make_wtr_kernel
+        pallas_kernel = make_wtr_kernel(
+            config, with_ocean=with_ocean, with_shadow=with_shadow,
+            with_landcover=with_landcover, compute_browse=compute_browse)
 
     def per_tile(b, g, r, n, s1, s2, fm, inv, *extras):
         it = iter(extras)
@@ -207,6 +214,15 @@ def make_spatial_campaign_step(config: DswxChainConfig, mesh,
                           landcover_mask=lc,
                           compute_browse=compute_browse,
                           compute_stats=False)
+
+    def _tiles_through_chain(padded):
+        if use_pallas:
+            # static per-device batch loop (see make_campaign_step)
+            tiles = [pallas_kernel(*[a[i] for a in padded])
+                     for i in range(padded[0].shape[0])]
+            return {k: jnp.stack([t[k] for t in tiles])
+                    for k in tiles[0]}
+        return jax.vmap(per_tile)(*padded)
 
     def local_step(b, g, r, n, s1, s2, fm, inv, *extras):
         if halo > b.shape[1]:
@@ -229,7 +245,7 @@ def make_spatial_campaign_step(config: DswxChainConfig, mesh,
             padded.append(with_halo(next(it), edge_fill=1))
         if with_landcover:
             padded.append(with_halo(next(it), edge_fill=255))
-        out = jax.vmap(per_tile)(*padded)
+        out = _tiles_through_chain(padded)
         out = {k: v[:, halo:-halo, :] for k, v in out.items()}
 
         prelim = masking.compute_preliminary_cloud_layer(
@@ -256,7 +272,8 @@ def make_spatial_campaign_step(config: DswxChainConfig, mesh,
                     'n_tiles_total': P()}
     sharded = shard_map(local_step, mesh=mesh,
                         in_specs=(spec,) * (8 + n_extra),
-                        out_specs=(layer_specs, totals_specs))
+                        out_specs=(layer_specs, totals_specs),
+                        check_vma=not use_pallas)
     return jax.jit(sharded)
 
 

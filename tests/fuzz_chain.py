@@ -87,6 +87,41 @@ def one_iteration(seed):
                 f'regime={regime}: {bad} mismatches; thresholds={tdict}')
 
 
+def one_shadow_iteration(seed, ref):
+    """Fuzz compute_opera_shadow_layer_exact against the reference's
+    executing float64 chain over synthetic DEMs (smooth, rough, quantized,
+    NaN-holed) and sun geometries, including near-tie thresholds."""
+    from proteus_tpu.models.dswx.shadow import compute_opera_shadow_layer_exact
+    rng = np.random.default_rng(seed)
+    shape = (int(rng.integers(16, 200)), int(rng.integers(16, 200)))
+    kind = rng.integers(0, 4)
+    if kind == 0:      # smooth correlated terrain
+        dem = rng.normal(0, 1, shape).cumsum(0).cumsum(1)
+        dem = dem / max(1e-9, np.abs(dem).max()) * rng.uniform(10, 5000)
+    elif kind == 1:    # rough noise
+        dem = rng.normal(0, rng.uniform(1, 500), shape)
+    elif kind == 2:    # quantized (integer-metre DEM) -> exact ties
+        dem = rng.integers(0, 50, shape).astype(np.float64) * 30.0
+    else:              # flat with NaN holes
+        dem = np.full(shape, float(rng.uniform(0, 1000)))
+        dem[rng.random(shape) < 0.1] = np.nan
+    dem = dem.astype(np.float32)
+    az = float(rng.uniform(0, 360))
+    elev = float(rng.uniform(1, 89))
+    mins = float(rng.uniform(-45, 0))
+    maxi = float(rng.uniform(1, 89))
+    if rng.random() < 0.3:
+        maxi = 90.0 - elev  # inc == max_inc ties on flat ground
+    want = ref._compute_opera_shadow_layer(dem, az, elev, mins, maxi)
+    got = compute_opera_shadow_layer_exact(dem, az, elev, mins,
+                                           maxi).astype(bool)
+    flips = int((got != want).sum())
+    if flips:
+        raise AssertionError(
+            f'shadow seed={seed} kind={kind} az={az} elev={elev} '
+            f'mins={mins} maxi={maxi}: {flips} boolean flips')
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     for i in range(n):
@@ -94,6 +129,18 @@ def main():
         if (i + 1) % 25 == 0:
             print(f'{i + 1}/{n} iterations bit-exact', flush=True)
     print(f'fuzz complete: {n} iterations, all layers bit-exact')
+
+    import refbridge
+    ref = refbridge.load_reference_dswx()
+    if ref is None:
+        print('reference checkout unavailable: shadow fuzz skipped')
+        return
+    for i in range(n):
+        one_shadow_iteration(5000 + i, ref)
+        if (i + 1) % 25 == 0:
+            print(f'{i + 1}/{n} shadow iterations bit-exact', flush=True)
+    print(f'shadow fuzz complete: {n} iterations, 0 boolean flips vs the '
+          'reference float64 chain')
 
 
 if __name__ == '__main__':
