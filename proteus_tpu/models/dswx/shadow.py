@@ -270,19 +270,23 @@ def _host_shadow_exact(dem, sun_azimuth_angle, sun_elevation_angle,
 def compute_opera_shadow_layer_exact(dem, sun_azimuth_angle,
                                      sun_elevation_angle, min_slope_angle,
                                      max_sun_local_inc_angle,
-                                     pixel_spacing_x=30, pixel_spacing_y=30):
+                                     pixel_spacing_x=30, pixel_spacing_y=30,
+                                     as_device=False):
     """Shadow mask bit-identical to the reference float64 chain.
 
     Accepts a host or device DEM. float32 DEMs (the production case —
     Copernicus GLO-30 after cubic warp) run on device with host resolution
     of the epsilon band; float64 DEMs run on host directly. Returns a host
-    numpy bool array.
+    numpy bool array, or (``as_device=True``) a device bool array — the
+    epsilon band is then patched by a device scatter of the host-decided
+    values, so the full mask never crosses the (slow) device->host link.
     """
     if isinstance(dem, np.ndarray) and dem.dtype == np.float64:
-        return _host_shadow_exact(dem, sun_azimuth_angle,
-                                  sun_elevation_angle, min_slope_angle,
-                                  max_sun_local_inc_angle,
-                                  pixel_spacing_x, pixel_spacing_y)
+        out = _host_shadow_exact(dem, sun_azimuth_angle,
+                                 sun_elevation_angle, min_slope_angle,
+                                 max_sun_local_inc_angle,
+                                 pixel_spacing_x, pixel_spacing_y)
+        return jnp.asarray(out) if as_device else out
 
     x_crit, t_crit = _decision_boundaries(
         sun_azimuth_angle, sun_elevation_angle, min_slope_angle,
@@ -305,23 +309,36 @@ def compute_opera_shadow_layer_exact(dem, sun_azimuth_angle,
     if n_uncertain >= _MAX_UNCERTAIN:
         # epsilon band overflow (pathological flat-at-threshold DEM):
         # recompute everything on host with reference semantics
-        return _host_shadow_exact(np.asarray(dem, dtype=np.float32),
-                                  sun_azimuth_angle, sun_elevation_angle,
-                                  min_slope_angle, max_sun_local_inc_angle,
-                                  pixel_spacing_x, pixel_spacing_y)
+        out = _host_shadow_exact(np.asarray(dem, dtype=np.float32),
+                                 sun_azimuth_angle, sun_elevation_angle,
+                                 min_slope_angle, max_sun_local_inc_angle,
+                                 pixel_spacing_x, pixel_spacing_y)
+        return jnp.asarray(out) if as_device else out
 
-    shadow = np.array(shadow)  # writable host copy (np.asarray of a jax
-    if n_uncertain:            # array is a read-only view)
+    decided = None
+    if n_uncertain:
         sel = idx[:n_uncertain]
         # recompute tn on host IEEE division (reference semantics) from the
         # bit-exact device gradients
-        flat_gx = np.asarray(gx.ravel()[sel], dtype=np.float32)
-        flat_gy = np.asarray(gy.ravel()[sel], dtype=np.float32)
+        flat_gx = np.asarray(gx.ravel()[jnp.asarray(sel)],
+                             dtype=np.float32)
+        flat_gy = np.asarray(gy.ravel()[jnp.asarray(sel)],
+                             dtype=np.float32)
         flat_tn_x = -flat_gx / pixel_spacing_x
         flat_tn_y = -flat_gy / -abs(pixel_spacing_y)
         decided = _host_decide_f64(flat_tn_x, flat_tn_y, sun_azimuth_angle,
                                    sun_elevation_angle, min_slope_angle,
                                    max_sun_local_inc_angle)
+
+    if as_device:
+        if decided is not None:
+            flat = shadow.ravel().at[jnp.asarray(sel)].set(
+                jnp.asarray(decided))
+            shadow = flat.reshape(shadow.shape)
+        return shadow
+
+    shadow = np.array(shadow)  # writable host copy (np.asarray of a jax
+    if decided is not None:    # array is a read-only view)
         flat = shadow.ravel()
         flat[sel] = decided
         shadow = flat.reshape(shadow.shape)

@@ -369,11 +369,16 @@ def _read_tile(job, flag_debug=False, config=None):
         dem_m = warp_to_grid_device(job.dem_file, gt, proj, length,
                                     width, resample_algorithm='cubic',
                                     margin_in_pixels=m)
+        # keep shadow/DEM on device: they feed the device step and the
+        # writer pool (which materializes them there, overlapped) — the
+        # slow tunneled d2h link never sees them on the critical path
         shad = compute_opera_shadow_layer_exact(dem_m, az, 90.0 - zen,
-                                                min_slope, max_inc)
-        image_dict['shadow_layer'] = np.asarray(
-            shad[m:-m, m:-m]).astype(np.uint8)
-        image_dict['dem'] = np.asarray(dem_m[m:-m, m:-m])
+                                                min_slope, max_inc,
+                                                as_device=True)
+        import jax.numpy as jnp
+        image_dict['shadow_layer'] = jnp.asarray(shad[m:-m, m:-m],
+                                                 jnp.uint8)
+        image_dict['dem'] = dem_m[m:-m, m:-m]
 
     if job.landcover_file and job.worldcover_file:
         from proteus_tpu.geo.warp import (warp_to_grid_device,
@@ -390,10 +395,11 @@ def _read_tile(job, flag_debug=False, config=None):
         forest = (config.forest_mask_landcover_classes
                   if config is not None else
                   (20, 50, 111, 113, 115, 116, 121, 123, 125, 126))
-        image_dict['landcover_mask'] = np.asarray(
+        import jax.numpy as jnp
+        image_dict['landcover_mask'] = jnp.asarray(
             create_landcover_mask_arrays(
                 cgls, wc3, C.LANDCOVER_MASK_TYPE, forest,
-                worldcover_year=year)).astype(np.uint8)
+                worldcover_year=year), jnp.uint8)
     return image_dict
 
 
@@ -652,8 +658,15 @@ class CampaignRunner:
         w = loaded[0][1]['width']
 
         def stack(key, dtype, pad_value=0):
-            arrs = [np.asarray(d[key], dtype=dtype)
-                    for _, d in loaded]
+            arrs = [d[key] for _, d in loaded]
+            if any(isinstance(a, jax.Array) for a in arrs):
+                # device-resident inputs (shadow/dem/landcover): stack on
+                # device — no host round-trip
+                arrs = [jnp.asarray(a, dtype=dtype) for a in arrs]
+                while len(arrs) < b:
+                    arrs.append(jnp.full((h, w), pad_value, dtype=dtype))
+                return jnp.stack(arrs)
+            arrs = [np.asarray(a, dtype=dtype) for a in arrs]
             while len(arrs) < b:
                 arrs.append(np.full((h, w), pad_value, dtype=dtype))
             return np.stack(arrs)
@@ -686,7 +699,8 @@ class CampaignRunner:
                 sharding))
         step = self._step_for(with_ocean, with_shadow, with_landcover)
         out, totals = step(*args)
-        out = jax.device_get(out)
+        # out stays on device: the writer pool materializes per-tile
+        # slices, overlapping the transfers with the next batch's compute
         totals = jax.device_get(totals)
         del n
         return out, totals

@@ -482,6 +482,22 @@ class TestShadowParity:
                                                    0.0005)
             np.testing.assert_array_equal(got.astype(bool), want)
 
+    def test_opera_shadow_as_device_matches_host(self):
+        # the device-resident variant (epsilon band patched by scatter)
+        # must equal the host-returned mask, including patched pixels
+        az, elev, mins, maxi = 120.0, 45.0, -15.0, 40.0
+        _, t_crit = _decision_boundaries(az, elev, mins, maxi)
+        tn = t_crit / np.sin(np.radians(az))
+        s = np.float32(-tn * 30.0)  # slope pinned at the decision boundary
+        dem = (np.arange(64, dtype=np.float32) * s)[None, :].repeat(
+            16, axis=0)
+        host = compute_opera_shadow_layer_exact(dem, az, elev, mins, maxi)
+        dev = compute_opera_shadow_layer_exact(dem, az, elev, mins, maxi,
+                                               as_device=True)
+        np.testing.assert_array_equal(np.asarray(dev), host)
+        want = REF._compute_opera_shadow_layer(dem, az, elev, mins, maxi)
+        np.testing.assert_array_equal(np.asarray(dev).astype(bool), want)
+
     def test_opera_shadow_nan_dem(self):
         dem = self._dem((64, 64))
         dem[10:20, 30:40] = np.nan
