@@ -108,12 +108,18 @@ def _dilate_masked_block(x, mask, iterations):
 
 def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
                     with_landcover=False, compute_browse=True,
-                    block_rows=None, interpret=False):
+                    block_rows=None, interpret=False,
+                    minimal_outputs=False):
     """Build the fused kernel. ``config`` is a DswxChainConfig; static
     choices are baked in at trace time.
 
     Returns fn(blue, green, red, nir, swir1, swir2, fmask, invalid
                [, ocean][, shadow][, landcover]) -> dict of layers.
+
+    ``minimal_outputs=True`` emits only the independent layers — 'DIAG6'
+    (raw 6-bit decimal, uint8), 'WTR-1', 'WTR-2', 'CLOUD' — halving the
+    output bytes; WTR/BWTR/CONF/BROWSE/DIAG are elementwise functions of
+    these, derived on host (models/dswx/host_derive.py).
     """
     cover = config.mask_adjacent_to_cloud_mode == 'cover'
     if block_rows is None:
@@ -160,9 +166,13 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
             landcover_r = refs[idx]
             idx += 1
         outs = refs[idx:]
-        (diag_o, wtr1_o, wtr2_o, wtr_o, bwtr_o, conf_o, cloud_o) = \
-            outs[:7]
-        browse_o = outs[7] if compute_browse else None
+        if minimal_outputs:
+            diag_o, wtr1_o, wtr2_o, cloud_o = outs
+            wtr_o = bwtr_o = conf_o = browse_o = None
+        else:
+            (diag_o, wtr1_o, wtr2_o, wtr_o, bwtr_o, conf_o, cloud_o) = \
+                outs[:7]
+            browse_o = outs[7] if compute_browse else None
 
         if cover:
             # halo blocks: mask off rows outside the image — the Element
@@ -219,13 +229,22 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
               & (swir2 * et.pswt_2_swir2[1] < et.pswt_2_swir2[0])
               & (n32 * et.pswt_2_nir[1] < et.pswt_2_nir[0]))
 
-        # DIAG pseudo-binary representation (fill -> 65535)
         bits = [t1, t2, t3, t4, t5]
-        diag_rep = jnp.zeros(t1.shape, jnp.int32)
-        for i, b in enumerate(bits):
-            diag_rep = diag_rep + b.astype(jnp.int32) * (10 ** i)
-        diag_rep = jnp.where(invalid, 65535, diag_rep)
-        store(diag_o, diag_rep.astype(jnp.uint16))
+        if minimal_outputs:
+            # raw 6-bit decimal (host expands to the pseudo-binary repr)
+            diag6 = jnp.zeros(t1.shape, jnp.int32)
+            for i, b in enumerate(bits):
+                diag6 = diag6 + b.astype(jnp.int32) * (1 << i)
+            diag6 = jnp.where(invalid,
+                              C.DIAGNOSTIC_LAYER_NO_DATA_DECIMAL, diag6)
+            store(diag_o, diag6.astype(jnp.uint8))
+        else:
+            # DIAG pseudo-binary representation (fill -> 65535)
+            diag_rep = jnp.zeros(t1.shape, jnp.int32)
+            for i, b in enumerate(bits):
+                diag_rep = diag_rep + b.astype(jnp.int32) * (10 ** i)
+            diag_rep = jnp.where(invalid, 65535, diag_rep)
+            store(diag_o, diag_rep.astype(jnp.uint16))
 
         # WTR-1 via closed-form popcount interpretation (int32 pipeline;
         # uint8 only at the output stores)
@@ -301,6 +320,9 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
         cloud = jnp.where(wtr2 == C.UINT8_FILL_VALUE, 255, cloud)
         store(cloud_o, cloud.astype(jnp.uint8))
 
+        if minimal_outputs:
+            return
+
         # WTR
         cloudy = (cloud != 0) & (cloud != 8)
         snowy = (cloud == 2) | (cloud == 10)
@@ -368,10 +390,15 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
                 memory_space=pltpu.VMEM)
 
         n_in = 8 + n_extra
-        n_out = 8 if compute_browse else 7
-        out_shapes = [jax.ShapeDtypeStruct((h, w), jnp.uint16)] + \
-            [jax.ShapeDtypeStruct((h, w), jnp.uint8)
-             for _ in range(n_out - 1)]
+        if minimal_outputs:
+            n_out = 4
+            out_shapes = [jax.ShapeDtypeStruct((h, w), jnp.uint8)
+                          for _ in range(n_out)]
+        else:
+            n_out = 8 if compute_browse else 7
+            out_shapes = [jax.ShapeDtypeStruct((h, w), jnp.uint16)] + \
+                [jax.ShapeDtypeStruct((h, w), jnp.uint8)
+                 for _ in range(n_out - 1)]
         return pl.pallas_call(
             functools.partial(kernel, h_total=h),
             grid=grid,
@@ -398,10 +425,13 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
             arrays = [jnp.pad(a, ((halo, padded_h - h - halo), (0, 0)))
                       for a in arrays]
         outs = call(*arrays)
-        names = ['DIAG', 'WTR-1', 'WTR-2', 'WTR', 'BWTR', 'CONF',
-                 'CLOUD']
-        if compute_browse:
-            names.append('BROWSE')
+        if minimal_outputs:
+            names = ['DIAG6', 'WTR-1', 'WTR-2', 'CLOUD']
+        else:
+            names = ['DIAG', 'WTR-1', 'WTR-2', 'WTR', 'BWTR', 'CONF',
+                     'CLOUD']
+            if compute_browse:
+                names.append('BROWSE')
         return dict(zip(names, outs))
 
     return fn

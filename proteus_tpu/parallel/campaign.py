@@ -72,12 +72,18 @@ def make_campaign_step(config: DswxChainConfig, mesh,
     n_extra = int(with_ocean) + int(with_shadow) + int(with_landcover)
     if use_pallas is None:
         use_pallas = _campaign_uses_pallas(config)
+    # minimal-transfer mode: the kernel emits only the independent layers
+    # (DIAG6/WTR-1/WTR-2/CLOUD, ~54 MB/tile instead of ~107); the writer
+    # pool derives WTR/BWTR/CONF/DIAG/BROWSE on host
+    # (models/dswx/host_derive.py)
+    minimal = bool(use_pallas)
     pallas_kernel = None
     if use_pallas:
         from proteus_tpu.ops.pallas.wtr_kernel import make_wtr_kernel
         pallas_kernel = make_wtr_kernel(
             config, with_ocean=with_ocean, with_shadow=with_shadow,
-            with_landcover=with_landcover, compute_browse=compute_browse)
+            with_landcover=with_landcover, compute_browse=compute_browse,
+            minimal_outputs=minimal)
 
     def per_tile(b, g, r, n, s1, s2, fm, inv, *extras):
         it = iter(extras)
@@ -133,12 +139,15 @@ def make_campaign_step(config: DswxChainConfig, mesh,
         return out, totals
 
     spec = P(TILE_AXIS)
+    if minimal:
+        keys = ('DIAG6', 'WTR-1', 'WTR-2', 'CLOUD')
+    else:
+        keys = ('DIAG', 'WTR-1', 'WTR-2', 'WTR', 'BWTR', 'CONF', 'CLOUD')
+        if compute_browse:
+            keys = keys + ('BROWSE',)
     layer_specs = {k: spec for k in
-                   ('DIAG', 'WTR-1', 'WTR-2', 'WTR', 'BWTR', 'CONF',
-                    'CLOUD', 'n_valid', 'n_cloud_and_valid',
-                    'n_not_ocean')}
-    if compute_browse:
-        layer_specs['BROWSE'] = spec
+                   keys + ('n_valid', 'n_cloud_and_valid',
+                           'n_not_ocean')}
     totals_specs = {'n_valid_total': P(), 'n_cloud_and_valid_total': P(),
                     'n_tiles_total': P()}
 
@@ -403,16 +412,21 @@ def _read_tile(job, flag_debug=False, config=None):
     return image_dict
 
 
-def _write_tile(job, layers, image_dict, metadata):
+def _write_tile(job, layers, image_dict, metadata, derive_opts=None):
     """Write all available layers (+ browse) for one tile.
 
     ``layers`` values may still be device arrays — materialized here, in
     the writer pool, so the device->host transfer overlaps the next
-    batch's compute."""
+    batch's compute. In minimal-transfer mode (a 'DIAG6' key), the
+    dependent layers are derived here too (models/dswx/host_derive.py)."""
     from proteus_tpu.runtime import ctables
     from proteus_tpu.runtime import product_writer as pw
     from proteus_tpu.io.png import geotiff2png
     layers = {name: np.asarray(a) for name, a in layers.items()}
+    if 'DIAG6' in layers:
+        from proteus_tpu.models.dswx import host_derive
+        host_derive.derive_dependent_layers(layers,
+                                            **(derive_opts or {}))
     geotransform = image_dict['geotransform']
     projection = image_dict['projection']
     os.makedirs(job.output_dir, exist_ok=True)
@@ -562,6 +576,23 @@ class CampaignRunner:
             shoreline_shapefile=job.shoreline_shapefile)
         return md
 
+    def _derive_opts(self):
+        """Options for the writer-pool derivation of dependent layers
+        (minimal-transfer mode); mirrors the chain's BROWSE flags."""
+        cfg = self.config
+        return {
+            'compute_browse': self.save_browse,
+            'browse_options': dict(
+                flag_collapse_wtr_classes=cfg.flag_collapse_wtr_classes,
+                exclude_psw_aggressive=
+                    cfg.exclude_psw_aggressive_in_browse,
+                set_not_water_to_nodata=
+                    cfg.not_water_in_browse == 'nodata',
+                set_cloud_to_nodata=cfg.cloud_in_browse == 'nodata',
+                set_snow_to_nodata=cfg.snow_in_browse == 'nodata',
+                set_ocean_masked_to_nodata=True),
+        }
+
     def run(self, jobs, metadata=None):
         """Process all jobs; returns campaign statistics."""
         pending = [j for j in jobs
@@ -624,10 +655,9 @@ class CampaignRunner:
             stats['n_cloud_and_valid_total'] += int(
                 totals['n_cloud_and_valid_total'])
 
-            layer_names = ['WTR', 'BWTR', 'CONF', 'DIAG', 'WTR-1',
-                           'WTR-2', 'CLOUD']
-            if self.save_browse:
-                layer_names.append('BROWSE')
+            layer_names = [name for name in out
+                           if name not in ('n_valid', 'n_cloud_and_valid',
+                                           'n_not_ocean')]
             for k, (job, image_dict) in enumerate(loaded):
                 # hand the writer the DEVICE slices: the np.asarray
                 # materialization (slow tunnel readback) happens in the
@@ -637,7 +667,8 @@ class CampaignRunner:
                 md.update(metadata or {})
                 write_futures.append(
                     (job, self._writers.submit(
-                        _write_tile, job, layers, image_dict, md)))
+                        _write_tile, job, layers, image_dict, md,
+                        self._derive_opts())))
 
         for job, fut in write_futures:
             try:
