@@ -159,11 +159,16 @@ def rasterize_rings(rings, geotransform, length, width, out=None):
 
 
 def create_ocean_mask(shapefile, margin_km, scratch_dir, geotransform,
-                      projection, length, width, temp_files_list=None):
+                      projection, length, width, temp_files_list=None,
+                      as_device=False):
     """Ocean mask from the GSHHS shoreline (1: land, 0: ocean).
 
     Shoreline polygons are land; the mask is land rasterized then dilated
-    seaward by ``margin_km`` via a Euclidean distance transform in meters.
+    seaward by ``margin_km``. ``as_device=True`` runs the metric buffer as
+    a device ellipse dilation (equivalent to the host Euclidean distance
+    transform threshold; see ops/morphology.dilate_ellipse_device) and
+    returns a device uint8 array — the mask feeds the device chain, so it
+    never needs to exist on host.
     """
     del scratch_dir, temp_files_list  # no temporary files needed
     logger.info('creating the ocean mask')
@@ -220,6 +225,14 @@ def create_ocean_mask(shapefile, margin_km, scratch_dir, geotransform,
                 utm_rings.append(np.stack([ux, uy], axis=1))
             rasterize_rings(utm_rings, geotransform, length, width,
                             out=land)
+
+    if as_device:
+        import jax.numpy as jnp
+        from proteus_tpu.ops.morphology import dilate_ellipse_device
+        dev = jnp.asarray(land)
+        if margin_m > 0 and land.any():
+            dev = dilate_ellipse_device(dev, margin_m, dy, dx)
+        return dev
 
     if margin_m > 0 and land.any():
         # seaward buffer: distance from land <= margin (exact Euclidean

@@ -10,6 +10,8 @@ Implemented as a fori_loop of padded-shift ORs — pure VPU work that XLA
 fuses; a 3660x3660 bool dilation iteration is ~13 MB of traffic.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -54,6 +56,74 @@ def binary_dilation_masked(x, iterations: int, mask=None):
     if iterations <= 0:
         return x
     return jax.lax.fori_loop(0, iterations, body, x)
+
+
+def dilate_ellipse_device(land_u8, margin_m: float, dy_m: float,
+                          dx_m: float):
+    """Dilate a land mask by a metric-radius ellipse on device.
+
+    Equivalent to thresholding scipy's Euclidean distance transform with
+    sampling (|dy|, |dx|) at ``margin_m`` (geo/polygon.py's ocean-mask
+    buffer): a pixel turns on iff some land pixel lies within
+    (k*dy)^2 + (j*dx)^2 <= margin^2. Decomposed as one horizontal
+    max-pool per DISTINCT row-span plus one shifted OR per row offset —
+    ~35 + 69 fused VPU passes for the default 1 km buffer instead of the
+    ~3600 of a naive disk OR (or a 4.5 s host EDT on this one-core box).
+    """
+    import numpy as np
+    import jax.lax as lax
+
+    dy = abs(float(dy_m))
+    dx = abs(float(dx_m))
+    r_y = int(np.floor(margin_m / dy))
+    x = jnp.asarray(land_u8, jnp.uint8)
+    if margin_m <= 0:
+        return x
+
+    # horizontal span (pixels) per row offset k, exact f64 like the EDT
+    spans = {}
+    for k in range(-r_y, r_y + 1):
+        rem = margin_m ** 2 - (k * dy) ** 2
+        spans[k] = int(np.floor(np.sqrt(max(rem, 0.0)) / dx))
+
+    dilate = _build_ellipse_dilation(
+        tuple(sorted(spans.items())))
+    return dilate(x)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_ellipse_dilation(span_items):
+    """One fused jitted program per span signature (eager dispatch would
+    remote-compile ~100 separate ops; per-call jit would retrace)."""
+    import jax.lax as lax
+    spans = dict(span_items)
+
+    @jax.jit
+    def dilate(x):
+        h, w = x.shape
+        hmax = {}
+        for s in sorted(set(spans.values())):
+            if s == 0:
+                hmax[s] = x
+            else:
+                hmax[s] = lax.reduce_window(x, jnp.uint8(0), lax.max,
+                                            (1, 2 * s + 1), (1, 1),
+                                            [(0, 0), (s, s)])
+        out = jnp.zeros_like(x)
+        for k, s in spans.items():
+            row = hmax[s]
+            if k > 0:
+                shifted = jnp.concatenate(
+                    [jnp.zeros((k, w), x.dtype), row[:h - k]], axis=0)
+            elif k < 0:
+                shifted = jnp.concatenate(
+                    [row[-k:], jnp.zeros((-k, w), x.dtype)], axis=0)
+            else:
+                shifted = row
+            out = out | shifted
+        return out
+
+    return dilate
 
 
 def dilate_disk(x, radius_px: float):

@@ -361,7 +361,8 @@ def _read_tile(job, flag_debug=False, config=None):
         image_dict['ocean_mask'] = create_ocean_mask(
             job.shoreline_shapefile,
             job.ocean_masking_shoreline_distance_km, '.', gt, proj,
-            length, width)
+            length, width,
+            as_device=jax.devices()[0].platform == 'tpu')
 
     if job.dem_file:
         from proteus_tpu.geo.warp import warp_to_grid_device

@@ -333,7 +333,8 @@ def generate_dswx_layers(input_list,
                 shoreline_shapefile,
                 p['ocean_masking_shoreline_distance_km'],
                 scratch_dir, geotransform, projection, length, width,
-                temp_files_list=temp_files_list)
+                temp_files_list=temp_files_list,
+                as_device=jax.devices()[0].platform == 'tpu')
 
     # ---- DEM warp + terrain shadow (device) ---------------------------------
     use_host_warp = bool(os.environ.get('PROTEUS_TPU_HOST_WARP'))
