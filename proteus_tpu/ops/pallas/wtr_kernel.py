@@ -22,7 +22,8 @@ Two TPU-native rewrites relative to the reference algorithms:
 
 The 'cover' cloud-adjacent mode (scipy-masked dilation, 10 snow + 7
 unmask iterations; reference dswx_hls.py:2060-2076) runs fused too: input
-blocks carry a 17-row halo (element-indexed overlapping BlockSpecs), the
+blocks carry a 20-row halo (element-indexed overlapping BlockSpecs; 17
+rows of influence radius padded to keep block heights 8-aligned), the
 two masked dilations run as zero-fill shift/OR stencils on the VPU inside
 the same VMEM residency, and only the halo-cropped center rows are stored.
 Out-of-image halo rows are masked off (the Element padding region is
@@ -123,7 +124,7 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
     """
     cover = config.mask_adjacent_to_cloud_mode == 'cover'
     if block_rows is None:
-        # cover mode holds (block + 2*17 halo) rows of every input in
+        # cover mode holds (block + 2*halo) rows of every input in
         # VMEM; a smaller block keeps the residency comfortable
         block_rows = 128 if cover else 256
     et = ExactThresholds.from_thresholds(config.thresholds)
