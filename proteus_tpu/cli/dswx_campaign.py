@@ -66,6 +66,11 @@ def get_parser():
                         help='Shard each tile spatially over this many '
                              'devices (2-D tile x space mesh with ICI '
                              'halo exchange)')
+    parser.add_argument('--hosts', type=int, default=1,
+                        help='Dispatch the campaign across this many '
+                             'host worker processes (per-host manifest '
+                             'shards + lost-host recovery; see '
+                             'parallel/dispatch.py)')
     parser.add_argument('--debug', dest='flag_debug',
                         action='store_true', default=False,
                         help='Read only 1000x1000 windows')
@@ -107,6 +112,19 @@ def main(argv=None):
     manifest = args.manifest or os.path.join(args.output_dir,
                                              'campaign_manifest.json')
     os.makedirs(args.output_dir, exist_ok=True)
+
+    if args.hosts > 1:
+        from proteus_tpu.parallel.dispatch import dispatch_campaign
+        _, stats = dispatch_campaign(
+            jobs, n_hosts=args.hosts, manifest_path=manifest,
+            scratch_dir=os.path.join(args.output_dir, '.dispatch'),
+            config_kwargs=dict(
+                mask_adjacent_to_cloud_mode=
+                args.mask_adjacent_to_cloud_mode),
+            save_browse=args.save_browse,
+            platform=os.environ.get('PROTEUS_TPU_PLATFORM'))
+        logger.info(f'campaign complete: {stats}')
+        sys.exit(1 if stats['tiles_failed'] else 0)
 
     config = DswxChainConfig(
         thresholds=HlsThresholds(),

@@ -173,6 +173,28 @@ def test_campaign_cli(tmp_path):
     assert os.path.isfile(os.path.join(out, 'campaign_manifest.json'))
 
 
+def test_campaign_cli_multihost(tmp_path, monkeypatch):
+    """--hosts 2 routes through the multi-host dispatcher (per-host
+    manifest shards, subprocess workers)."""
+    import pytest
+    monkeypatch.setenv('PROTEUS_TPU_PLATFORM', 'cpu')
+    from proteus_tpu.cli.dswx_campaign import main as campaign_main
+    dirs = []
+    for t in range(2):
+        d = str(tmp_path / f'tile_{t}')
+        synthetic.make_hls_v2_dataset(d, size=96, seed=900 + t)
+        dirs.append(d)
+    out = str(tmp_path / 'mh_out')
+    with pytest.raises(SystemExit) as exc:
+        campaign_main(dirs + ['-o', out, '--hosts', '2'])
+    assert exc.value.code == 0
+    for t in range(2):
+        assert len(glob.glob(os.path.join(out, f'tile_{t}',
+                                          '*.tif'))) == 7
+    assert os.path.isfile(os.path.join(
+        out, 'campaign_manifest.host0.json'))
+
+
 def test_campaign_full_product_with_ancillaries(tmp_path):
     """Campaign runner with DEM/landcover/ocean ancillaries + browse:
     all 10 layers and browse per tile, metadata from the tile's HLS
