@@ -73,7 +73,10 @@ def run_pass(files, extra, out_root, n_tiles, tag):
             for i in range(n_tiles)]
     for j in jobs:
         os.makedirs(j.output_dir, exist_ok=True)
-    runner = CampaignRunner(config=DswxChainConfig(), save_browse=True)
+    runner = CampaignRunner(
+        config=DswxChainConfig(), save_browse=True,
+        tiles_per_device=int(os.environ.get(
+            'PROTEUS_TPU_TILES_PER_DEVICE', '1')))
     t0 = time.time()
     stats = runner.run(jobs)
     dt = time.time() - t0

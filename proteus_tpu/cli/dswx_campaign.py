@@ -62,7 +62,10 @@ def get_parser():
     parser.add_argument('--browse', dest='save_browse',
                         action='store_true', default=False,
                         help='Also produce browse GeoTIFF + PNG per tile')
-    parser.add_argument('--spatial-shards', type=int, default=1,
+    parser.add_argument("--tiles-per-device", type=int, default=1,
+                        help="Tiles per device per batch (amortizes "
+                             "dispatch overhead on high-latency links)")
+    parser.add_argument("--spatial-shards", type=int, default=1,
                         help='Shard each tile spatially over this many '
                              'devices (2-D tile x space mesh with ICI '
                              'halo exchange)')
@@ -135,7 +138,8 @@ def main(argv=None):
                             writer_threads=args.writer_threads,
                             flag_debug=args.flag_debug,
                             save_browse=args.save_browse,
-                            spatial_shards=args.spatial_shards)
+                            spatial_shards=args.spatial_shards,
+                            tiles_per_device=args.tiles_per_device)
     stats = runner.run(jobs)
     logger.info(f'campaign complete: {stats}')
     if stats['tiles_failed']:

@@ -520,8 +520,10 @@ class CampaignRunner:
     def __init__(self, config: DswxChainConfig = None, mesh=None,
                  manifest_path=None, max_retries=2, reader_threads=8,
                  writer_threads=8, flag_debug=False, save_browse=False,
-                 processing_params=None, spatial_shards=1):
+                 processing_params=None, spatial_shards=1,
+                 tiles_per_device=1):
         self.config = config or DswxChainConfig()
+        self.tiles_per_device = max(1, int(tiles_per_device))
         self.spatial_shards = max(1, int(spatial_shards))
         if mesh is not None:
             self.mesh = mesh
@@ -545,7 +547,11 @@ class CampaignRunner:
         self._steps = {}  # keyed by (ocean, shadow, landcover) presence
         self._readers = ThreadPoolExecutor(reader_threads)
         self._writers = ThreadPoolExecutor(writer_threads)
-        self.batch_size = int(self.mesh.shape[TILE_AXIS])
+        # tiles_per_device > 1 amortizes per-dispatch overhead (relevant
+        # when the host<->device link has high latency); each device's
+        # local step loops over its tiles_per_device tiles
+        self.batch_size = int(self.mesh.shape[TILE_AXIS]) \
+            * self.tiles_per_device
 
     def _step_for(self, with_ocean, with_shadow, with_landcover):
         key = (with_ocean, with_shadow, with_landcover)

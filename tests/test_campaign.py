@@ -173,6 +173,40 @@ def test_campaign_cli(tmp_path):
     assert os.path.isfile(os.path.join(out, 'campaign_manifest.json'))
 
 
+def test_campaign_tiles_per_device(tmp_path):
+    """tiles_per_device > 1: each device's local step loops over several
+    tiles per dispatch; products identical to the per-tile path."""
+    from proteus_tpu.models.dswx.chain import DswxChainConfig
+    from proteus_tpu.parallel.campaign import CampaignRunner, TileJob
+    dirs = []
+    for t in range(4):
+        d = str(tmp_path / f'tile_{t}')
+        synthetic.make_hls_v2_dataset(d, size=96, seed=700 + t)
+        dirs.append(d)
+
+    def run(tag, **kw):
+        out = str(tmp_path / tag)
+        jobs = [TileJob(f'tile_{t}',
+                        sorted(glob.glob(os.path.join(dirs[t], '*.tif'))),
+                        os.path.join(out, f'tile_{t}'))
+                for t in range(4)]
+        r = CampaignRunner(config=DswxChainConfig(), **kw)
+        stats = r.run(jobs)
+        assert stats['tiles_failed'] == 0
+        return out
+
+    a = run('per_tile')
+    b = run('batched', tiles_per_device=2)
+    from proteus_tpu.io.tiff import TiffReader
+    for t in range(4):
+        for f in sorted(glob.glob(os.path.join(a, f'tile_{t}',
+                                               '*.tif'))):
+            other = os.path.join(b, f'tile_{t}', os.path.basename(f))
+            np.testing.assert_array_equal(TiffReader(f).read(),
+                                          TiffReader(other).read(),
+                                          err_msg=f)
+
+
 def test_campaign_cli_multihost(tmp_path, monkeypatch):
     """--hosts 2 routes through the multi-host dispatcher (per-host
     manifest shards, subprocess workers)."""
