@@ -360,14 +360,16 @@ def generate_dswx_layers(input_list,
                 shadow_with_margin = otsu_binarize(hillshade)
             else:
                 shadow_with_margin = compute_opera_shadow_layer_exact(
-                    dem_with_margin, sun_azimuth_angle, sun_elevation_angle,
-                    p['min_slope_angle'], p['max_sun_local_inc_angle'])
-        with timers.stage('DEM/shadow fetch'):
-            shadow_layer = np.asarray(
-                _crop_margin(shadow_with_margin, C.DEM_MARGIN_IN_PIXELS)
-            ).astype(np.uint8)
-            dem = np.asarray(_crop_margin(dem_with_margin,
-                                          C.DEM_MARGIN_IN_PIXELS))
+                    dem_with_margin, sun_azimuth_angle,
+                    sun_elevation_angle, p['min_slope_angle'],
+                    p['max_sun_local_inc_angle'], as_device=True)
+        # stay on device: the shadow feeds the device chain and both are
+        # materialized only when their product layers are written
+        shadow_layer = jnp.asarray(
+            _crop_margin(shadow_with_margin, C.DEM_MARGIN_IN_PIXELS),
+            jnp.uint8)
+        dem = _crop_margin(jnp.asarray(dem_with_margin),
+                           C.DEM_MARGIN_IN_PIXELS)
 
     # ---- landcover (host warps + device combine) ----------------------------
     landcover_mask = None
@@ -393,11 +395,11 @@ def generate_dswx_layers(input_list,
                             resample_algorithm='nearest')
                 year = worldcover_year_of(worldcover_file,
                                           worldcover_file_description)
-                landcover_mask = np.asarray(create_landcover_mask_arrays(
+                landcover_mask = jnp.asarray(create_landcover_mask_arrays(
                     jnp.asarray(cgls), jnp.asarray(wc3),
                     C.LANDCOVER_MASK_TYPE,
                     p['forest_mask_landcover_classes'],
-                    worldcover_year=year)).astype(np.uint8)
+                    worldcover_year=year), jnp.uint8)
 
     # ---- the fused device chain ---------------------------------------------
     chain_config = DswxChainConfig(
