@@ -38,6 +38,25 @@ def test_sds_roundtrip(tmp_path, compress, chunked):
         assert int(fv[0]) == -9999
 
 
+@pytest.mark.parametrize('dtype', [np.uint8, np.int32, np.float32])
+def test_sds_dtypes(tmp_path, dtype):
+    """Non-int16 SDS dtypes (v1 QA/Fmask bands are uint8; angles float)."""
+    w = Hdf4Writer()
+    if np.issubdtype(dtype, np.integer):
+        info = np.iinfo(dtype)
+        arr = RNG.integers(info.min, min(info.max, 10000),
+                           (64, 96)).astype(dtype)
+    else:
+        arr = RNG.normal(0, 100, (64, 96)).astype(dtype)
+    w.add_sds('layer', arr, compress=True)
+    path = str(tmp_path / 'd.hdf')
+    w.save(path)
+    with hdf4.Hdf4File(path) as f:
+        got = f.read_sds('layer')
+        assert got.dtype == dtype
+        np.testing.assert_array_equal(got, arr)
+
+
 def test_struct_metadata_parse():
     text = make_struct_metadata(699960.0, 3300000.0, 809760.0,
                                 3190200.0, 3660, 3660, 15)
