@@ -24,13 +24,22 @@ comparison is evaluated in exact int32 rational arithmetic, which is
 int16 overflow-wrap behavior for MBSRV/MBSRN and the MNDWI/NDVI numerators
 and denominators (NumPy keeps int16 + int16 in int16), and its inf/NaN
 semantics for zero denominators. See proteus_tpu.core.thresholds.
+Thresholds that are not exact decimal fractions (e.g. a user-set 1/3)
+take the boundary-exact float64-semantics path in core.f32exact instead
+of the rational rewrite — still bit-identical, never approximate.
 
-For float (pre-scaled) inputs, tests run in float32 on the VPU.
+For float (pre-scaled) inputs the reference itself runs in float32 (its
+ingest casts to float32 before scaling, dswx_hls.py:2298-2302), so all
+adds/muls here match it bit-for-bit on TPU (IEEE f32). The MNDWI/NDVI
+threshold comparisons avoid XLA's non-correctly-rounded TPU division via
+the division-free exact boundary tests in core.f32exact.
 """
 
 import jax.numpy as jnp
 import numpy as np
 
+from proteus_tpu.core.f32exact import (int_gt_bound, int_lt_bound,
+                                       ratio_boundary, ratio_cmp)
 from proteus_tpu.core.thresholds import HlsThresholds, ExactThresholds
 
 _I32 = jnp.int32
@@ -57,12 +66,36 @@ def _scalar_lt_exact(band_i32, p, q):
     return band_i32 * q < p
 
 
+def _int_ratio_test(num, den, field, tval, op):
+    """Exact int-path ratio test for any threshold value.
+
+    Exact-decimal thresholds use the pure-int32 rational rewrite; the
+    rest use the boundary-exact float64-semantics comparison (num/den are
+    int16-derived, |.| < 2**24, hence exact float32 values).
+    """
+    if field[2]:
+        fn = _ratio_gt_exact if op == 'gt' else _ratio_lt_exact
+        return fn(num, den, *field[:2])
+    b = ratio_boundary(tval, op, 'f64')
+    return ratio_cmp(num.astype(jnp.float32), den.astype(jnp.float32), b)
+
+
+def _int_scalar_lt(band_i32, field, tval):
+    """band < tval (float64 semantics) for integer band values."""
+    if field[2]:
+        return _scalar_lt_exact(band_i32, *field[:2])
+    bound = int_lt_bound(tval)
+    if bound is None:
+        return jnp.zeros(band_i32.shape, bool)
+    bound = int(np.clip(bound, -2 ** 31 + 1, 2 ** 31 - 1))
+    return band_i32 <= _I32(bound)
+
+
 def _diag_tests_int(blue, green, red, nir, swir1, swir2,
                     et: ExactThresholds):
     """Integer-exact diagnostic tests. Inputs are int16 arrays."""
     # int16 wrap-around sums/differences, matching NumPy int16 arithmetic
     # (reference computes green-swir1 etc. on int16 arrays; dswx_hls.py:1872)
-    i16 = jnp.int16
     mndwi_num = (green - swir1).astype(_I32)
     mndwi_den = (green + swir1).astype(_I32)
     mbsrv = (green + red)  # int16, wraps
@@ -75,80 +108,74 @@ def _diag_tests_int(blue, green, red, nir, swir1, swir2,
     s1_32 = swir1.astype(_I32)
     s2_32 = swir2.astype(_I32)
     n32 = nir.astype(_I32)
-    r32 = red.astype(_I32)
 
     # AWEsh * 4 is an exact integer: blue + 2.5g - 1.5*mbsrn - 0.25*s2
     # (mbsrn wraps in int16 first, as in the reference; the rest are exact
     # float64 ops on integers, all multiples of 0.25)
     awesh4 = 4 * b32 + 10 * g32 - 6 * mbsrn.astype(_I32) - s2_32
 
-    need_float = not all([et.wigt[2], et.awgt[2], et.pswt_1_mndwi[2],
-                          et.pswt_1_nir[2], et.pswt_1_swir1[2],
-                          et.pswt_1_ndvi[2], et.pswt_2_mndwi[2],
-                          et.pswt_2_blue[2], et.pswt_2_nir[2],
-                          et.pswt_2_swir1[2], et.pswt_2_swir2[2]])
-    if need_float:
-        # fall back entirely to float32 (rare: only for thresholds that are
-        # not exact decimals)
-        return _diag_tests_float(b32.astype(jnp.float32),
-                                 g32.astype(jnp.float32),
-                                 r32.astype(jnp.float32),
-                                 n32.astype(jnp.float32),
-                                 s1_32.astype(jnp.float32),
-                                 s2_32.astype(jnp.float32),
-                                 et.float_values,
-                                 mbsrv_i=mbsrv, mbsrn_i=mbsrn,
-                                 mndwi_num=mndwi_num, mndwi_den=mndwi_den,
-                                 ndvi_num=ndvi_num, ndvi_den=ndvi_den,
-                                 awesh4=awesh4)
-
-    t1 = _ratio_gt_exact(mndwi_num, mndwi_den, *et.wigt[:2])
+    tv = et.float_values
+    t1 = _int_ratio_test(mndwi_num, mndwi_den, et.wigt, tv.wigt, 'gt')
     t2 = mbsrv > mbsrn  # pure int16 comparison, always exact
-    p, q = et.awgt[:2]
-    t3 = awesh4 * q > 4 * p
-    t4 = (_ratio_gt_exact(mndwi_num, mndwi_den, *et.pswt_1_mndwi[:2]) &
-          _scalar_lt_exact(s1_32, *et.pswt_1_swir1[:2]) &
-          _scalar_lt_exact(n32, *et.pswt_1_nir[:2]) &
-          _ratio_lt_exact(ndvi_num, ndvi_den, *et.pswt_1_ndvi[:2]))
-    t5 = (_ratio_gt_exact(mndwi_num, mndwi_den, *et.pswt_2_mndwi[:2]) &
-          _scalar_lt_exact(b32, *et.pswt_2_blue[:2]) &
-          _scalar_lt_exact(s1_32, *et.pswt_2_swir1[:2]) &
-          _scalar_lt_exact(s2_32, *et.pswt_2_swir2[:2]) &
-          _scalar_lt_exact(n32, *et.pswt_2_nir[:2]))
+    if et.awgt[2]:
+        p, q = et.awgt[:2]
+        t3 = awesh4 * q > 4 * p
+    else:
+        # awesh = awesh4/4 exactly in float64; awesh > t <=> awesh4 > 4t
+        bound = int_gt_bound(np.float64(tv.awgt) * 4)
+        if bound is None:
+            t3 = jnp.zeros(awesh4.shape, bool)
+        else:
+            bound = int(np.clip(bound, -2 ** 31 + 1, 2 ** 31 - 1))
+            t3 = awesh4 >= _I32(bound)
+    t4 = (_int_ratio_test(mndwi_num, mndwi_den, et.pswt_1_mndwi,
+                          tv.pswt_1_mndwi, 'gt') &
+          _int_scalar_lt(s1_32, et.pswt_1_swir1, tv.pswt_1_swir1) &
+          _int_scalar_lt(n32, et.pswt_1_nir, tv.pswt_1_nir) &
+          _int_ratio_test(ndvi_num, ndvi_den, et.pswt_1_ndvi,
+                          tv.pswt_1_ndvi, 'lt'))
+    t5 = (_int_ratio_test(mndwi_num, mndwi_den, et.pswt_2_mndwi,
+                          tv.pswt_2_mndwi, 'gt') &
+          _int_scalar_lt(b32, et.pswt_2_blue, tv.pswt_2_blue) &
+          _int_scalar_lt(s1_32, et.pswt_2_swir1, tv.pswt_2_swir1) &
+          _int_scalar_lt(s2_32, et.pswt_2_swir2, tv.pswt_2_swir2) &
+          _int_scalar_lt(n32, et.pswt_2_nir, tv.pswt_2_nir))
     return t1, t2, t3, t4, t5
 
 
 def _diag_tests_float(blue, green, red, nir, swir1, swir2,
-                      t: HlsThresholds, mbsrv_i=None, mbsrn_i=None,
-                      mndwi_num=None, mndwi_den=None,
-                      ndvi_num=None, ndvi_den=None, awesh4=None):
+                      t: HlsThresholds):
     """float32 diagnostic tests (pre-scaled reflectance inputs).
 
-    When called as the fallback for integer inputs, the int16-wrapped
-    intermediates are passed in so the overflow behavior still matches.
+    The reference's scaled path is float32 end-to-end (its ingest casts
+    to float32 at dswx_hls.py:2300 and NumPy keeps python-float scalars
+    weak), so float32 adds/muls/compares here match it bit-for-bit. The
+    two divisions (MNDWI, NDVI) never run on device — their threshold
+    comparisons go through the division-free exact boundary tests, since
+    XLA's TPU float32 division is not correctly rounded.
     """
-    if mndwi_num is None:
-        mndwi_num, mndwi_den = green - swir1, green + swir1
-        ndvi_num, ndvi_den = nir - red, nir + red
-        mbsrv_i = green + red
-        mbsrn_i = nir + swir1
-        awesh4 = None
-    mndwi = mndwi_num.astype(jnp.float32) / mndwi_den.astype(jnp.float32)
-    ndvi = ndvi_num.astype(jnp.float32) / ndvi_den.astype(jnp.float32)
-    if awesh4 is not None:
-        awesh = 0.25 * awesh4.astype(jnp.float32)
-    else:
-        mbsrn_f = mbsrn_i.astype(jnp.float32)
-        awesh = blue + 2.5 * green - 1.5 * mbsrn_f - 0.25 * swir2
+    f32 = jnp.float32
+    mndwi_num, mndwi_den = green - swir1, green + swir1
+    ndvi_num, ndvi_den = nir - red, nir + red
+    mbsrv = green + red
+    mbsrn = nir + swir1
+    awesh = blue + f32(2.5) * green - f32(1.5) * mbsrn - f32(0.25) * swir2
 
-    t1 = mndwi > t.wigt
-    t2 = mbsrv_i > mbsrn_i
-    t3 = awesh > t.awgt
-    t4 = ((mndwi > t.pswt_1_mndwi) & (swir1 < t.pswt_1_swir1) &
-          (nir < t.pswt_1_nir) & (ndvi < t.pswt_1_ndvi))
-    t5 = ((mndwi > t.pswt_2_mndwi) & (blue < t.pswt_2_blue) &
-          (swir1 < t.pswt_2_swir1) & (swir2 < t.pswt_2_swir2) &
-          (nir < t.pswt_2_nir))
+    t1 = ratio_cmp(mndwi_num, mndwi_den, ratio_boundary(t.wigt, 'gt'))
+    t2 = mbsrv > mbsrn
+    t3 = awesh > f32(t.awgt)
+    t4 = (ratio_cmp(mndwi_num, mndwi_den,
+                    ratio_boundary(t.pswt_1_mndwi, 'gt')) &
+          (swir1 < f32(t.pswt_1_swir1)) &
+          (nir < f32(t.pswt_1_nir)) &
+          ratio_cmp(ndvi_num, ndvi_den,
+                    ratio_boundary(t.pswt_1_ndvi, 'lt')))
+    t5 = (ratio_cmp(mndwi_num, mndwi_den,
+                    ratio_boundary(t.pswt_2_mndwi, 'gt')) &
+          (blue < f32(t.pswt_2_blue)) &
+          (swir1 < f32(t.pswt_2_swir1)) &
+          (swir2 < f32(t.pswt_2_swir2)) &
+          (nir < f32(t.pswt_2_nir)))
     return t1, t2, t3, t4, t5
 
 

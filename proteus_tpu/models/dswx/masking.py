@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from proteus_tpu.core import constants as C
+from proteus_tpu.core.f32exact import int_gt_bound
 from proteus_tpu.core.thresholds import (HlsThresholds, to_exact_fraction,
                                          SCALAR_MAX_DEN, SCALAR_MAX_NUM)
 from proteus_tpu.ops.morphology import binary_dilation_masked
@@ -89,12 +90,22 @@ def _is_water_class(layer):
 
 
 def _nir_gt_lcmask(nir, lcmask_nir):
-    """nir > lcmask_nir with float64-exact semantics for integer nir."""
+    """nir > lcmask_nir with float64-exact semantics for integer nir.
+
+    For float (scaled) nir the reference comparison is plain float32
+    (NumPy keeps the python-float threshold weak), which TPU reproduces
+    bit-for-bit; no division is involved.
+    """
     if jnp.issubdtype(jnp.asarray(nir).dtype, jnp.integer):
         pq = to_exact_fraction(lcmask_nir, SCALAR_MAX_DEN, SCALAR_MAX_NUM)
         if pq is not None:
             p, q = pq
             return nir.astype(jnp.int32) * q > p
+        bound = int_gt_bound(lcmask_nir)
+        if bound is None:
+            return jnp.zeros(jnp.shape(nir), bool)
+        bound = int(np.clip(bound, -2 ** 31 + 1, 2 ** 31 - 1))
+        return nir.astype(jnp.int32) >= jnp.int32(bound)
     return nir.astype(jnp.float32) > jnp.float32(lcmask_nir)
 
 

@@ -87,6 +87,122 @@ def one_iteration(seed):
                 f'regime={regime}: {bad} mismatches; thresholds={tdict}')
 
 
+def raw_thresholds(rng):
+    """Thresholds drawn as raw float64 — almost never exact decimals, so
+    these exercise the boundary-exact comparison paths."""
+    return HlsThresholds(
+        wigt=float(rng.uniform(-0.5, 0.5)),
+        awgt=float(rng.uniform(-200, 200)),
+        pswt_1_mndwi=float(rng.uniform(-0.9, 0.2)),
+        pswt_1_nir=float(rng.uniform(200, 4000)),
+        pswt_1_swir1=float(rng.uniform(200, 4000)),
+        pswt_1_ndvi=float(rng.uniform(0.1, 0.9)),
+        pswt_2_mndwi=float(rng.uniform(-0.9, 0.2)),
+        pswt_2_blue=float(rng.uniform(200, 4000)),
+        pswt_2_nir=float(rng.uniform(500, 6000)),
+        pswt_2_swir1=float(rng.uniform(500, 6000)),
+        pswt_2_swir2=float(rng.uniform(200, 4000)),
+        lcmask_nir=float(rng.uniform(400, 3000)))
+
+
+def _boundary_green(swir1_f32, t, rng):
+    """float32 green values whose MNDWI vs t sits within a few ULPs of
+    the rounding boundary (num/den = (g-s1)/(g+s1))."""
+    t32 = np.float64(np.float32(t))
+    g0 = (swir1_f32.astype(np.float64) * (1 + t32) / (1 - t32)) \
+        .astype(np.float32)
+    steps = rng.integers(-3, 4, g0.shape).astype(np.int64)
+    out = g0.copy()
+    for _ in range(3):
+        out = np.where(steps > 0,
+                       np.nextafter(out, np.float32(np.inf)), out)
+        out = np.where(steps < 0,
+                       np.nextafter(out, np.float32(-np.inf)), out)
+        steps = steps - np.sign(steps)
+    return out.astype(np.float32)
+
+
+def one_scaled_iteration(seed, ref):
+    """Scaled-input (float32) diag + masking parity vs the reference's
+    executing code, with boundary-adversarial pixels and non-decimal
+    thresholds."""
+    from proteus_tpu.models.dswx.diagnostics import compute_diagnostic_tests
+    from proteus_tpu.models.dswx import masking
+    rng = np.random.default_rng(seed)
+    shape = (int(rng.integers(16, 128)), int(rng.integers(16, 128)))
+    scale = 0.0001 if rng.random() < 0.7 else float(rng.uniform(1e-5, 1e-3))
+    offset = 0.0 if rng.random() < 0.7 else float(rng.uniform(-100, 100))
+    bands = [np.float32(scale) * (np.clip(
+        rng.integers(-2000, 18000, shape), 1, None)
+        .astype(np.float32) - np.float32(offset)) for _ in range(6)]
+    t = random_thresholds(rng) if rng.random() < 0.5 else raw_thresholds(rng)
+    # adversarial pixels: push green to the MNDWI rounding boundary
+    bands[1] = _boundary_green(bands[4], t.wigt, rng)
+    tdict = {k: getattr(t, k) for k in t.__dataclass_fields__}
+    import refbridge
+    ref_t = refbridge.reference_thresholds(tdict)
+    want = ref._compute_diagnostic_tests(*bands, ref_t)
+    got = np.asarray(compute_diagnostic_tests(*bands, t))
+    if not (got == want).all():
+        raise AssertionError(
+            f'scaled seed={seed}: {(got != want).sum()} diag mismatches; '
+            f'scale={scale} offset={offset} thresholds={tdict}')
+    # scaled-nir masking stages
+    cfg = DswxChainConfig()
+    wtr1 = np.array([0, 1, 2, 3, 4, 255], np.uint8)[
+        rng.integers(0, 6, shape)]
+    fmask = rng.integers(0, 256, shape).astype(np.uint8)
+    cloud = ref._compute_preliminary_cloud_layer(fmask, 'mask')
+    want_w = wtr1.copy()
+    want_c = cloud.copy()
+    ref._apply_aerosol_class_remapping(
+        want_w, bands[3], want_c, fmask,
+        list(cfg.aerosol_not_water_fmask_values),
+        list(cfg.aerosol_moderate_conf_fmask_values),
+        list(cfg.aerosol_psw_conservative_fmask_values),
+        list(cfg.aerosol_psw_aggressive_fmask_values))
+    got_w, got_c = masking.apply_aerosol_class_remapping(
+        wtr1, bands[3], cloud, fmask, cfg.aerosol_lut())
+    if not ((np.asarray(got_w) == want_w).all()
+            and (np.asarray(got_c) == want_c).all()):
+        raise AssertionError(f'scaled aerosol seed={seed}: mismatch')
+    lc = np.array([0, 99, 123, 199, 200, 201, 255], np.uint8)[
+        rng.integers(0, 7, shape)]
+    shad = (rng.random(shape) < 0.5).astype(np.uint8)
+    want_l = ref._apply_landcover_and_shadow_masks(
+        want_w.copy(), bands[3], lc, shad, ref_t)
+    got_l = np.asarray(masking.apply_landcover_and_shadow_masks(
+        np.asarray(got_w), bands[3], lc, shad, t))
+    if not (got_l == want_l).all():
+        raise AssertionError(f'scaled landcover seed={seed}: mismatch')
+
+
+def one_nondecimal_iteration(seed, ref):
+    """Integer-path diag parity with raw (non-decimal) float64 thresholds
+    — exercises the boundary-exact float64 comparisons."""
+    from proteus_tpu.models.dswx.diagnostics import compute_diagnostic_tests
+    rng = np.random.default_rng(seed)
+    shape = (int(rng.integers(16, 128)), int(rng.integers(16, 128)))
+    bands = [rng.integers(-32768, 32767, shape).astype(np.int16)
+             for _ in range(6)]
+    t = raw_thresholds(rng)
+    # engineered: green lands within +-2 of the exact MNDWI boundary
+    s1 = np.clip(np.abs(bands[4]).astype(np.int64), 1, None)
+    g0 = np.round(s1 * (1 + t.wigt) / (1 - t.wigt))
+    bands[1] = np.clip(g0 + rng.integers(-2, 3, shape), -32768, 32767) \
+        .astype(np.int16)
+    bands[4] = np.clip(s1, None, 32767).astype(np.int16)
+    tdict = {k: getattr(t, k) for k in t.__dataclass_fields__}
+    import refbridge
+    want = ref._compute_diagnostic_tests(
+        *bands, refbridge.reference_thresholds(tdict))
+    got = np.asarray(compute_diagnostic_tests(*bands, t))
+    if not (got == want).all():
+        raise AssertionError(
+            f'nondecimal seed={seed}: {(got != want).sum()} mismatches; '
+            f'thresholds={tdict}')
+
+
 def one_shadow_iteration(seed, ref):
     """Fuzz compute_opera_shadow_layer_exact against the reference's
     executing float64 chain over synthetic DEMs (smooth, rough, quantized,
@@ -133,8 +249,16 @@ def main():
     import refbridge
     ref = refbridge.load_reference_dswx()
     if ref is None:
-        print('reference checkout unavailable: shadow fuzz skipped')
+        print('reference checkout unavailable: reference-side fuzz skipped')
         return
+    for i in range(n):
+        one_scaled_iteration(3000 + i, ref)
+        one_nondecimal_iteration(4000 + i, ref)
+        if (i + 1) % 25 == 0:
+            print(f'{i + 1}/{n} scaled+nondecimal iterations bit-exact',
+                  flush=True)
+    print(f'scaled+nondecimal fuzz complete: {n} iterations each, '
+          'bit-exact vs the reference executing code')
     for i in range(n):
         one_shadow_iteration(5000 + i, ref)
         if (i + 1) % 25 == 0:

@@ -134,6 +134,90 @@ class TestPerStageParity:
         got = np.asarray(compute_diagnostic_tests(*bands, T))
         np.testing.assert_array_equal(got, want)
 
+    def test_diagnostic_tests_nondecimal_thresholds(self):
+        """Thresholds with no exact decimal fraction (e.g. 1/3) take the
+        boundary-exact float64-semantics path instead of the rational
+        rewrite; the reference computes int16/int16 in float64."""
+        t = T.replace(wigt=1 / 3, awgt=1 / 7, pswt_1_ndvi=-2 / 7,
+                      pswt_1_swir1=900.5 + 1e-11, pswt_2_blue=1000 - 1e-9,
+                      pswt_1_mndwi=-0.44 + 1e-13, pswt_2_mndwi=np.nextafter(
+                          -0.5, 0.0))
+        tdict = {k: getattr(t, k) for k in t.__dataclass_fields__}
+        ref_t = refbridge.reference_thresholds(tdict)
+        for lo, hi in [(-2000, 18000), (-32768, 32767)]:
+            bands = random_bands((96, 96), lo, hi)
+            want = REF._compute_diagnostic_tests(*bands, ref_t)
+            got = np.asarray(compute_diagnostic_tests(*bands, t))
+            np.testing.assert_array_equal(got, want)
+        # engineered: mndwi within +-2 of the 1/3 boundary for every den
+        s1 = RNG.integers(1, 16000, (64, 64)).astype(np.int64)
+        g0 = np.round(s1 * (1 + 1 / 3) / (1 - 1 / 3)).astype(np.int64)
+        for dg in (-2, -1, 0, 1, 2):
+            g = np.clip(g0 + dg, -32768, 32767).astype(np.int16)
+            bands = [np.full_like(g, 500), g, np.full_like(g, 400),
+                     np.full_like(g, 700), np.clip(s1, None, 32767)
+                     .astype(np.int16), np.full_like(g, 600)]
+            want = REF._compute_diagnostic_tests(*bands, ref_t)
+            got = np.asarray(compute_diagnostic_tests(*bands, t))
+            np.testing.assert_array_equal(got, want)
+
+    def test_diagnostic_tests_scaled_boundary_scans(self):
+        """ULP scans across every ratio-test boundary in scaled mode:
+        NDVI < pswt_1_ndvi and MNDWI > pswt_1/2_mndwi (wigt is covered by
+        test_diagnostic_tests_scaled_inputs)."""
+        def scan(center, toward_lo, toward_hi, n=1500):
+            vals, lo, hi = [np.float32(center)], np.float32(center), \
+                np.float32(center)
+            for _ in range(n):
+                lo = np.nextafter(lo, np.float32(toward_lo),
+                                  dtype=np.float32)
+                hi = np.nextafter(hi, np.float32(toward_hi),
+                                  dtype=np.float32)
+                vals += [lo, hi]
+            return np.array(vals, dtype=np.float32).reshape(1, -1)
+
+        # NDVI boundary: nir walks across r*(1+t)/(1-t); water-ish
+        # green/swir1 keep mndwi above pswt_1_mndwi so bit 3 tracks ndvi
+        r = np.float32(0.03)
+        n0 = float(r) * (1 + T.pswt_1_ndvi) / (1 - T.pswt_1_ndvi)
+        nir = scan(n0, 0.0, 1.0)
+        g = np.full_like(nir, 0.2)
+        s1 = np.full_like(nir, 0.01)
+        bands = [np.full_like(nir, 0.02), g, np.full_like(nir, r),
+                 nir, s1, np.full_like(nir, 0.01)]
+        want = REF._compute_diagnostic_tests(*bands, ref_thresholds())
+        got = np.asarray(compute_diagnostic_tests(*bands, T))
+        np.testing.assert_array_equal(got, want)
+
+        # MNDWI boundaries (negative thresholds): green walks across
+        # s1*(1+t)/(1-t) for both pswt thresholds
+        for t_mndwi in (T.pswt_1_mndwi, T.pswt_2_mndwi):
+            s1v = np.float32(0.12)
+            g0 = float(s1v) * (1 + t_mndwi) / (1 - t_mndwi)
+            g = scan(g0, 0.0, 1.0)
+            bands = [np.full_like(g, 0.02), g, np.full_like(g, 0.9),
+                     np.full_like(g, 0.01), np.full_like(g, s1v),
+                     np.full_like(g, 0.01)]
+            want = REF._compute_diagnostic_tests(*bands, ref_thresholds())
+            got = np.asarray(compute_diagnostic_tests(*bands, T))
+            np.testing.assert_array_equal(got, want)
+
+    def test_landcover_mask_nondecimal_nir_threshold(self):
+        t = T.replace(lcmask_nir=1200 + 1 / 3)
+        tdict = {k: getattr(t, k) for k in t.__dataclass_fields__}
+        ref_t = refbridge.reference_thresholds(tdict)
+        shape = (64, 64)
+        wtr1 = random_wtr_layer(shape)
+        nir = RNG.integers(1195, 1206, shape).astype(np.int16)
+        landcover = np.array([0, 99, 123, 199, 200, 201, 255],
+                             dtype=np.uint8)[RNG.integers(0, 7, shape)]
+        shadow = (RNG.random(shape) < 0.5).astype(np.uint8)
+        want = REF._apply_landcover_and_shadow_masks(
+            wtr1.copy(), nir, landcover, shadow, ref_t)
+        got = np.asarray(masking.apply_landcover_and_shadow_masks(
+            wtr1, nir, landcover, shadow, t))
+        np.testing.assert_array_equal(got, want)
+
     def test_interpretation_exhaustive(self):
         diag = np.arange(64, dtype=np.uint16).reshape(8, 8)
         want = REF.generate_interpreted_layer(diag.copy())
