@@ -1,0 +1,578 @@
+"""Functional GDAL/OSR/OGR shim backed by proteus_tpu's own engines.
+
+refbridge loads the reference's dswx_hls module with *inert* GDAL stubs —
+enough to call its pure-NumPy science functions. This module goes
+further: it provides a *working* subset of the ``osgeo.gdal`` /
+``osgeo.osr`` / ``osgeo.ogr`` API surface that the reference orchestrator
+(``generate_dswx_layers``) actually touches, implemented on top of this
+repo's own I/O and geo engines:
+
+    gdal.Open / ReadAsArray / metadata      -> proteus_tpu.io.tiff
+    driver('GTiff').Create + WriteArray     -> proteus_tpu.io.cog.write_cog
+    gdal.Warp (bounds/res/SRS/resampleAlg)  -> proteus_tpu.geo.warp
+    gdal.Translate(format='PNG')            -> proteus_tpu.io.png
+    osr.SpatialReference / Transformation   -> proteus_tpu.geo.crs
+    ogr.Geometry (ring/polygon containers)  -> lightweight shim
+
+With these injected (see tests/test_reference_e2e.py), the REFERENCE'S
+OWN orchestrator runs end-to-end — ingest, ancillary warping, science,
+product writing, browse generation — against this repo's engines, and
+its products can be compared bit-for-bit with this repo's orchestrator
+output on the same scene. That executes every reference code path the
+offline environment allows (the real-GDAL-internals behavior is the one
+thing it cannot cover).
+
+No reference code is copied; the reference module is imported in place
+and only called.
+"""
+
+import os
+
+import numpy as np
+
+from proteus_tpu.geo.crs import CRS, transform_points
+from proteus_tpu.geo import warp as _warp_engine
+from proteus_tpu.io import png as _png
+from proteus_tpu.io.cog import write_cog
+from proteus_tpu.io.tiff import TiffReader
+
+# ---------------------------------------------------------------------------
+# gdal constants
+# ---------------------------------------------------------------------------
+
+GA_ReadOnly = 0
+GA_Update = 1
+
+_GDT_NAMES = {1: 'Byte', 2: 'UInt16', 3: 'Int16', 4: 'UInt32', 5: 'Int32',
+              6: 'Float32', 7: 'Float64'}
+_GDT_TO_NP = {1: np.uint8, 2: np.uint16, 3: np.int16, 4: np.uint32,
+              5: np.int32, 6: np.float32, 7: np.float64}
+_NP_TO_GDT = {np.dtype(v): k for k, v in _GDT_TO_NP.items()}
+
+GDT_Byte = 1
+GDT_UInt16 = 2
+GDT_Int16 = 3
+GDT_UInt32 = 4
+GDT_Int32 = 5
+GDT_Float32 = 6
+GDT_Float64 = 7
+
+GCI_PaletteIndex = 2
+
+
+def TermProgress_nocb(*args, **kwargs):
+    return 1
+
+
+def GetDataTypeName(code):
+    return _GDT_NAMES[code]
+
+
+def SetConfigOption(key, value):
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Color table
+# ---------------------------------------------------------------------------
+
+# GDAL persists color-table alpha through PAM (.aux.xml) sidecars; TIFF
+# colormaps cannot carry it. This registry plays the PAM role so the
+# browse GeoTIFF -> PNG path keeps its transparent entries.
+_PAM_CTABLES = {}
+
+
+class ColorTable:
+    def __init__(self):
+        self._entries = {}
+
+    def SetColorEntry(self, index, rgba):
+        self._entries[int(index)] = tuple(rgba)
+
+    def GetColorEntry(self, index):
+        return self._entries.get(int(index), (0, 0, 0, 255))
+
+    def GetCount(self):
+        return (max(self._entries) + 1) if self._entries else 0
+
+    def to_color_map(self):
+        return {i: v[:3] for i, v in self._entries.items()}
+
+
+# ---------------------------------------------------------------------------
+# Read-side dataset (wraps TiffReader)
+# ---------------------------------------------------------------------------
+
+class _ReadBand:
+    def __init__(self, ds, index):
+        self._ds = ds
+        self._index = index
+
+    @property
+    def XSize(self):
+        return self._ds.RasterXSize
+
+    @property
+    def YSize(self):
+        return self._ds.RasterYSize
+
+    @property
+    def DataType(self):
+        return _NP_TO_GDT[np.dtype(self._ds._reader.dtype)]
+
+    def GetNoDataValue(self):
+        return self._ds._nodata
+
+    def ReadAsArray(self, xoff=0, yoff=0, win_xsize=None, win_ysize=None):
+        return self._ds._read_window(xoff, yoff, win_xsize, win_ysize,
+                                     band=self._index - 1)
+
+    def GetDescription(self):
+        descs = self._ds._reader.band_descriptions() or {}
+        return descs.get(self._index - 1) or ''
+
+    def GetMetadata(self):
+        return dict(self._ds.GetMetadata())
+
+    def GetRasterColorTable(self):
+        cmap = self._ds._reader.color_map()
+        if not cmap:
+            return None
+        ct = ColorTable()
+        for value, rgb in cmap.items():
+            ct.SetColorEntry(value, tuple(rgb) + (255,))
+        return ct
+
+
+class _ReadDataset:
+    def __init__(self, path):
+        self._path = path
+        self._reader = TiffReader(path)
+        self._nodata = self._reader.nodata()
+
+    @property
+    def RasterXSize(self):
+        return self._reader.width
+
+    @property
+    def RasterYSize(self):
+        return self._reader.length
+
+    @property
+    def RasterCount(self):
+        return self._reader.count
+
+    def GetRasterBand(self, index):
+        return _ReadBand(self, index)
+
+    def GetMetadata(self):
+        return dict(self._reader.metadata() or {})
+
+    def GetGeoTransform(self):
+        gt = self._reader.geotransform()
+        return tuple(gt) if gt is not None else (0., 1., 0., 0., 0., 1.)
+
+    def GetProjection(self):
+        epsg = self._reader.epsg()
+        return CRS.from_epsg(epsg).to_wkt() if epsg else ''
+
+    GetProjectionRef = GetProjection
+
+    def GetDescription(self):
+        return self._path
+
+    def _read_window(self, xoff, yoff, win_xsize, win_ysize, band=None):
+        if win_xsize is None and win_ysize is None and xoff == 0 \
+                and yoff == 0:
+            window = None
+        else:
+            win_xsize = win_xsize if win_xsize is not None \
+                else self._reader.width - xoff
+            win_ysize = win_ysize if win_ysize is not None \
+                else self._reader.length - yoff
+            window = (yoff, xoff, win_ysize, win_xsize)
+        if band is not None:
+            return self._reader.read(window=window, band=band)
+        if self._reader.count == 1:
+            return self._reader.read(window=window, band=0)
+        planes = [self._reader.read(window=window, band=b)
+                  for b in range(self._reader.count)]
+        return np.stack(planes, axis=0)
+
+    def ReadAsArray(self, xoff=0, yoff=0, xsize=None, ysize=None):
+        return self._read_window(xoff, yoff, xsize, ysize)
+
+    def FlushCache(self):
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Write-side dataset (persists through proteus_tpu's COG writer)
+# ---------------------------------------------------------------------------
+
+class _WriteBand:
+    def __init__(self, ds, index):
+        self._ds = ds
+        self._index = index
+
+    @property
+    def XSize(self):
+        return self._ds.RasterXSize
+
+    @property
+    def YSize(self):
+        return self._ds.RasterYSize
+
+    def SetNoDataValue(self, value):
+        self._ds._nodata = value
+
+    def GetNoDataValue(self):
+        return self._ds._nodata
+
+    def WriteArray(self, array):
+        if array is None:
+            # mirror osgeo: BandWriteArray touches array.shape
+            raise AttributeError(
+                "'NoneType' object has no attribute 'shape'")
+        self._ds._arrays[self._index - 1] = np.asarray(array)
+
+    def SetRasterColorTable(self, ct):
+        self._ds._ctable = ct
+
+    def SetRasterColorInterpretation(self, interp):
+        return None
+
+    def SetDescription(self, description):
+        self._ds._descriptions[self._index - 1] = description
+
+    def SetMetadata(self, metadata):
+        self._ds._band_metadata[self._index - 1] = dict(metadata)
+
+    def FlushCache(self):
+        return None
+
+
+class _WriteDataset:
+    def __init__(self, path, xsize, ysize, nbands, gdt):
+        self._path = path
+        self.RasterXSize = xsize
+        self.RasterYSize = ysize
+        self.RasterCount = nbands
+        self._dtype = _GDT_TO_NP[gdt]
+        self._arrays = [None] * nbands
+        self._descriptions = [None] * nbands
+        self._band_metadata = {}
+        self._metadata = {}
+        self._geotransform = (0., 1., 0., 0., 0., 1.)
+        self._projection = ''
+        self._nodata = None
+        self._ctable = None
+        self._flushed = False
+
+    def SetMetadata(self, metadata):
+        self._metadata = dict(metadata)
+
+    def GetMetadata(self):
+        return dict(self._metadata)
+
+    def SetGeoTransform(self, gt):
+        self._geotransform = tuple(float(v) for v in gt)
+
+    def GetGeoTransform(self):
+        return self._geotransform
+
+    def SetProjection(self, projection):
+        self._projection = projection
+
+    def GetProjection(self):
+        return self._projection
+
+    def GetRasterBand(self, index):
+        return _WriteBand(self, index)
+
+    def _convert(self, array):
+        """GDAL band-write conversion (GDALCopyWords): clamp to the band
+        dtype's range; floats round half away from zero first."""
+        if array.dtype == self._dtype:
+            return array
+        target = np.dtype(self._dtype)
+        if target.kind in 'ui':
+            info = np.iinfo(target)
+            vals = array.astype(np.float64)
+            if array.dtype.kind == 'f':
+                vals = np.where(vals >= 0, np.floor(vals + 0.5),
+                                np.ceil(vals - 0.5))
+                vals = np.nan_to_num(vals, nan=0.0)
+            return np.clip(vals, info.min, info.max).astype(target)
+        return array.astype(target)
+
+    def FlushCache(self):
+        if self._flushed:
+            return None
+        filled = [(self._convert(a) if a is not None
+                   else np.zeros((self.RasterYSize, self.RasterXSize),
+                                 self._dtype))
+                  for a in self._arrays]
+        stack = filled[0] if len(filled) == 1 \
+            else np.stack(filled, axis=-1)
+        epsg = CRS.from_any(self._projection).epsg if self._projection \
+            else None
+        color_map = self._ctable.to_color_map() if self._ctable else None
+        descriptions = {i: d for i, d in enumerate(self._descriptions)
+                        if d} or None
+        metadata = {str(k): str(v) for k, v in self._metadata.items()} \
+            or None
+        write_cog(self._path, stack, geotransform=self._geotransform,
+                  epsg=epsg, nodata=self._nodata,
+                  metadata=metadata,
+                  band_descriptions=descriptions,
+                  color_map=color_map)
+        if self._ctable is not None:
+            _PAM_CTABLES[os.path.abspath(self._path)] = dict(
+                self._ctable._entries)
+        self._flushed = True
+        return None
+
+    def __del__(self):
+        try:
+            self.FlushCache()
+        except Exception:
+            pass
+
+
+class _Driver:
+    def __init__(self, name):
+        self._name = name
+
+    def Create(self, path, xsize, ysize, nbands=1, gdt=GDT_Byte):
+        if os.path.dirname(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+        return _WriteDataset(path, xsize, ysize, nbands, gdt)
+
+
+def GetDriverByName(name):
+    return _Driver(name)
+
+
+def Open(path, mode=GA_ReadOnly):
+    try:
+        return _ReadDataset(path)
+    except (OSError, ValueError):
+        return None
+
+
+# ---------------------------------------------------------------------------
+# gdal.Warp / gdal.Translate
+# ---------------------------------------------------------------------------
+
+def Warp(destination, source, format=None, dstSRS=None, outputBounds=None,
+         multithread=False, xRes=None, yRes=None, resampleAlg='nearest',
+         errorThreshold=None, **kwargs):
+    """Subset of gdal.Warp the reference's _warp path uses
+    (dswx_hls.py:3300-3310): reproject source onto the bounds/resolution
+    grid. errorThreshold=0 maps to the exact per-pixel transformer."""
+    min_x, min_y, max_x, max_y = outputBounds
+    width = int(round((max_x - min_x) / xRes))
+    length = int(round((max_y - min_y) / abs(yRes)))
+    geotransform = (min_x, xRes, 0.0, max_y, 0.0, -abs(yRes))
+    array = _warp_engine.warp_to_grid(
+        source, geotransform, dstSRS, length, width,
+        resample_algorithm=_RESAMPLE_ALG.get(str(resampleAlg).lower(),
+                                             str(resampleAlg).lower()),
+        margin_in_pixels=0)
+    src_reader = TiffReader(source)
+    nodata = src_reader.nodata()
+    src_reader.close()
+    ds = _WriteDataset(destination, width, length, 1,
+                       _NP_TO_GDT[np.dtype(array.dtype)])
+    ds._arrays[0] = array
+    ds._geotransform = geotransform
+    ds._projection = CRS.from_any(dstSRS).to_wkt()
+    ds._nodata = nodata
+    ds.FlushCache()
+    return ds
+
+
+_RESAMPLE_ALG = {'near': 'nearest', 'nearest': 'nearest',
+                 'bilinear': 'bilinear', 'cubic': 'cubic',
+                 'cubicspline': 'cubicspline'}
+
+
+def Translate(destination, source, format=None, height=None, width=None,
+              resampleAlg=None, nogcp=False, creationOptions=None,
+              **kwargs):
+    if format == 'PNG':
+        rgba = _PAM_CTABLES.get(os.path.abspath(source))
+        _png.geotiff2png(source, destination, output_height=height,
+                         output_width=width, rgba_ctable=rgba)
+        return True
+    raise NotImplementedError(
+        f'gdal_shim.Translate supports only PNG output (got {format!r}); '
+        'COG rewriting goes through the bridged save_as_cog')
+
+
+def DEMProcessing(*args, **kwargs):
+    raise NotImplementedError(
+        "gdal_shim does not implement DEMProcessing (hillshade); use "
+        "shadow_masking_algorithm='sun_local_inc_angle'")
+
+
+def BuildVRT(*args, **kwargs):
+    raise NotImplementedError('gdal_shim does not implement BuildVRT')
+
+
+def BuildVRTOptions(*args, **kwargs):
+    raise NotImplementedError('gdal_shim does not implement BuildVRT')
+
+
+def RasterizeLayer(*args, **kwargs):
+    raise NotImplementedError(
+        'gdal_shim does not implement RasterizeLayer yet (ocean mask)')
+
+
+# ---------------------------------------------------------------------------
+# osr
+# ---------------------------------------------------------------------------
+
+OAMS_TRADITIONAL_GIS_ORDER = 0
+
+
+class SpatialReference:
+    def __init__(self):
+        self.crs = None
+
+    def ImportFromProj4(self, text):
+        # the reference round-trips WKT through this call
+        # (get_projection_proj4, dswx_hls.py:3130-3145); accept anything
+        self.crs = CRS.from_any(text)
+        return 0
+
+    ImportFromWkt = ImportFromProj4
+
+    def ImportFromEPSG(self, code):
+        self.crs = CRS.from_epsg(code)
+        return 0
+
+    def ExportToProj4(self):
+        return self.crs.to_proj4()
+
+    def ExportToWkt(self):
+        return self.crs.to_wkt()
+
+    def IsGeographic(self):
+        return int(self.crs.is_geographic)
+
+    def SetAxisMappingStrategy(self, strategy):
+        # transform_points is always (x, y)/(lon, lat) traditional order
+        return None
+
+    def IsSame(self, other):
+        return int(self.crs.epsg == other.crs.epsg)
+
+    def GetAuthorityCode(self, key):
+        return str(self.crs.epsg)
+
+
+class CoordinateTransformation:
+    def __init__(self, src, dst):
+        self._src = src.crs
+        self._dst = dst.crs
+
+    def TransformPoint(self, x, y, z=0.0):
+        tx, ty = transform_points(self._src, self._dst, x, y)
+        return float(tx), float(ty), float(z)
+
+
+# ---------------------------------------------------------------------------
+# ogr (geometry containers; boolean ops only where the reference needs
+# them for the non-ocean paths)
+# ---------------------------------------------------------------------------
+
+wkbLinearRing = 101
+wkbPolygon = 102
+
+
+class Geometry:
+    def __init__(self, kind):
+        self.kind = kind
+        self.points = []
+        self.rings = []
+        self._srs = None
+
+    def AddPoint(self, x, y, z=0.0):
+        self.points.append((float(x), float(y)))
+
+    def AddGeometry(self, geom):
+        self.rings.append(geom)
+
+    def AssignSpatialReference(self, srs):
+        self._srs = srs
+
+    def GetSpatialReference(self):
+        return self._srs
+
+    def _xy(self):
+        pts = self.points if self.kind == wkbLinearRing \
+            else [p for r in self.rings for p in r.points]
+        return np.array(pts, dtype=np.float64)
+
+    def GetEnvelope(self):
+        xy = self._xy()
+        return (xy[:, 0].min(), xy[:, 0].max(),
+                xy[:, 1].min(), xy[:, 1].max())
+
+    def Intersects(self, other):
+        # axis-aligned envelope test is exact for the reference's
+        # rectangular tile/file polygons (coverage checks)
+        ax0, ax1, ay0, ay1 = self.GetEnvelope()
+        bx0, bx1, by0, by1 = other.GetEnvelope()
+        return bool(ax0 <= bx1 and bx0 <= ax1 and ay0 <= by1 and by0 <= ay1)
+
+    def Within(self, other):
+        ax0, ax1, ay0, ay1 = self.GetEnvelope()
+        bx0, bx1, by0, by1 = other.GetEnvelope()
+        return bool(ax0 >= bx0 and ax1 <= bx1 and ay0 >= by0 and ay1 <= by1)
+
+    def Contains(self, other):
+        return other.Within(self)
+
+
+def ogr_Open(path, update=0):
+    raise NotImplementedError(
+        'gdal_shim ogr.Open (shoreline shapefiles) is not implemented yet')
+
+
+def ogr_GetDriverByName(name):
+    raise NotImplementedError('gdal_shim ogr driver not implemented yet')
+
+
+# ---------------------------------------------------------------------------
+# module assembly
+# ---------------------------------------------------------------------------
+
+def make_modules():
+    """Return (gdal, osr, ogr) shim module objects for injection into the
+    reference module's namespace (refbridge-loaded)."""
+    import types
+    g = types.ModuleType('gdal_shim.gdal')
+    for name in ('GA_ReadOnly', 'GA_Update', 'GDT_Byte', 'GDT_UInt16',
+                 'GDT_Int16', 'GDT_UInt32', 'GDT_Int32', 'GDT_Float32',
+                 'GDT_Float64', 'GCI_PaletteIndex', 'TermProgress_nocb',
+                 'GetDataTypeName', 'SetConfigOption', 'ColorTable',
+                 'GetDriverByName', 'Open', 'Warp', 'Translate',
+                 'DEMProcessing', 'BuildVRT', 'BuildVRTOptions',
+                 'RasterizeLayer'):
+        setattr(g, name, globals()[name])
+
+    o = types.ModuleType('gdal_shim.osr')
+    o.SpatialReference = SpatialReference
+    o.CoordinateTransformation = CoordinateTransformation
+    o.OAMS_TRADITIONAL_GIS_ORDER = OAMS_TRADITIONAL_GIS_ORDER
+
+    r = types.ModuleType('gdal_shim.ogr')
+    r.Geometry = Geometry
+    r.wkbLinearRing = wkbLinearRing
+    r.wkbPolygon = wkbPolygon
+    r.Open = ogr_Open
+    r.GetDriverByName = ogr_GetDriverByName
+    return g, o, r

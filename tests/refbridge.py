@@ -88,6 +88,15 @@ def load_reference_dswx():
         gdalconst = _make_stub('osgeo.gdalconst', GDT_Float32=6, GDT_Byte=1)
         for attr in ('UseExceptions', 'DontUseExceptions'):
             setattr(gdal, attr, lambda *a, **k: None)
+        # real GDAL numeric constants: some are captured at import time as
+        # function default arguments (e.g. _save_array's output_dtype,
+        # dswx_hls.py:2895), so they must be correct even in inert mode
+        for name, value in (('GDT_Byte', 1), ('GDT_UInt16', 2),
+                            ('GDT_Int16', 3), ('GDT_UInt32', 4),
+                            ('GDT_Int32', 5), ('GDT_Float32', 6),
+                            ('GDT_Float64', 7), ('GA_ReadOnly', 0),
+                            ('GA_Update', 1), ('GCI_PaletteIndex', 2)):
+            setattr(gdal, name, value)
         # functional ColorTable so the reference's pure-logic color-table
         # builders (dswx_hls.py:1381-1636,2427-2575) execute for real
         class _ColorTable:

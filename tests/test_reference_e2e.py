@@ -1,0 +1,248 @@
+"""End-to-end: the REFERENCE's orchestrator runs on this repo's engines.
+
+tests/gdal_shim.py provides a functional subset of the osgeo API backed
+by proteus_tpu's own I/O, warp, and CRS engines. Injecting it into the
+refbridge-loaded reference module lets the reference's real
+``generate_dswx_layers`` (dswx_hls.py:4610) execute end-to-end — ingest,
+ancillary warps, science, 10-band product write, browse PNG — on a
+synthetic scene. Its products are then compared file-by-file against
+this repo's orchestrator given the *same* arguments.
+
+This is the strongest golden validation available offline: every
+orchestration, science, metadata, and packaging decision of the
+reference's executing code must coincide bit-for-bit with ours (GDAL's
+internal raster codecs are the only part not exercised — both sides
+write through this repo's COG writer).
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import gdal_shim
+import refbridge
+import synthetic
+
+from proteus_tpu.config.runconfig import parse_runconfig_file
+from proteus_tpu.io.cog import save_as_cog as our_save_as_cog
+from proteus_tpu.runtime.compare import compare_dswx_hls_products
+from proteus_tpu.runtime import orchestrator
+
+REF = refbridge.load_reference_dswx()
+
+pytestmark = pytest.mark.skipif(
+    REF is None, reason='reference checkout not available')
+
+
+@pytest.fixture()
+def ref_with_shims():
+    """Inject the functional GDAL shims into the reference module,
+    restoring the inert refbridge stubs afterwards."""
+    saved = {name: getattr(REF, name)
+             for name in ('gdal', 'osr', 'ogr', 'save_as_cog',
+                          'GDT_Byte', 'GDT_Float32')}
+    g, o, r = gdal_shim.make_modules()
+    REF.gdal = g
+    REF.osr = o
+    REF.ogr = r
+    REF.save_as_cog = our_save_as_cog
+    # `from osgeo.gdalconst import GDT_Float32, GDT_Byte` (dswx_hls.py:12)
+    REF.GDT_Byte = gdal_shim.GDT_Byte
+    REF.GDT_Float32 = gdal_shim.GDT_Float32
+    try:
+        yield REF
+    finally:
+        for name, value in saved.items():
+            setattr(REF, name, value)
+
+
+def _common_kwargs(product_id):
+    rc = parse_runconfig_file()
+    t = rc.hls_thresholds
+    ref_t = refbridge.reference_thresholds(
+        {k: getattr(t, k) for k in t.__dataclass_fields__})
+    common = dict(
+        product_id=product_id,
+        product_version='0.1',
+        check_ancillary_inputs_coverage=False,
+        apply_ocean_masking=False,
+        apply_aerosol_class_remapping=rc.apply_aerosol_class_remapping,
+        aerosol_not_water_to_high_conf_water_fmask_values=(
+            rc.aerosol_not_water_to_high_conf_water_fmask_values),
+        aerosol_water_moderate_conf_to_high_conf_water_fmask_values=(
+            rc.aerosol_water_moderate_conf_to_high_conf_water_fmask_values),
+        aerosol_partial_surface_water_conservative_to_high_conf_water_fmask_values=(
+            rc.aerosol_partial_surface_water_conservative_to_high_conf_water_fmask_values),
+        aerosol_partial_surface_aggressive_to_high_conf_water_fmask_values=(
+            rc.aerosol_partial_surface_aggressive_to_high_conf_water_fmask_values),
+        shadow_masking_algorithm='sun_local_inc_angle',
+        min_slope_angle=rc.min_slope_angle,
+        max_sun_local_inc_angle=rc.max_sun_local_inc_angle,
+        mask_adjacent_to_cloud_mode=rc.mask_adjacent_to_cloud_mode,
+        forest_mask_landcover_classes=rc.forest_mask_landcover_classes,
+        ocean_masking_shoreline_distance_km=(
+            rc.ocean_masking_shoreline_distance_km),
+        browse_image_height=256,
+        browse_image_width=256,
+        exclude_psw_aggressive_in_browse=(
+            rc.exclude_psw_aggressive_in_browse),
+        not_water_in_browse=rc.not_water_in_browse,
+        cloud_in_browse=rc.cloud_in_browse,
+        snow_in_browse=rc.snow_in_browse,
+    )
+    return common, ref_t, t
+
+
+def _compare_trees(ref_dir, our_dir):
+    ref_files = sorted(os.path.basename(f)
+                       for f in glob.glob(os.path.join(ref_dir, '*')))
+    our_files = sorted(os.path.basename(f)
+                       for f in glob.glob(os.path.join(our_dir, '*')))
+    assert ref_files, 'reference run produced no outputs'
+    assert ref_files == our_files, (
+        f'output sets differ:\n ref: {ref_files}\n ours: {our_files}')
+    for name in ref_files:
+        ref_path = os.path.join(ref_dir, name)
+        our_path = os.path.join(our_dir, name)
+        if name.endswith('.png'):
+            with open(ref_path, 'rb') as fa, open(our_path, 'rb') as fb:
+                assert fa.read() == fb.read(), f'browse PNG differs: {name}'
+        else:
+            assert compare_dswx_hls_products(ref_path, our_path), (
+                f'product differs: {name}')
+
+
+def _per_layer_outputs(out_dir):
+    """Per-layer product paths (the reference's single 10-band
+    ``output_file`` write has no None-band guard — dswx_hls.py:2679-2691
+    — so it is only usable when every ancillary layer exists)."""
+    return dict(
+        output_interpreted_band=os.path.join(out_dir, 'wtr.tif'),
+        output_binary_water=os.path.join(out_dir, 'bwtr.tif'),
+        output_confidence_layer=os.path.join(out_dir, 'conf.tif'),
+        output_diagnostic_layer=os.path.join(out_dir, 'diag.tif'),
+        output_non_masked_dswx=os.path.join(out_dir, 'wtr1.tif'),
+        output_shadow_masked_dswx=os.path.join(out_dir, 'wtr2.tif'),
+        output_cloud_layer=os.path.join(out_dir, 'cloud.tif'),
+        output_browse_image=os.path.join(out_dir, 'browse.png'),
+    )
+
+
+class TestReferenceEndToEnd:
+    def test_core_layers_no_ancillaries(self, ref_with_shims, tmp_path):
+        input_dir = str(tmp_path / 'input')
+        files, _bands = synthetic.make_hls_v2_dataset(input_dir, size=360)
+        ref_dir = str(tmp_path / 'ref_out')
+        our_dir = str(tmp_path / 'our_out')
+        ref_scratch = str(tmp_path / 'ref_scratch')
+        our_scratch = str(tmp_path / 'our_scratch')
+        for d in (ref_dir, our_dir, ref_scratch, our_scratch):
+            os.makedirs(d)
+        common, ref_t, our_t = _common_kwargs('dswx_e2e')
+
+        ret = ref_with_shims.generate_dswx_layers(
+            list(files), hls_thresholds=ref_t,
+            scratch_dir=ref_scratch, **_per_layer_outputs(ref_dir),
+            **common)
+        assert ret, 'reference generate_dswx_layers reported failure'
+
+        ret = orchestrator.generate_dswx_layers(
+            list(files), hls_thresholds=our_t,
+            scratch_dir=our_scratch, **_per_layer_outputs(our_dir),
+            **common)
+        assert ret
+
+        _compare_trees(ref_dir, our_dir)
+
+    def test_layers_with_dem_and_landcover(self, ref_with_shims,
+                                           tmp_path, monkeypatch):
+        """Full ancillary run compared per layer, including LAND, SHAD
+        and the float32 DEM layer (CUBICSPLINE overviews on both sides).
+
+        PROTEUS_TPU_HOST_WARP pins our orchestrator to the host warp the
+        shim routes the reference through, isolating orchestration/
+        science/packaging parity from the documented device-warp
+        transformer deviation (COMPONENTS.md deviation 1 — a handful of
+        nearest-neighbor picks at cell-boundary ULPs).
+        """
+        monkeypatch.setenv('PROTEUS_TPU_HOST_WARP', '1')
+        input_dir = str(tmp_path / 'input')
+        files, _bands = synthetic.make_hls_v2_dataset(input_dir, size=360)
+        for d in ('dem', 'lc', 'wc'):
+            os.makedirs(str(tmp_path / d))
+        dem_file = synthetic.make_dem(str(tmp_path / 'dem'), size=360)
+        landcover_file = synthetic.make_landcover(
+            str(tmp_path / 'lc'), size=360)
+        worldcover_file = synthetic.make_worldcover(
+            str(tmp_path / 'wc'), size=360)
+        ref_dir = str(tmp_path / 'ref_out')
+        our_dir = str(tmp_path / 'our_out')
+        ref_scratch = str(tmp_path / 'ref_scratch')
+        our_scratch = str(tmp_path / 'our_scratch')
+        for d in (ref_dir, our_dir, ref_scratch, our_scratch):
+            os.makedirs(d)
+        common, ref_t, our_t = _common_kwargs('dswx_e2e_anc')
+
+        anc = dict(dem_file=dem_file, landcover_file=landcover_file,
+                   worldcover_file=worldcover_file)
+
+        def extra_outputs(out_dir):
+            out = _per_layer_outputs(out_dir)
+            out.update(
+                output_landcover=os.path.join(out_dir, 'land.tif'),
+                output_shadow_layer=os.path.join(out_dir, 'shad.tif'),
+                output_dem_layer=os.path.join(out_dir, 'dem.tif'))
+            return out
+
+        ret = ref_with_shims.generate_dswx_layers(
+            list(files), hls_thresholds=ref_t,
+            scratch_dir=ref_scratch, **extra_outputs(ref_dir),
+            **anc, **common)
+        assert ret, 'reference generate_dswx_layers reported failure'
+
+        ret = orchestrator.generate_dswx_layers(
+            list(files), hls_thresholds=our_t,
+            scratch_dir=our_scratch, **extra_outputs(our_dir),
+            **anc, **common)
+        assert ret
+
+        _compare_trees(ref_dir, our_dir)
+
+    def test_reference_multiband_output_quirks(self, ref_with_shims,
+                                               tmp_path, monkeypatch):
+        """Document the reference's single-file (``output_file``) product
+        quirks, observed by executing its code: CONF is never passed to
+        save_dswx_product (dswx_hls.py:5383-5397), so the product packs 9
+        layers into 10 allocated bands leaving the last empty; the
+        ``description`` variable latches on the first band
+        (dswx_hls.py:2682-2683), labelling every band 'Water
+        classification (WTR)'. Our product writer deliberately fixes
+        both (COMPONENTS.md); shipped OPERA products are per-layer files,
+        which match bit-for-bit (the tests above)."""
+        monkeypatch.setenv('PROTEUS_TPU_HOST_WARP', '1')
+        input_dir = str(tmp_path / 'input')
+        files, _bands = synthetic.make_hls_v2_dataset(input_dir, size=360)
+        for d in ('dem', 'lc', 'wc', 'out', 'scratch'):
+            os.makedirs(str(tmp_path / d))
+        anc = dict(
+            dem_file=synthetic.make_dem(str(tmp_path / 'dem'), size=360),
+            landcover_file=synthetic.make_landcover(
+                str(tmp_path / 'lc'), size=360),
+            worldcover_file=synthetic.make_worldcover(
+                str(tmp_path / 'wc'), size=360))
+        common, ref_t, _ = _common_kwargs('dswx_quirks')
+        out = str(tmp_path / 'out' / 'dswx.tif')
+        ret = ref_with_shims.generate_dswx_layers(
+            list(files), output_file=out, hls_thresholds=ref_t,
+            scratch_dir=str(tmp_path / 'scratch'), **anc, **common)
+        assert ret
+        from proteus_tpu.io.tiff import TiffReader
+        with TiffReader(out) as r:
+            stack = r.read()
+            descs = r.band_descriptions()
+        assert stack.shape[2] == 10
+        assert np.array_equal(np.unique(stack[:, :, 9]), [0])  # empty band
+        assert all(d == 'Water classification (WTR)'
+                   for d in descs.values())  # latched description
