@@ -160,10 +160,16 @@ def _gather(data, valid, rows, cols, wraps, width):
 
 def _auto_grid_spacing(tile_crs, dx):
     """Lattice spacing in target pixels for ~240 m physical spacing
-    (interpolation error ~(240 m)^2 / 2R ~ 5 mm); minimum 8 px."""
+    (interpolation error ~(240 m)^2 / 2R ~ 5 mm); minimum 8 px.
+
+    Power of two so lattice weights w = i/spacing - floor(i/spacing) are
+    exact in BOTH float64 (host) and float32 (device) — a precondition
+    for the bit-equal device nearest path (see _device_resample_impl).
+    """
     if tile_crs.is_geographic:
         return 8
-    return max(8, int(round(240.0 / max(abs(dx), 1e-9))))
+    target = max(8.0, 240.0 / max(abs(dx), 1e-9))
+    return int(2 ** round(np.log2(target)))
 
 
 def warp_to_grid(input_file, geotransform, projection, length, width,
@@ -341,6 +347,16 @@ def _resample_block(fdata, valid, u, v, algorithm, fill, wraps, width,
 from functools import lru_cache
 
 
+def _dd_split(x):
+    """Split a float64 array into a double-float32 (hi, lo) pair.
+
+    hi + lo carries the top ~48 bits of x; the residual is <= |x|*2^-48.
+    """
+    hi = x.astype(np.float32)
+    lo = (x - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
 @lru_cache(maxsize=64)
 def _device_resample_fn(h, w, gh, gw, spacing, out_h, out_w, algorithm,
                         fill, wraps, full_width, has_valid):
@@ -349,66 +365,97 @@ def _device_resample_fn(h, w, gh, gw, spacing, out_h, out_w, algorithm,
     compiled program."""
     import jax
 
-    def wrapper(data, valid, lat_u, lat_v):
-        return _device_resample_impl(data, valid, lat_u, lat_v, spacing,
+    def wrapper(data, valid, lat):
+        return _device_resample_impl(data, valid, lat, spacing,
                                      out_h, out_w, algorithm, fill,
                                      wraps, full_width)
 
     if has_valid:
         return jax.jit(wrapper)
-    return jax.jit(lambda d, lu, lv: wrapper(d, None, lu, lv))
+    return jax.jit(lambda d, lat: wrapper(d, None, lat))
 
 
-def _device_resample(data, valid, lat_u, lat_v, spacing, out_h, out_w,
+def _device_resample(data, valid, lat, spacing, out_h, out_w,
                      algorithm, fill, wraps=False, full_width=None):
-    """On-device warp: separable bilinear lattice interpolation of the
-    source pixel coordinates + resampling gather, as one jit program.
+    """On-device warp: separable lattice interpolation of the source
+    pixel coordinates + resampling gather, as one jit program.
 
-    lat_u/lat_v are the window-relative source pixel coordinates on the
-    exact-float64 lattice (float32 on device: window-relative values stay
-    small, so f32 keeps <2.5e-4 px of error). Runs on whatever backend is
-    active; on TPU the gathers ride HBM bandwidth instead of a single
-    host core.
+    ``lat`` is (u_hi, u_lo, v_hi, v_lo): the window-relative source
+    pixel coordinates of the exact-float64 lattice, split into
+    double-float32 pairs. The interpolation runs in double-float32
+    error-free transforms (IEEE f32 add/mul are bit-exact on TPU), so
+    the interpolated coordinates agree with the host's float64 values to
+    ~2^-45 relative — nearest-neighbor picks can only differ inside a
+    ~1e-7 px boundary band, which the nearest path flags for exact host
+    resolution (see warp_to_grid_device). Returns (out, ambiguous).
     """
     from proteus_tpu.utils.compile_cache import enable
     enable()
     fn = _device_resample_fn(data.shape[0], data.shape[1],
-                             lat_u.shape[0], lat_u.shape[1], spacing,
+                             lat[0].shape[0], lat[0].shape[1], spacing,
                              out_h, out_w, algorithm, fill, wraps,
                              full_width, valid is not None)
     if valid is not None:
-        return fn(data, valid, lat_u, lat_v)
-    return fn(data, lat_u, lat_v)
+        return fn(data, valid, lat)
+    return fn(data, lat)
 
 
-def _device_resample_impl(data, valid, lat_u, lat_v, spacing, out_h,
+def _device_resample_impl(data, valid, lat, spacing, out_h,
                           out_w, algorithm, fill, wraps, full_width):
     import jax
     import jax.numpy as jnp
+    from proteus_tpu.core.f32exact import _two_prod, _two_sum
 
     h, w = data.shape
-    gh, gw = lat_u.shape
+    gh, gw = lat[0].shape
+    if spacing & (spacing - 1):
+        raise ValueError(f'grid_spacing must be a power of two for the '
+                         f'device warp (got {spacing})')
 
-    def interp_axis0(grid, i0, wi):
-        a = grid[i0, :]
-        b = grid[i0 + 1, :]
-        return a + (b - a) * wi[:, None]
+    def dd_norm(hi, lo):
+        s = hi + lo
+        return s, lo - (s - hi)
+
+    def dd_add(ah, al, bh, bl):
+        s, e = _two_sum(ah, bh)
+        return dd_norm(s, e + (al + bl))
+
+    def dd_mul_f32(ah, al, f):
+        p, e = _two_prod(ah, f)
+        return dd_norm(p, e + al * f)
+
+    def dd_lerp(g0, g1, f):
+        """g0 + (g1 - g0) * f in double-float32; g0/g1 are (hi, lo)."""
+        dh, dl = dd_add(g1[0], g1[1], -g0[0], -g0[1])
+        mh, ml = dd_mul_f32(dh, dl, f)
+        return dd_add(g0[0], g0[1], mh, ml)
+
+    def interp_axis0(grid_hi, grid_lo, i0, wi):
+        a = (grid_hi[i0, :], grid_lo[i0, :])
+        b = (grid_hi[i0 + 1, :], grid_lo[i0 + 1, :])
+        return dd_lerp(a, b, wi[:, None])
 
     def interp_axis1(rows, j0, wj):
-        a = rows[:, j0]
-        b = rows[:, j0 + 1]
-        return a + (b - a) * wj[None, :]
+        a = (rows[0][:, j0], rows[1][:, j0])
+        b = (rows[0][:, j0 + 1], rows[1][:, j0 + 1])
+        return dd_lerp(a, b, wj[None, :])
 
-    def run(data, valid, lat_u, lat_v):
-        fi = jnp.arange(out_h, dtype=jnp.float32) / spacing
-        fj = jnp.arange(out_w, dtype=jnp.float32) / spacing
+    def run(data, valid, lat):
+        u_hi, u_lo, v_hi, v_lo = lat
+        # spacing is a power of two, so i/spacing and the lattice weights
+        # are exact in f32 AND identical to the host's float64 values
+        inv = jnp.float32(1.0 / spacing)
+        fi = jnp.arange(out_h, dtype=jnp.float32) * inv
+        fj = jnp.arange(out_w, dtype=jnp.float32) * inv
         i0 = jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, gh - 2)
         j0 = jnp.clip(jnp.floor(fj).astype(jnp.int32), 0, gw - 2)
         wi = fi - i0.astype(jnp.float32)
         wj = fj - j0.astype(jnp.float32)
 
-        u = interp_axis1(interp_axis0(lat_u, i0, wi), j0, wj)
-        v = interp_axis1(interp_axis0(lat_v, i0, wi), j0, wj)
+        udd = interp_axis1(interp_axis0(u_hi, u_lo, i0, wi), j0, wj)
+        vdd = interp_axis1(interp_axis0(v_hi, v_lo, i0, wi), j0, wj)
+        u, u_err = udd
+        v, v_err = vdd
 
         dflat = data.reshape(-1)
         vflat = valid.reshape(-1) if valid is not None else None
@@ -426,10 +473,34 @@ def _device_resample_impl(data, valid, lat_u, lat_v, spacing, out_h,
             return vals, ok
 
         if algorithm == 'nearest':
-            rows = jnp.floor(v).astype(jnp.int32)
-            cols = jnp.floor(u).astype(jnp.int32)
+            # exact dd floor: u_hi is float, frac = u_hi - floor(u_hi) is
+            # exact; the residual u_err (|u_err| <= ulp(u_hi)/2) can only
+            # push the fraction across 0 or 1 when frac itself is 0
+            def dd_floor(hi, err):
+                base = jnp.floor(hi)
+                frac = hi - base  # exact (Sterbenz)
+                c = frac + err
+                n = base + jnp.where(c < 0, -1.0,
+                                     jnp.where(c >= 1, 1.0, 0.0))
+                cf = jnp.where(c < 0, c + 1, jnp.where(c >= 1, c - 1, c))
+                return n.astype(jnp.int32), cf
+
+            rows, fv_n = dd_floor(v, v_err)
+            cols, fu_n = dd_floor(u, u_err)
+            # ambiguity band: where the dd value sits within eps of a
+            # pick boundary, the host float64 value could floor
+            # differently; eps bounds the dd-vs-f64 divergence (lattice
+            # split residual 2^-48|coord| + O(5) dd-op errors) plus the
+            # f32 rounding of the fraction itself (<= 2^-24)
+            def near_edge(hi, cf):
+                eps = jnp.float32(2.0 ** -22) \
+                    + (jnp.abs(hi) + 16.0) * jnp.float32(2.0 ** -38)
+                return (cf < eps) | (cf > 1 - eps)
+
+            amb = near_edge(u, fu_n) | near_edge(v, fv_n)
             vals, ok = gather(rows, cols)
-            return jnp.where(ok, vals, jnp.asarray(fill, data.dtype))
+            out = jnp.where(ok, vals, jnp.asarray(fill, data.dtype))
+            return out, amb
 
         uc = u - 0.5
         vc = v - 0.5
@@ -466,9 +537,10 @@ def _device_resample_impl(data, valid, lat_u, lat_v, spacing, out_h,
                 wacc = wacc + jnp.where(ok, wgt, 0.0)
         res = acc / jnp.where(wacc > 1e-9, wacc, 1.0)
         good = center_in & (wacc > 1e-9)
-        return jnp.where(good, res, jnp.float32(fill))
+        out = jnp.where(good, res, jnp.float32(fill))
+        return out, jnp.zeros(out.shape, bool)
 
-    return run(data, valid, lat_u, lat_v)
+    return run(data, valid, lat)
 
 
 def warp_to_grid_device(input_file, geotransform, projection, length,
@@ -479,8 +551,12 @@ def warp_to_grid_device(input_file, geotransform, projection, length,
 
     Returns a device array (jnp). Keeping the result on device lets the
     downstream consumers (LAND decimation, terrain shadow) run without a
-    host round-trip. Index coordinates are float32; relative to the exact
-    host path the only difference is sub-0.001-pixel index rounding.
+    host round-trip. For 'nearest' the result is BIT-IDENTICAL to the
+    host warp_to_grid: coordinates interpolate in double-float32 on
+    device and every pixel within the tiny boundary-ambiguity band is
+    re-decided on host with the same float64 lattice transform. Kernel
+    resamplers (bilinear/cubic) accumulate in float32 on device vs the
+    host's float64 — value differences stay at float32-rounding level.
     """
     import jax.numpy as jnp
 
@@ -526,8 +602,9 @@ def warp_to_grid_device(input_file, geotransform, projection, length,
         sx0, sdx, _, sy0, _, sdy = src.gt
         lu = (tx.sx - sx0) / sdx
         lv = (tx.sy - sy0) / sdy
-        lat_u = jnp.asarray((lu - c0).astype(np.float32))
-        lat_v = jnp.asarray((lv - r0).astype(np.float32))
+        u_hi, u_lo = _dd_split(lu - c0)
+        v_hi, v_lo = _dd_split(lv - r0)
+        lat = tuple(jnp.asarray(a) for a in (u_hi, u_lo, v_hi, v_lo))
         wraps = src.wraps and c0 == 0 and ww == src.width
 
         if nodata is not None and np.isnan(nodata):
@@ -540,14 +617,34 @@ def warp_to_grid_device(input_file, geotransform, projection, length,
         is_float_fill = isinstance(fill, float) and np.isnan(fill)
         kernel_input = data if resample_algorithm == 'nearest' else \
             data.astype(np.float32)
-        out = _device_resample(
+        all_valid = valid is None or bool(valid.all())
+        out, amb = _device_resample(
             jnp.asarray(kernel_input),
-            None if valid is None or bool(valid.all())
-            else jnp.asarray(valid),
-            lat_u, lat_v, grid_spacing, out_h, out_w, resample_algorithm,
+            None if all_valid else jnp.asarray(valid),
+            lat, grid_spacing, out_h, out_w, resample_algorithm,
             float(fill) if (is_float_fill or
                             resample_algorithm != 'nearest') else fill,
             wraps=wraps, full_width=ww)
+        if resample_algorithm == 'nearest':
+            n_amb = int(jnp.sum(amb))
+            if n_amb:
+                # exact host re-decision of the boundary-ambiguous picks,
+                # replicating warp_to_grid's float64 chunk pipeline
+                flat = np.asarray(jnp.nonzero(amb.ravel(),
+                                              size=n_amb)[0])
+                ii = (flat // out_w).astype(np.float64)
+                jj = (flat % out_w).astype(np.float64)
+                hsx, hsy = tx(ii, jj)
+                hu, hv = src.pixel_coords(hsx, hsy)
+                hu = hu - c0
+                hv = hv - r0
+                rows = np.floor(hv).astype(np.int64)
+                cols = np.floor(hu).astype(np.int64)
+                vals, ok = _gather(data, valid if not all_valid else None,
+                                   rows, cols, wraps, ww)
+                res = np.where(ok, vals, fill).astype(out.dtype)
+                out = out.ravel().at[flat].set(
+                    jnp.asarray(res)).reshape(out.shape)
         if resample_algorithm != 'nearest' \
                 and np.dtype(out_dtype).kind in 'ui':
             out = jnp.clip(jnp.rint(out), np.iinfo(out_dtype).min,

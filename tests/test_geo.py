@@ -115,10 +115,32 @@ class TestWarp:
                 path, tile_gt, 'EPSG:32615', 150, 150,
                 resample_algorithm=alg))
             if alg == 'nearest':
-                assert (host != dev).mean() < 1e-3, alg
+                # dd-f32 coordinates + host boundary resolve: bit-equal
+                np.testing.assert_array_equal(host, dev, err_msg=alg)
             else:
                 np.testing.assert_allclose(host, dev, rtol=2e-4,
                                            atol=0.05, err_msg=alg)
+
+    def test_device_nearest_boundary_resolve(self, tmp_path):
+        """Same-CRS warp with a half-pixel origin shift puts EVERY
+        output coordinate exactly on a pick boundary — the worst case
+        for the ambiguity band. The device result must still be
+        bit-identical to the host float64 decisions."""
+        h, w = 120, 120
+        gt = (700000.0, 30.0, 0.0, 3395100.0, 0.0, -30.0)
+        arr = RNG.integers(0, 200, (h, w)).astype(np.uint8)
+        path = str(tmp_path / 'src.tif')
+        write_cog(path, arr, geotransform=gt, epsg=32615, nodata=255,
+                  overview_levels=())
+        # origin shifted by half a source pixel: u = j exactly
+        tile_gt = (700000.0 - 15.0, 30.0, 0.0, 3395100.0 + 15.0,
+                   0.0, -30.0)
+        host = warp_to_grid(path, tile_gt, 'EPSG:32615', 100, 100,
+                            resample_algorithm='nearest')
+        dev = np.asarray(warp_to_grid_device(
+            path, tile_gt, 'EPSG:32615', 100, 100,
+            resample_algorithm='nearest'))
+        np.testing.assert_array_equal(host, dev)
 
     def test_cubic_margin_and_nodata(self, tmp_path):
         h, w = 300, 300
