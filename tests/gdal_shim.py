@@ -27,6 +27,7 @@ and only called.
 """
 
 import os
+import re
 
 import numpy as np
 
@@ -354,7 +355,69 @@ def GetDriverByName(name):
     return _Driver(name)
 
 
+_HDF4_SUBDATASET = re.compile(r'^HDF4_EOS:EOS_GRID:"(.+)":Grid:(.+)$')
+
+
+class _Hdf4Band:
+    def __init__(self, ds):
+        self._ds = ds
+
+    @property
+    def XSize(self):
+        return self._ds.RasterXSize
+
+    @property
+    def YSize(self):
+        return self._ds.RasterYSize
+
+    def GetNoDataValue(self):
+        return self._ds._raster.nodata()
+
+    def ReadAsArray(self, xoff=0, yoff=0, win_xsize=None, win_ysize=None):
+        return self._ds.ReadAsArray(xoff, yoff, win_xsize, win_ysize)
+
+
+class _Hdf4ReadDataset:
+    """HDF4-EOS subdataset facade (the reference's HLS v1 ingest opens
+    'HDF4_EOS:EOS_GRID:"file":Grid:band' refs, dswx_hls.py:2358)."""
+
+    def __init__(self, path, band_name):
+        from proteus_tpu.io.hdf4 import Hdf4Raster
+        self._raster = Hdf4Raster(path, band_name)
+        self.RasterYSize, self.RasterXSize = self._raster.shape
+        self.RasterCount = 1
+
+    def GetRasterBand(self, index):
+        return _Hdf4Band(self)
+
+    def GetMetadata(self):
+        return dict(self._raster.metadata())
+
+    def GetGeoTransform(self):
+        return tuple(self._raster.geotransform())
+
+    def GetProjection(self):
+        return self._raster.projection()
+
+    def ReadAsArray(self, xoff=0, yoff=0, xsize=None, ysize=None):
+        if xsize is None and ysize is None and xoff == 0 and yoff == 0:
+            return self._raster.read()
+        h, w = self._raster.shape
+        ysize = ysize if ysize is not None else h - yoff
+        xsize = xsize if xsize is not None else w - xoff
+        return self._raster.read(window=(yoff, xoff, ysize, xsize))
+
+    def FlushCache(self):
+        return None
+
+
 def Open(path, mode=GA_ReadOnly):
+    m = _HDF4_SUBDATASET.match(path)
+    if m:
+        try:
+            return _Hdf4ReadDataset(m.group(1), m.group(2))
+        except (OSError, ValueError):
+            return None
     try:
         return _ReadDataset(path)
     except (OSError, ValueError):

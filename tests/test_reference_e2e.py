@@ -221,6 +221,36 @@ class TestReferenceEndToEnd:
 
         _compare_trees(ref_dir, our_dir)
 
+    def test_hls_v1_hdf4_ingest(self, ref_with_shims, tmp_path):
+        """HLS v1 (HDF4-EOS): the reference's _load_hls_product_v1 opens
+        HDF4_EOS:EOS_GRID subdataset refs (dswx_hls.py:2358) — routed by
+        the shim to this repo's HDF4 reader — and runs the whole product
+        generation. Its outputs must match our orchestrator ingesting
+        the same v1 granule natively (io/hls.py + io/hdf4.py)."""
+        v1_path, _bands = synthetic.make_hls_v1_dataset(
+            str(tmp_path / 'input'), size=360)
+        ref_dir = str(tmp_path / 'ref_out')
+        our_dir = str(tmp_path / 'our_out')
+        ref_scratch = str(tmp_path / 'ref_scratch')
+        our_scratch = str(tmp_path / 'our_scratch')
+        for d in (ref_dir, our_dir, ref_scratch, our_scratch):
+            os.makedirs(d)
+        common, ref_t, our_t = _common_kwargs('dswx_e2e_v1')
+
+        ret = ref_with_shims.generate_dswx_layers(
+            [v1_path], hls_thresholds=ref_t,
+            scratch_dir=ref_scratch, **_per_layer_outputs(ref_dir),
+            **common)
+        assert ret, 'reference generate_dswx_layers reported failure'
+
+        ret = orchestrator.generate_dswx_layers(
+            [v1_path], hls_thresholds=our_t,
+            scratch_dir=our_scratch, **_per_layer_outputs(our_dir),
+            **common)
+        assert ret
+
+        _compare_trees(ref_dir, our_dir)
+
     def test_reference_multiband_output_quirks(self, ref_with_shims,
                                                tmp_path, monkeypatch):
         """Document the reference's single-file (``output_file``) product
