@@ -142,14 +142,51 @@ class TestReferenceEndToEnd:
             os.makedirs(d)
         common, ref_t, our_t = _common_kwargs('dswx_e2e')
 
+        def outputs(out_dir):
+            out = _per_layer_outputs(out_dir)
+            out.update(
+                output_rgb_file=os.path.join(out_dir, 'rgb.tif'),
+                output_infrared_rgb_file=os.path.join(
+                    out_dir, 'infrared_rgb.tif'))
+            return out
+
         ret = ref_with_shims.generate_dswx_layers(
             list(files), hls_thresholds=ref_t,
+            scratch_dir=ref_scratch, **outputs(ref_dir), **common)
+        assert ret, 'reference generate_dswx_layers reported failure'
+
+        ret = orchestrator.generate_dswx_layers(
+            list(files), hls_thresholds=our_t,
+            scratch_dir=our_scratch, **outputs(our_dir), **common)
+        assert ret
+
+        _compare_trees(ref_dir, our_dir)
+
+    def test_core_layers_scaled_inputs(self, ref_with_shims, tmp_path):
+        """--offset-and-scale-inputs mode: the whole science chain runs
+        on float32 scaled reflectance in both implementations (the
+        reference casts at ingest, dswx_hls.py:2298-2302; our TPU path
+        uses the division-free exact boundary comparisons)."""
+        input_dir = str(tmp_path / 'input')
+        files, _bands = synthetic.make_hls_v2_dataset(input_dir, size=360)
+        ref_dir = str(tmp_path / 'ref_out')
+        our_dir = str(tmp_path / 'our_out')
+        ref_scratch = str(tmp_path / 'ref_scratch')
+        our_scratch = str(tmp_path / 'our_scratch')
+        for d in (ref_dir, our_dir, ref_scratch, our_scratch):
+            os.makedirs(d)
+        common, ref_t, our_t = _common_kwargs('dswx_e2e_scaled')
+
+        ret = ref_with_shims.generate_dswx_layers(
+            list(files), hls_thresholds=ref_t,
+            flag_offset_and_scale_inputs=True,
             scratch_dir=ref_scratch, **_per_layer_outputs(ref_dir),
             **common)
         assert ret, 'reference generate_dswx_layers reported failure'
 
         ret = orchestrator.generate_dswx_layers(
             list(files), hls_thresholds=our_t,
+            flag_offset_and_scale_inputs=True,
             scratch_dir=our_scratch, **_per_layer_outputs(our_dir),
             **common)
         assert ret
@@ -250,6 +287,39 @@ class TestReferenceEndToEnd:
         assert ret
 
         _compare_trees(ref_dir, our_dir)
+
+    def test_reference_comparator_on_our_products(self, ref_with_shims,
+                                                  tmp_path):
+        """The reference's own compare_dswx_hls_products
+        (dswx_hls.py:705-871) executes over our product files through
+        the shim: identical files compare equal; a perturbed copy is
+        detected — cross-validating runtime/compare.py's semantics."""
+        input_dir = str(tmp_path / 'input')
+        files, _bands = synthetic.make_hls_v2_dataset(input_dir, size=360)
+        out_dir = str(tmp_path / 'out')
+        scratch = str(tmp_path / 'scratch')
+        os.makedirs(out_dir)
+        os.makedirs(scratch)
+        common, _ref_t, our_t = _common_kwargs('dswx_cmp')
+        wtr = os.path.join(out_dir, 'wtr.tif')
+        ret = orchestrator.generate_dswx_layers(
+            list(files), hls_thresholds=our_t,
+            output_interpreted_band=wtr, scratch_dir=scratch, **common)
+        assert ret
+        assert ref_with_shims.compare_dswx_hls_products(wtr, wtr)
+
+        from proteus_tpu.io.tiff import TiffReader
+        from proteus_tpu.io.cog import write_cog
+        with TiffReader(wtr) as r:
+            arr = r.read()
+            gt = r.geotransform()
+            epsg = r.epsg()
+            md = r.metadata()
+        arr2 = arr.copy()
+        arr2[7, 11] = 77
+        other = os.path.join(out_dir, 'wtr_mod.tif')
+        write_cog(other, arr2, geotransform=gt, epsg=epsg, metadata=md)
+        assert not ref_with_shims.compare_dswx_hls_products(wtr, other)
 
     def test_reference_multiband_output_quirks(self, ref_with_shims,
                                                tmp_path, monkeypatch):
