@@ -307,8 +307,20 @@ class _WriteDataset:
             return np.clip(vals, info.min, info.max).astype(target)
         return array.astype(target)
 
+    def ReadAsArray(self, xoff=0, yoff=0, xsize=None, ysize=None):
+        filled = [(self._convert(a) if a is not None
+                   else np.zeros((self.RasterYSize, self.RasterXSize),
+                                 self._dtype))
+                  for a in self._arrays]
+        stack = filled[0] if len(filled) == 1 else np.stack(filled, axis=0)
+        if xsize is None and ysize is None and xoff == 0 and yoff == 0:
+            return stack
+        ysize = ysize if ysize is not None else self.RasterYSize - yoff
+        xsize = xsize if xsize is not None else self.RasterXSize - xoff
+        return stack[..., yoff:yoff + ysize, xoff:xoff + xsize]
+
     def FlushCache(self):
-        if self._flushed:
+        if self._flushed or not self._path:  # MEM datasets never persist
             return None
         filled = [(self._convert(a) if a is not None
                    else np.zeros((self.RasterYSize, self.RasterXSize),
@@ -488,9 +500,30 @@ def BuildVRTOptions(*args, **kwargs):
     raise NotImplementedError('gdal_shim does not implement BuildVRT')
 
 
-def RasterizeLayer(*args, **kwargs):
-    raise NotImplementedError(
-        'gdal_shim does not implement RasterizeLayer yet (ocean mask)')
+def RasterizeLayer(dataset, bands, layer, burn_values=(1,)):
+    """Rasterize the layer's polygons into the dataset band; a pending
+    Buffer margin is applied as the exact Euclidean distance-transform
+    threshold (the production ocean-mask semantics, geo/polygon.py)."""
+    from scipy.ndimage import distance_transform_edt
+    from proteus_tpu.geo.polygon import rasterize_rings
+    gt = dataset.GetGeoTransform()
+    h, w = dataset.RasterYSize, dataset.RasterXSize
+    band = dataset.GetRasterBand(bands[0])
+    existing = dataset._arrays[bands[0] - 1]
+    if existing is None:
+        existing = np.zeros((h, w), dataset._dtype)
+    for feature in layer:
+        geom = feature.GetGeometryRef()
+        mask = np.zeros((h, w), np.uint8)
+        rasterize_rings(geom.ring_arrays(), gt, h, w, out=mask)
+        if geom._buffer_m > 0 and mask.any():
+            dist = distance_transform_edt(
+                mask == 0, sampling=(abs(gt[5]), abs(gt[1])))
+            mask = (dist <= geom._buffer_m).astype(np.uint8)
+        existing = np.where(mask, np.asarray(burn_values[0],
+                                             dataset._dtype), existing)
+    band.WriteArray(existing)
+    return 0
 
 
 # ---------------------------------------------------------------------------
@@ -556,11 +589,22 @@ wkbPolygon = 102
 
 
 class Geometry:
+    """Polygon/ring container with the operations the reference's ocean
+    mask and coverage checks use. Boolean predicates and the clip run on
+    axis-aligned envelopes (exact for the reference's rectangular tile /
+    file polygons; the same approximation this repo's production
+    create_ocean_mask makes — geo/polygon.py). Buffer records the metric
+    margin; RasterizeLayer applies it as the exact Euclidean
+    distance-transform threshold, matching the production pipeline
+    (dilation distributes over polygon unions, so per-polygon dilation
+    OR-ed equals dilating the union)."""
+
     def __init__(self, kind):
         self.kind = kind
         self.points = []
         self.rings = []
         self._srs = None
+        self._buffer_m = 0.0
 
     def AddPoint(self, x, y, z=0.0):
         self.points.append((float(x), float(y)))
@@ -574,10 +618,16 @@ class Geometry:
     def GetSpatialReference(self):
         return self._srs
 
+    def GetGeometryName(self):
+        return 'POLYGON' if self.kind == wkbPolygon else 'LINEARRING'
+
+    def ring_arrays(self):
+        if self.kind == wkbLinearRing:
+            return [np.array(self.points, dtype=np.float64)]
+        return [np.array(r.points, dtype=np.float64) for r in self.rings]
+
     def _xy(self):
-        pts = self.points if self.kind == wkbLinearRing \
-            else [p for r in self.rings for p in r.points]
-        return np.array(pts, dtype=np.float64)
+        return np.concatenate(self.ring_arrays(), axis=0)
 
     def GetEnvelope(self):
         xy = self._xy()
@@ -585,8 +635,6 @@ class Geometry:
                 xy[:, 1].min(), xy[:, 1].max())
 
     def Intersects(self, other):
-        # axis-aligned envelope test is exact for the reference's
-        # rectangular tile/file polygons (coverage checks)
         ax0, ax1, ay0, ay1 = self.GetEnvelope()
         bx0, bx1, by0, by1 = other.GetEnvelope()
         return bool(ax0 <= bx1 and bx0 <= ax1 and ay0 <= by1 and by0 <= ay1)
@@ -599,14 +647,99 @@ class Geometry:
     def Contains(self, other):
         return other.Within(self)
 
+    @classmethod
+    def from_ring_arrays(cls, rings, srs=None):
+        poly = cls(wkbPolygon)
+        for arr in rings:
+            ring = cls(wkbLinearRing)
+            ring.points = [(float(x), float(y)) for x, y in arr]
+            poly.rings.append(ring)
+        poly._srs = srs
+        return poly
+
+    def Intersection(self, other):
+        from proteus_tpu.geo.polygon import clip_ring_to_rect
+        bx0, bx1, by0, by1 = other.GetEnvelope()
+        clipped = []
+        for arr in self.ring_arrays():
+            c = clip_ring_to_rect(arr, bx0, by0, bx1, by1)
+            if c is not None:
+                clipped.append(c)
+        return Geometry.from_ring_arrays(clipped, self._srs)
+
+    def TransformTo(self, srs):
+        out = []
+        for arr in self.ring_arrays():
+            tx, ty = transform_points(self._srs.crs, srs.crs,
+                                      arr[:, 0], arr[:, 1])
+            out.append(np.stack([tx, ty], axis=1))
+        transformed = Geometry.from_ring_arrays(out, srs)
+        self.rings = transformed.rings
+        self.points = []
+        self.kind = wkbPolygon
+        self._srs = srs
+        return 0
+
+    def Buffer(self, distance):
+        out = Geometry.from_ring_arrays(self.ring_arrays(), self._srs)
+        out._buffer_m = self._buffer_m + float(distance)
+        return out
+
+
+class _Feature:
+    def __init__(self, geometry):
+        self._geometry = geometry
+
+    def GetGeometryRef(self):
+        return self._geometry
+
+    def SetGeometry(self, geometry):
+        self._geometry = geometry
+
+
+class _Layer:
+    def __init__(self, features):
+        self._features = list(features)
+
+    def __iter__(self):
+        return iter(self._features)
+
+    def CreateFeature(self, feature):
+        self._features.append(feature)
+
+
+class _ShapefileDataSource:
+    def __init__(self, path):
+        from proteus_tpu.io.shapefile import read_shapefile
+        polygons, crs_wkt = read_shapefile(path)
+        srs = SpatialReference()
+        srs.ImportFromWkt(crs_wkt if crs_wkt
+                          else CRS.from_epsg(4326).to_wkt())
+        feats = [_Feature(Geometry.from_ring_arrays(p.rings, srs))
+                 for p in polygons]
+        self._layers = [_Layer(feats)]
+
+    def __iter__(self):
+        return iter(self._layers)
+
+
+class _ShapefileDriver:
+    def CreateDataSource(self, path):
+        class _OutDS:
+            def CreateLayer(self, name, srs, geom_type):
+                return _Layer([])
+        return _OutDS()
+
 
 def ogr_Open(path, update=0):
-    raise NotImplementedError(
-        'gdal_shim ogr.Open (shoreline shapefiles) is not implemented yet')
+    try:
+        return _ShapefileDataSource(path)
+    except (OSError, ValueError):
+        return None
 
 
 def ogr_GetDriverByName(name):
-    raise NotImplementedError('gdal_shim ogr driver not implemented yet')
+    return _ShapefileDriver()
 
 
 # ---------------------------------------------------------------------------

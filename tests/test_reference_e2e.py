@@ -288,6 +288,51 @@ class TestReferenceEndToEnd:
 
         _compare_trees(ref_dir, our_dir)
 
+    def test_layers_with_ocean_masking(self, ref_with_shims, tmp_path):
+        """Ocean masking: the reference's _create_ocean_mask
+        (dswx_hls.py:3464-3572) executes through the ogr/RasterizeLayer
+        shim — shapefile read, per-polygon intersection, SRS transform,
+        metric buffer, rasterize, OR-accumulate — over this repo's
+        engines, and the masked products (WTR ocean class 254, coverage
+        metadata) must match our orchestrator. The buffer itself runs as
+        the exact Euclidean distance threshold on BOTH sides (the
+        production semantics; GEOS's 30-segment arc approximation is a
+        documented deviation, COMPONENTS.md)."""
+        input_dir = str(tmp_path / 'input')
+        files, _bands = synthetic.make_hls_v2_dataset(input_dir, size=360)
+        os.makedirs(str(tmp_path / 'shore'))
+        shoreline = synthetic.make_shoreline(str(tmp_path / 'shore'),
+                                             size=360)
+        ref_dir = str(tmp_path / 'ref_out')
+        our_dir = str(tmp_path / 'our_out')
+        ref_scratch = str(tmp_path / 'ref_scratch')
+        our_scratch = str(tmp_path / 'our_scratch')
+        for d in (ref_dir, our_dir, ref_scratch, our_scratch):
+            os.makedirs(d)
+        common, ref_t, our_t = _common_kwargs('dswx_e2e_ocean')
+        common['apply_ocean_masking'] = True
+
+        ret = ref_with_shims.generate_dswx_layers(
+            list(files), hls_thresholds=ref_t,
+            shoreline_shapefile=shoreline,
+            scratch_dir=ref_scratch, **_per_layer_outputs(ref_dir),
+            **common)
+        assert ret, 'reference generate_dswx_layers reported failure'
+
+        ret = orchestrator.generate_dswx_layers(
+            list(files), hls_thresholds=our_t,
+            shoreline_shapefile=shoreline,
+            scratch_dir=our_scratch, **_per_layer_outputs(our_dir),
+            **common)
+        assert ret
+
+        # the mask must actually bite: ocean class present in WTR
+        from proteus_tpu.io.tiff import TiffReader
+        with TiffReader(os.path.join(our_dir, 'wtr.tif')) as r:
+            assert (r.read() == 254).any(), 'no ocean-masked pixels'
+
+        _compare_trees(ref_dir, our_dir)
+
     def test_reference_comparator_on_our_products(self, ref_with_shims,
                                                   tmp_path):
         """The reference's own compare_dswx_hls_products
