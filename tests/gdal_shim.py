@@ -647,6 +647,9 @@ class Geometry:
     def Contains(self, other):
         return other.Within(self)
 
+    def IsValid(self):
+        return True
+
     @classmethod
     def from_ring_arrays(cls, rings, srs=None):
         poly = cls(wkbPolygon)

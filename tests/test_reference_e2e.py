@@ -333,6 +333,62 @@ class TestReferenceEndToEnd:
 
         _compare_trees(ref_dir, our_dir)
 
+    def test_ancillary_coverage_checks(self, ref_with_shims, tmp_path):
+        """check_ancillary_inputs_coverage=True: the reference's
+        _check_ancillary_inputs (dswx_hls.py:4340-4607) executes over the
+        shim geometry — full coverage passes on both sides; a DEM that
+        does not cover the tile makes both implementations raise."""
+        input_dir = str(tmp_path / 'input')
+        files, _bands = synthetic.make_hls_v2_dataset(input_dir, size=360)
+        for d in ('dem', 'lc', 'wc', 'dem_small'):
+            os.makedirs(str(tmp_path / d))
+        anc = dict(
+            dem_file=synthetic.make_dem(str(tmp_path / 'dem'), size=360),
+            landcover_file=synthetic.make_landcover(
+                str(tmp_path / 'lc'), size=360),
+            worldcover_file=synthetic.make_worldcover(
+                str(tmp_path / 'wc'), size=360))
+        common, ref_t, our_t = _common_kwargs('dswx_e2e_cov')
+        common['check_ancillary_inputs_coverage'] = True
+
+        ref_dir = str(tmp_path / 'ref_out')
+        our_dir = str(tmp_path / 'our_out')
+        ref_scratch = str(tmp_path / 'ref_scratch')
+        our_scratch = str(tmp_path / 'our_scratch')
+        for d in (ref_dir, our_dir, ref_scratch, our_scratch):
+            os.makedirs(d)
+        ret = ref_with_shims.generate_dswx_layers(
+            list(files), hls_thresholds=ref_t, scratch_dir=ref_scratch,
+            output_interpreted_band=os.path.join(ref_dir, 'wtr.tif'),
+            **anc, **common)
+        assert ret
+        ret = orchestrator.generate_dswx_layers(
+            list(files), hls_thresholds=our_t, scratch_dir=our_scratch,
+            output_interpreted_band=os.path.join(our_dir, 'wtr.tif'),
+            **anc, **common)
+        assert ret
+        _compare_trees(ref_dir, our_dir)
+
+        # a DEM covering only half the tile: both sides must raise
+        from proteus_tpu.io.tiff import TiffReader
+        from proteus_tpu.io.cog import write_cog
+        with TiffReader(anc['dem_file']) as r:
+            dem = r.read()
+            gt = r.geotransform()
+        half = dem[:dem.shape[0] // 2]
+        small = os.path.join(str(tmp_path / 'dem_small'), 'dem.tif')
+        write_cog(small, half, geotransform=gt, epsg=4326,
+                  nodata=float('nan'), overview_levels=())
+        bad = dict(anc, dem_file=small)
+        with pytest.raises(ValueError):
+            ref_with_shims.generate_dswx_layers(
+                list(files), hls_thresholds=ref_t,
+                scratch_dir=ref_scratch, **bad, **common)
+        with pytest.raises(ValueError):
+            orchestrator.generate_dswx_layers(
+                list(files), hls_thresholds=our_t,
+                scratch_dir=our_scratch, **bad, **common)
+
     def test_reference_comparator_on_our_products(self, ref_with_shims,
                                                   tmp_path):
         """The reference's own compare_dswx_hls_products
