@@ -170,7 +170,9 @@ SPATIAL_HALO = 17
 def make_spatial_campaign_step(config: DswxChainConfig, mesh,
                                halo=SPATIAL_HALO, compute_browse=False,
                                with_ocean=False, with_shadow=False,
-                               with_landcover=False):
+                               with_landcover=False, use_pallas=None,
+                               pallas_interpret=False,
+                               pallas_block_rows=None):
     """Sharded step over a 2-D ('tile', 'space') mesh: tile batches are
     data-parallel on the tile axis AND each tile's rows are sharded over
     the space axis (the SP/CP analogue from SURVEY.md section 2).
@@ -205,13 +207,15 @@ def make_spatial_campaign_step(config: DswxChainConfig, mesh,
         return jnp.concatenate([top, x, bot], axis=1)
 
     n_extra = int(with_ocean) + int(with_shadow) + int(with_landcover)
-    use_pallas = _campaign_uses_pallas(config)
+    if use_pallas is None:
+        use_pallas = _campaign_uses_pallas(config)
     pallas_kernel = None
     if use_pallas:
         from proteus_tpu.ops.pallas.wtr_kernel import make_wtr_kernel
         pallas_kernel = make_wtr_kernel(
             config, with_ocean=with_ocean, with_shadow=with_shadow,
-            with_landcover=with_landcover, compute_browse=compute_browse)
+            with_landcover=with_landcover, compute_browse=compute_browse,
+            interpret=pallas_interpret, block_rows=pallas_block_rows)
 
     def per_tile(b, g, r, n, s1, s2, fm, inv, *extras):
         it = iter(extras)

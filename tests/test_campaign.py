@@ -156,6 +156,40 @@ class TestSpatialSharding:
                     err_msg=f'tile {k} {layer} mode {mode}')
         assert int(totals['n_valid_total']) == int((~invalid).sum())
 
+    @pytest.mark.parametrize('mode', ['mask', 'cover'])
+    def test_spatial_pallas_matches_single_device(self, mode):
+        """dp x sp sharding WITH the fused Pallas kernel inside each
+        shard (interpret mode on the virtual mesh; the TPU compiles the
+        same program). Validates the halo-exchange + kernel combination
+        that production uses on multi-chip slices."""
+        from proteus_tpu.parallel.campaign import make_spatial_campaign_step
+        from proteus_tpu.parallel.mesh import make_tile_space_mesh
+        from proteus_tpu.models.dswx.chain import dswx_chain
+
+        mesh = make_tile_space_mesh(2, 4)
+        cfg = DswxChainConfig(mask_adjacent_to_cloud_mode=mode)
+        step = make_spatial_campaign_step(
+            cfg, mesh, use_pallas=True, pallas_interpret=True,
+            pallas_block_rows=8)
+
+        rng = np.random.default_rng(3)
+        B, H, W = 2, 128, 64
+        bands = [np.clip(rng.integers(-2000, 15000, (B, H, W)), 1,
+                         None).astype(np.int16) for _ in range(6)]
+        fmask = rng.integers(0, 256, (B, H, W)).astype(np.uint8)
+        invalid = rng.random((B, H, W)) < 0.05
+        out, totals = step(*bands, fmask, invalid)
+
+        for k in range(B):
+            want = dswx_chain(*[b[k] for b in bands], fmask[k],
+                              invalid[k], cfg)
+            for layer in ('DIAG', 'WTR-1', 'WTR-2', 'WTR', 'BWTR',
+                          'CONF', 'CLOUD'):
+                np.testing.assert_array_equal(
+                    np.asarray(out[layer][k]), np.asarray(want[layer]),
+                    err_msg=f'tile {k} {layer} mode {mode}')
+        assert int(totals['n_valid_total']) == int((~invalid).sum())
+
 
 def test_campaign_cli(tmp_path):
     """Drive the dswx_campaign CLI end-to-end on two synthetic tiles."""
