@@ -125,7 +125,14 @@ def main(argv=None):
                 mask_adjacent_to_cloud_mode=
                 args.mask_adjacent_to_cloud_mode),
             save_browse=args.save_browse,
-            platform=os.environ.get('PROTEUS_TPU_PLATFORM'))
+            platform=os.environ.get('PROTEUS_TPU_PLATFORM'),
+            runner_kwargs=dict(
+                max_retries=args.max_retries,
+                reader_threads=args.reader_threads,
+                writer_threads=args.writer_threads,
+                flag_debug=args.flag_debug,
+                spatial_shards=args.spatial_shards,
+                tiles_per_device=args.tiles_per_device))
         logger.info(f'campaign complete: {stats}')
         sys.exit(1 if stats['tiles_failed'] else 0)
 

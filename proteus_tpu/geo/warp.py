@@ -375,6 +375,9 @@ def _device_resample_fn(h, w, gh, gw, spacing, out_h, out_w, algorithm,
     return jax.jit(lambda d, lat: wrapper(d, None, lat))
 
 
+_NAN_FILL = float('nan')  # singleton: lru_cache keys hit via identity
+
+
 def _device_resample(data, valid, lat, spacing, out_h, out_w,
                      algorithm, fill, wraps=False, full_width=None):
     """On-device warp: separable lattice interpolation of the source
@@ -391,6 +394,8 @@ def _device_resample(data, valid, lat, spacing, out_h, out_w,
     """
     from proteus_tpu.utils.compile_cache import enable
     enable()
+    if isinstance(fill, float) and fill != fill:
+        fill = _NAN_FILL  # distinct NaN objects would never cache-hit
     fn = _device_resample_fn(data.shape[0], data.shape[1],
                              lat[0].shape[0], lat[0].shape[1], spacing,
                              out_h, out_w, algorithm, fill, wraps,
@@ -645,8 +650,11 @@ def warp_to_grid_device(input_file, geotransform, projection, length,
                 res = np.where(ok, vals, fill).astype(out.dtype)
                 out = out.ravel().at[flat].set(
                     jnp.asarray(res)).reshape(out.shape)
-        if resample_algorithm != 'nearest' \
-                and np.dtype(out_dtype).kind in 'ui':
+        # the host path accumulates in float64 and rint+clips for any
+        # integer output dtype — mirror it whenever the device result is
+        # floating (covers nearest with a narrowing `dtype` override)
+        if np.dtype(out_dtype).kind in 'ui' \
+                and jnp.issubdtype(out.dtype, jnp.floating):
             out = jnp.clip(jnp.rint(out), np.iinfo(out_dtype).min,
                            np.iinfo(out_dtype).max)
         return out.astype(out_dtype)

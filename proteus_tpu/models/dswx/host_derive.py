@@ -16,6 +16,13 @@ the reference's executing code in tests/test_reference_parity.py):
 - CONF:  _get_confidence_layer       dswx_hls.py:1733-1837
 - DIAG:  _get_binary_representation  dswx_hls.py:4286-4317
 - BROWSE:_compute_browse_array       dswx_hls.py:3057-3129
+
+MAINTENANCE: these maps deliberately duplicate logic that also lives in
+models/dswx/{masking,interpretation,browse}.py (jnp) and in the fused
+Pallas kernel — three encodings kept in sync by the parity tests above
+plus tests/test_host_derive.py and the campaign minimal-transfer test
+(test_campaign.py). Any class-value or threshold change must touch all
+three or those tests fail.
 """
 
 import numpy as np

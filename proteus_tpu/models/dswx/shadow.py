@@ -215,9 +215,14 @@ def _shadow_comparison_space(dem, tsv_f32, x_crit32, t_crit32,
     backslope = t <= t_crit32
     shadow = low_inc | (~backslope)
 
+    # the f32 error of t scales with the terrain-normal magnitude (steep
+    # or sentinel-valued DEMs give |tn| >> 1), so the t band widens per
+    # pixel; x is normalized, so a constant band suffices
+    eps_t_px = eps_t + jnp.float32(_EPS_T_REL) * (jnp.abs(tn_x)
+                                                  + jnp.abs(tn_y))
     uncertain = (jnp.abs(x - x_crit32) <= eps_x) | \
                 (jnp.abs(x) >= 1.0 - eps_x) | \
-                (jnp.abs(t - t_crit32) <= eps_t)
+                (jnp.abs(t - t_crit32) <= eps_t_px)
     return shadow, gx, gy, uncertain
 
 

@@ -61,7 +61,8 @@ def _campaign_uses_pallas(config):
 def make_campaign_step(config: DswxChainConfig, mesh,
                        compute_browse=False, with_ocean=False,
                        with_shadow=False, with_landcover=False,
-                       use_pallas=None):
+                       use_pallas=None, pallas_interpret=False,
+                       pallas_block_rows=None):
     """Build the sharded multi-tile step.
 
     The returned function maps batched [B, H, W] band/fmask/invalid arrays
@@ -83,7 +84,8 @@ def make_campaign_step(config: DswxChainConfig, mesh,
         pallas_kernel = make_wtr_kernel(
             config, with_ocean=with_ocean, with_shadow=with_shadow,
             with_landcover=with_landcover, compute_browse=compute_browse,
-            minimal_outputs=minimal)
+            minimal_outputs=minimal, interpret=pallas_interpret,
+            block_rows=pallas_block_rows)
 
     def per_tile(b, g, r, n, s1, s2, fm, inv, *extras):
         it = iter(extras)

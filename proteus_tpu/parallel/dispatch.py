@@ -24,11 +24,14 @@ this subsystem is the TPU-native scale-out committed to there.
 """
 
 import json
+import logging
 import os
 import subprocess
 import sys
 
 from proteus_tpu.parallel.campaign import CampaignManifest, TileJob
+
+logger = logging.getLogger('dswx_hls')
 
 _JOB_FIELDS = ('tile_id', 'input_files', 'output_dir', 'product_id',
                'product_version', 'dem_file', 'landcover_file',
@@ -92,7 +95,7 @@ def run_host_worker(spec_path):
         config=DswxChainConfig(**spec.get('config_kwargs', {})),
         manifest_path=spec['manifest_path'],
         save_browse=spec.get('save_browse', False),
-        spatial_shards=spec.get('spatial_shards', 1))
+        **spec.get('runner_kwargs', {}))
     stats = runner.run(jobs)
     print(json.dumps({'worker_stats': stats}))
     return 0 if stats['tiles_failed'] == 0 else 1
@@ -100,12 +103,16 @@ def run_host_worker(spec_path):
 
 def dispatch_campaign(jobs, n_hosts, manifest_path, scratch_dir,
                       config_kwargs=None, save_browse=False,
-                      platform=None, timeout=3600, max_host_failures=1):
+                      platform=None, timeout=3600, max_host_failures=1,
+                      runner_kwargs=None):
     """Run a campaign across ``n_hosts`` worker processes.
 
     Each worker gets a deterministic shard and its own manifest file.
     After all workers exit, tiles that are not 'done' (worker crashes,
-    lost hosts) are re-run in-process up to ``max_host_failures`` times.
+    lost or hung hosts — the latter killed after ``timeout``) are re-run
+    in-process up to ``max_host_failures`` times. ``runner_kwargs``
+    (spatial_shards, tiles_per_device, flag_debug, reader/writer
+    threads, ...) pass through to every worker's CampaignRunner.
     Returns the merged manifest and aggregate statistics.
     """
     os.makedirs(scratch_dir, exist_ok=True)
@@ -122,6 +129,7 @@ def dispatch_campaign(jobs, n_hosts, manifest_path, scratch_dir,
                 'config_kwargs': config_kwargs or {},
                 'save_browse': save_browse,
                 'platform': platform,
+                'runner_kwargs': runner_kwargs or {},
             }
             spec_path = os.path.join(scratch_dir,
                                      f'host{k}_r{round_idx}.json')
@@ -131,7 +139,15 @@ def dispatch_campaign(jobs, n_hosts, manifest_path, scratch_dir,
                 [sys.executable, '-m', 'proteus_tpu.parallel.dispatch',
                  spec_path]))
         for p in procs:
-            p.wait(timeout=timeout)
+            try:
+                p.wait(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                # straggler/hung host: kill it and let the recovery
+                # rounds below re-run its unfinished tiles
+                logger.error(f'worker pid {p.pid} exceeded {timeout}s; '
+                             'killing (tiles will be reassigned)')
+                p.kill()
+                p.wait()
 
     launch(jobs, n_hosts, 0)
     merged = merge_manifests(manifest_path, n_hosts)

@@ -54,6 +54,40 @@ def test_campaign_step_matches_oracle(mode):
     assert int(totals['n_tiles_total']) == B
 
 
+@pytest.mark.parametrize('mode', ['mask', 'cover'])
+def test_campaign_step_pallas_minimal_matches_chain(mode):
+    """The production TPU default: dp sharding + fused Pallas kernel in
+    minimal-transfer mode (DIAG6/WTR-1/WTR-2/CLOUD on device, dependent
+    layers derived on host) — exercised on the virtual mesh in interpret
+    mode, bit-identical to the jnp chain."""
+    from proteus_tpu.models.dswx import host_derive
+    from proteus_tpu.models.dswx.chain import dswx_chain
+    mesh = make_tile_mesh()
+    cfg = DswxChainConfig(mask_adjacent_to_cloud_mode=mode)
+    step = make_campaign_step(cfg, mesh, use_pallas=True,
+                              pallas_interpret=True, pallas_block_rows=8)
+    rng = np.random.default_rng(5)
+    B, H, W = 8, 64, 64
+    bands = [np.clip(rng.integers(-2000, 15000, (B, H, W)), 1,
+                     None).astype(np.int16) for _ in range(6)]
+    fmask = rng.integers(0, 256, (B, H, W)).astype(np.uint8)
+    invalid = rng.random((B, H, W)) < 0.05
+    out, totals = step(*bands, fmask, invalid)
+
+    for k in range(B):
+        minimal = {key: np.asarray(out[key][k])
+                   for key in ('DIAG6', 'WTR-1', 'WTR-2', 'CLOUD')}
+        derived = host_derive.derive_dependent_layers(dict(minimal))
+        want = dswx_chain(*[b[k] for b in bands], fmask[k], invalid[k],
+                          cfg)
+        for layer in ('DIAG', 'WTR-1', 'WTR-2', 'WTR', 'BWTR', 'CONF',
+                      'CLOUD'):
+            np.testing.assert_array_equal(
+                derived[layer], np.asarray(want[layer]),
+                err_msg=f'tile {k} {layer} mode {mode}')
+    assert int(totals['n_valid_total']) == int((~invalid).sum())
+
+
 class TestCampaignRunner:
     @pytest.fixture(scope='class')
     def jobs(self, tmp_path_factory):

@@ -589,6 +589,30 @@ class TestShadowParity:
         got = compute_opera_shadow_layer_exact(dem, 120.0, 45.0, -15.0, 40.0)
         np.testing.assert_array_equal(got.astype(bool), want)
 
+    def test_opera_shadow_sentinel_cliffs(self):
+        """Huge terrain normals (|tn| ~ 300): a -9999 fill sentinel next
+        to 8000 m peaks. The device f32 error of the directional-slope
+        dot product scales with |tn|, so the uncertainty band must widen
+        per pixel or near-threshold decisions silently flip."""
+        rng = np.random.default_rng(97)
+        for seed in range(8):
+            r = np.random.default_rng(seed)
+            dem = r.choice(np.array([-9999.0, 8000.0, 7990.0, 150.0, 0.0],
+                                    np.float32), (96, 96)).astype(
+                np.float32)
+            az = float(r.uniform(0, 360))
+            elev = float(r.uniform(1, 89))
+            mins = float(r.uniform(-45, 0))
+            maxi = float(r.uniform(1, 89))
+            want = REF._compute_opera_shadow_layer(dem, az, elev, mins,
+                                                   maxi)
+            got = compute_opera_shadow_layer_exact(dem, az, elev, mins,
+                                                   maxi)
+            np.testing.assert_array_equal(
+                got.astype(bool), want,
+                err_msg=f'seed={seed} az={az} elev={elev}')
+        del rng
+
 
 class TestFullChainParity:
     """Orchestrator stage ordering vs the reference (dswx_hls.py:5225-5368),
