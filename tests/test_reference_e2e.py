@@ -131,9 +131,12 @@ def _per_layer_outputs(out_dir):
 
 
 class TestReferenceEndToEnd:
-    def test_core_layers_no_ancillaries(self, ref_with_shims, tmp_path):
+    @pytest.mark.parametrize('product', ['S30', 'L30'])
+    def test_core_layers_no_ancillaries(self, ref_with_shims, tmp_path,
+                                        product):
         input_dir = str(tmp_path / 'input')
-        files, _bands = synthetic.make_hls_v2_dataset(input_dir, size=360)
+        files, _bands = synthetic.make_hls_v2_dataset(input_dir, size=360,
+                                                      product=product)
         ref_dir = str(tmp_path / 'ref_out')
         our_dir = str(tmp_path / 'our_out')
         ref_scratch = str(tmp_path / 'ref_scratch')
