@@ -32,10 +32,13 @@ uninitialized), which matches scipy's zeros-outside-the-border semantics.
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from proteus_tpu.core import constants as C
+from proteus_tpu.core.f32exact import (_exact_sum_sign, _two_prod,
+                                       ratio_boundary)
 from proteus_tpu.core.thresholds import ExactThresholds
 
 
@@ -68,6 +71,31 @@ def _ratio_lt(num, den, p, q):
     pd = p * den
     return (((den > 0) & (qn < pd)) | ((den < 0) & (qn > pd))
             | ((den == 0) & (num < 0)))
+
+
+def _ratio_cmp_f32_finite(num, den, b):
+    """fl32(num/den) OP t for FINITE f32 operands (the scaled-input
+    domain) — the division-free exact boundary sign test of
+    core.f32exact, with IEEE specials reduced to the reachable cases:
+    num/0 = +-inf (sign of num) and 0/0 = NaN (compares False). Boolean
+    algebra only — Mosaic cannot select between i1 vectors."""
+    if b.parts:
+        comps = [num]
+        for part in b.parts:
+            p, e = _two_prod(jnp.float32(part), den)
+            comps.extend([-p, -e])
+        sign = _exact_sum_sign(comps)
+    else:
+        sign = jnp.where(num > 0, 1,
+                         jnp.where(num < 0, -1, 0)).astype(jnp.int32)
+    q_cmp = jnp.where(den > 0, sign, -sign)
+    if b.inclusive:
+        base = (q_cmp >= 0) if b.op_gt else (q_cmp <= 0)
+    else:
+        base = (q_cmp > 0) if b.op_gt else (q_cmp < 0)
+    den_zero = den == 0
+    inf_hit = (num > 0) if b.op_gt else (num < 0)
+    return ((~den_zero) & base) | (den_zero & inf_hit)
 
 
 # 'cover' mode influence radius: 10 snow-dilation + 7 unmask-dilation
@@ -110,7 +138,7 @@ def _dilate_masked_block(x, mask, iterations):
 def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
                     with_landcover=False, compute_browse=True,
                     block_rows=None, interpret=False,
-                    minimal_outputs=False):
+                    minimal_outputs=False, float_inputs=False):
     """Build the fused kernel. ``config`` is a DswxChainConfig; static
     choices are baked in at trace time.
 
@@ -121,19 +149,47 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
     (raw 6-bit decimal, uint8), 'WTR-1', 'WTR-2', 'CLOUD' — halving the
     output bytes; WTR/BWTR/CONF/BROWSE/DIAG are elementwise functions of
     these, derived on host (models/dswx/host_derive.py).
+
+    ``float_inputs=True``: the scaled-reflectance (float32) mode. The
+    reference's scaled chain is float32 end-to-end (dswx_hls.py:2298-
+    2302); the MNDWI/NDVI threshold comparisons run as the division-free
+    exact boundary sign tests of core.f32exact (TPU f32 division is not
+    correctly rounded), everything else is plain IEEE f32.
     """
     cover = config.mask_adjacent_to_cloud_mode == 'cover'
     if block_rows is None:
         # cover mode holds (block + 2*halo) rows of every input in
-        # VMEM; a smaller block keeps the residency comfortable
+        # VMEM; a smaller block keeps the residency comfortable. The
+        # float path doubles the band bytes and keeps EFT distillation
+        # temporaries live, so it uses smaller blocks again
         block_rows = 128 if cover else 256
-    et = ExactThresholds.from_thresholds(config.thresholds)
-    if not all(getattr(et, f)[2] for f in (
-            'wigt', 'awgt', 'pswt_1_mndwi', 'pswt_1_nir', 'pswt_1_swir1',
-            'pswt_1_ndvi', 'pswt_2_mndwi', 'pswt_2_blue', 'pswt_2_nir',
-            'pswt_2_swir1', 'pswt_2_swir2', 'lcmask_nir')):
-        raise ValueError('thresholds are not exactly rational; use the '
-                         'jnp chain (float fallback)')
+        if float_inputs:
+            block_rows = 64 if cover else 128
+    et = None
+    f32_bounds = f32_consts = None
+    if float_inputs:
+        tv = config.thresholds
+        f32_bounds = {
+            'wigt': ratio_boundary(tv.wigt, 'gt', 'f32'),
+            'p1_mndwi': ratio_boundary(tv.pswt_1_mndwi, 'gt', 'f32'),
+            'p2_mndwi': ratio_boundary(tv.pswt_2_mndwi, 'gt', 'f32'),
+            'p1_ndvi': ratio_boundary(tv.pswt_1_ndvi, 'lt', 'f32'),
+        }
+        if any(b.always is not None for b in f32_bounds.values()):
+            raise ValueError('non-finite ratio threshold; use the jnp '
+                             'chain')
+        f32_consts = {k: float(np.float32(getattr(tv, k))) for k in (
+            'awgt', 'pswt_1_swir1', 'pswt_1_nir', 'pswt_2_blue',
+            'pswt_2_nir', 'pswt_2_swir1', 'pswt_2_swir2', 'lcmask_nir')}
+    else:
+        et = ExactThresholds.from_thresholds(config.thresholds)
+        if not all(getattr(et, f)[2] for f in (
+                'wigt', 'awgt', 'pswt_1_mndwi', 'pswt_1_nir',
+                'pswt_1_swir1', 'pswt_1_ndvi', 'pswt_2_mndwi',
+                'pswt_2_blue', 'pswt_2_nir', 'pswt_2_swir1',
+                'pswt_2_swir2', 'lcmask_nir')):
+            raise ValueError('thresholds are not exactly rational; use '
+                             'the jnp chain (float fallback)')
 
     aerosol_lists = (
         (0, tuple(config.aerosol_not_water_fmask_values)),
@@ -190,45 +246,82 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
             else:
                 ref[:] = arr
 
-        # all arithmetic in int32 (v5e Mosaic has no packed int16 vector
-        # compares); NumPy's int16 wrap-around is emulated explicitly
-        blue = blue_r[:].astype(jnp.int32)
-        green = green_r[:].astype(jnp.int32)
-        red = red_r[:].astype(jnp.int32)
-        nir = nir_r[:].astype(jnp.int32)
-        swir1 = swir1_r[:].astype(jnp.int32)
-        swir2 = swir2_r[:].astype(jnp.int32)
         fmask = fmask_r[:].astype(jnp.int32)
         invalid = invalid_r[:].astype(jnp.int32) != 0
 
-        def wrap16(x):
-            return ((x + 32768) & 0xFFFF) - 32768
+        if float_inputs:
+            # --- diagnostics (IEEE f32, matching the reference's scaled
+            # chain; ratio thresholds via exact boundary sign tests) ----
+            blue = blue_r[:]
+            green = green_r[:]
+            red = red_r[:]
+            nir = nir_r[:]
+            swir1 = swir1_r[:]
+            swir2 = swir2_r[:]
+            f32 = jnp.float32
+            mndwi_num, mndwi_den = green - swir1, green + swir1
+            mbsrv, mbsrn = green + red, nir + swir1
+            ndvi_num, ndvi_den = nir - red, nir + red
+            awesh = (blue + f32(2.5) * green - f32(1.5) * mbsrn
+                     - f32(0.25) * swir2)
+            t1 = _ratio_cmp_f32_finite(mndwi_num, mndwi_den,
+                                       f32_bounds['wigt'])
+            t2 = mbsrv > mbsrn
+            t3 = awesh > f32(f32_consts['awgt'])
+            t4 = (_ratio_cmp_f32_finite(mndwi_num, mndwi_den,
+                                        f32_bounds['p1_mndwi'])
+                  & (swir1 < f32(f32_consts['pswt_1_swir1']))
+                  & (nir < f32(f32_consts['pswt_1_nir']))
+                  & _ratio_cmp_f32_finite(ndvi_num, ndvi_den,
+                                          f32_bounds['p1_ndvi']))
+            t5 = (_ratio_cmp_f32_finite(mndwi_num, mndwi_den,
+                                        f32_bounds['p2_mndwi'])
+                  & (blue < f32(f32_consts['pswt_2_blue']))
+                  & (swir1 < f32(f32_consts['pswt_2_swir1']))
+                  & (swir2 < f32(f32_consts['pswt_2_swir2']))
+                  & (nir < f32(f32_consts['pswt_2_nir'])))
+            nir_ok_aerosol = nir <= f32(C.AEROSOL_REMAPPING_MAX_NIR)
+            nir_bright_lcmask = nir > f32(f32_consts['lcmask_nir'])
+        else:
+            # all arithmetic in int32 (v5e Mosaic has no packed int16
+            # vector compares); NumPy's int16 wrap-around is emulated
+            blue = blue_r[:].astype(jnp.int32)
+            green = green_r[:].astype(jnp.int32)
+            red = red_r[:].astype(jnp.int32)
+            nir = nir_r[:].astype(jnp.int32)
+            swir1 = swir1_r[:].astype(jnp.int32)
+            swir2 = swir2_r[:].astype(jnp.int32)
 
-        # --- diagnostics (exact int32 rationals; int16 sums wrap) -------
-        mndwi_num = wrap16(green - swir1)
-        mndwi_den = wrap16(green + swir1)
-        mbsrv = wrap16(green + red)
-        mbsrn = wrap16(nir + swir1)
-        ndvi_num = wrap16(nir - red)
-        ndvi_den = wrap16(nir + red)
-        g32 = green
-        n32 = nir
-        s1_32 = swir1
-        awesh4 = 4 * blue + 10 * g32 - 6 * mbsrn - swir2
+            def wrap16(x):
+                return ((x + 32768) & 0xFFFF) - 32768
 
-        t1 = _ratio_gt(mndwi_num, mndwi_den, *et.wigt[:2])
-        t2 = mbsrv > mbsrn
-        p, q = et.awgt[:2]
-        t3 = awesh4 * q > 4 * p
-        t4 = (_ratio_gt(mndwi_num, mndwi_den, *et.pswt_1_mndwi[:2])
-              & (s1_32 * et.pswt_1_swir1[1] < et.pswt_1_swir1[0])
-              & (n32 * et.pswt_1_nir[1] < et.pswt_1_nir[0])
-              & _ratio_lt(ndvi_num, ndvi_den, *et.pswt_1_ndvi[:2]))
-        t5 = (_ratio_gt(mndwi_num, mndwi_den, *et.pswt_2_mndwi[:2])
-              & (blue * et.pswt_2_blue[1] < et.pswt_2_blue[0])
-              & (s1_32 * et.pswt_2_swir1[1] < et.pswt_2_swir1[0])
-              & (swir2 * et.pswt_2_swir2[1] < et.pswt_2_swir2[0])
-              & (n32 * et.pswt_2_nir[1] < et.pswt_2_nir[0]))
+            # --- diagnostics (exact int32 rationals; int16 sums wrap) ---
+            mndwi_num = wrap16(green - swir1)
+            mndwi_den = wrap16(green + swir1)
+            mbsrv = wrap16(green + red)
+            mbsrn = wrap16(nir + swir1)
+            ndvi_num = wrap16(nir - red)
+            ndvi_den = wrap16(nir + red)
+            g32 = green
+            n32 = nir
+            s1_32 = swir1
+            awesh4 = 4 * blue + 10 * g32 - 6 * mbsrn - swir2
+
+            t1 = _ratio_gt(mndwi_num, mndwi_den, *et.wigt[:2])
+            t2 = mbsrv > mbsrn
+            p, q = et.awgt[:2]
+            t3 = awesh4 * q > 4 * p
+            t4 = (_ratio_gt(mndwi_num, mndwi_den, *et.pswt_1_mndwi[:2])
+                  & (s1_32 * et.pswt_1_swir1[1] < et.pswt_1_swir1[0])
+                  & (n32 * et.pswt_1_nir[1] < et.pswt_1_nir[0])
+                  & _ratio_lt(ndvi_num, ndvi_den, *et.pswt_1_ndvi[:2]))
+            t5 = (_ratio_gt(mndwi_num, mndwi_den, *et.pswt_2_mndwi[:2])
+                  & (blue * et.pswt_2_blue[1] < et.pswt_2_blue[0])
+                  & (s1_32 * et.pswt_2_swir1[1] < et.pswt_2_swir1[0])
+                  & (swir2 * et.pswt_2_swir2[1] < et.pswt_2_swir2[0])
+                  & (n32 * et.pswt_2_nir[1] < et.pswt_2_nir[0]))
+            nir_ok_aerosol = n32 <= nir_aerosol_max
+            nir_bright_lcmask = n32 * lcmask_pq[1] > lcmask_pq[0]
 
         bits = [t1, t2, t3, t4, t5]
         if minimal_outputs:
@@ -269,7 +362,7 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
         # membership test unrolls to a few equality compares (no gather)
         wtr1a = wtr1
         if config.apply_aerosol_class_remapping:
-            nir_ok = n32 <= nir_aerosol_max
+            nir_ok = nir_ok_aerosol
             remapped = jnp.zeros(wtr1.shape, bool)
             for input_class, values in aerosol_lists:
                 if not values:
@@ -294,7 +387,7 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
             wtr2 = jnp.where(shadowed, 0, wtr2)
         if with_landcover:
             lc = landcover_r[:].astype(jnp.int32)
-            nir_bright = n32 * lcmask_pq[1] > lcmask_pq[0]
+            nir_bright = nir_bright_lcmask
             psw = (wtr1a == 3) | (wtr1a == 4)
             demote = (((lc == 201) & nir_bright & psw)
                       | ((lc >= 0) & (lc < 100) & nir_bright & psw)

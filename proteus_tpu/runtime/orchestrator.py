@@ -436,15 +436,15 @@ def generate_dswx_layers(input_list,
         return chain_fn(b, g, r, n, s1, s2, fm, inv, **full)
 
     # the hand-fused Pallas kernel is the default product path on TPU
-    # (identical outputs, incl. 'cover' mode; see
-    # proteus_tpu/ops/pallas/wtr_kernel.py); PROTEUS_TPU_USE_PALLAS=0
-    # opts out, and configs the kernel cannot express (float-scaled
-    # inputs, non-rational thresholds) fall back to the XLA chain
+    # (identical outputs, incl. 'cover' mode and the scaled-float32
+    # input mode; see proteus_tpu/ops/pallas/wtr_kernel.py);
+    # PROTEUS_TPU_USE_PALLAS=0 opts out, and configs the kernel cannot
+    # express (non-rational integer-path thresholds, non-finite scaled
+    # thresholds) fall back to the XLA chain
     use_pallas = (os.environ.get('PROTEUS_TPU_USE_PALLAS', '1')
                   not in ('0', 'off', 'false')) \
-        and not flag_offset_and_scale_inputs \
         and jax.devices()[0].platform == 'tpu'
-    if use_pallas:
+    if use_pallas and not flag_offset_and_scale_inputs:
         from proteus_tpu.core.thresholds import ExactThresholds
         et = ExactThresholds.from_thresholds(chain_config.thresholds)
         if not all(getattr(et, f)[2] for f in (
@@ -453,6 +453,18 @@ def generate_dswx_layers(input_list,
                 'pswt_2_blue', 'pswt_2_nir', 'pswt_2_swir1',
                 'pswt_2_swir2', 'lcmask_nir')):
             use_pallas = False  # inexact thresholds: XLA float chain
+    elif use_pallas:
+        try:
+            from proteus_tpu.core.f32exact import ratio_boundary
+            for field, op in (('wigt', 'gt'), ('pswt_1_mndwi', 'gt'),
+                              ('pswt_2_mndwi', 'gt'),
+                              ('pswt_1_ndvi', 'lt')):
+                b = ratio_boundary(
+                    getattr(chain_config.thresholds, field), op, 'f32')
+                if b.always is not None:
+                    raise ValueError('non-finite threshold')
+        except ValueError:
+            use_pallas = False  # untestable thresholds: XLA float chain
 
     def run_pallas():
         from proteus_tpu.ops.pallas.wtr_kernel import make_wtr_kernel
@@ -461,7 +473,8 @@ def generate_dswx_layers(input_list,
             with_ocean=ocean_mask is not None,
             with_shadow=shadow_layer is not None,
             with_landcover=landcover_mask is not None,
-            compute_browse=output_browse_image is not None)
+            compute_browse=output_browse_image is not None,
+            float_inputs=flag_offset_and_scale_inputs)
         args = [jnp.asarray(a) for a in
                 (blue, green, red, nir, swir1, swir2, fmask,
                  invalid_array)]

@@ -210,7 +210,7 @@ def one_shadow_iteration(seed, ref):
     from proteus_tpu.models.dswx.shadow import compute_opera_shadow_layer_exact
     rng = np.random.default_rng(seed)
     shape = (int(rng.integers(16, 200)), int(rng.integers(16, 200)))
-    kind = rng.integers(0, 4)
+    kind = rng.integers(0, 5)
     if kind == 0:      # smooth correlated terrain
         dem = rng.normal(0, 1, shape).cumsum(0).cumsum(1)
         dem = dem / max(1e-9, np.abs(dem).max()) * rng.uniform(10, 5000)
@@ -218,9 +218,12 @@ def one_shadow_iteration(seed, ref):
         dem = rng.normal(0, rng.uniform(1, 500), shape)
     elif kind == 2:    # quantized (integer-metre DEM) -> exact ties
         dem = rng.integers(0, 50, shape).astype(np.float64) * 30.0
-    else:              # flat with NaN holes
+    elif kind == 3:    # flat with NaN holes
         dem = np.full(shape, float(rng.uniform(0, 1000)))
         dem[rng.random(shape) < 0.1] = np.nan
+    else:              # sentinel cliffs: huge terrain normals (|tn|~300)
+        dem = rng.choice(np.array([-9999.0, 8000.0, 7990.0, 150.0, 0.0]),
+                         shape)
     dem = dem.astype(np.float32)
     az = float(rng.uniform(0, 360))
     elev = float(rng.uniform(1, 89))

@@ -50,6 +50,51 @@ def test_kernel_matches_chain(mode):
                                       err_msg=f'{layer} mode={mode}')
 
 
+@pytest.mark.parametrize('mode', ['mask', 'cover'])
+def test_float_inputs_kernel_matches_chain(mode):
+    """Scaled-reflectance (float32) kernel path vs the jnp float chain,
+    with green pushed onto the MNDWI rounding boundary so the exact
+    boundary sign tests are actually load-bearing."""
+    cfg = DswxChainConfig(mask_adjacent_to_cloud_mode=mode)
+    shape = (64, 128)
+    bands = [(0.0001 * (np.clip(RNG.integers(-2000, 18000, shape), 1,
+                                None).astype(np.float32)))
+             for _ in range(6)]
+    # adversarial: green within +-2 f32 ULPs of the wigt boundary
+    t32 = np.float32(cfg.thresholds.wigt)
+    m = (np.float64(t32) + np.float64(
+        np.nextafter(t32, np.float32(np.inf)))) * 0.5
+    g0 = (m * (bands[4].astype(np.float64) * 2 / (1 - m))).astype(
+        np.float32)
+    steps = RNG.integers(-2, 3, shape)
+    g = g0.copy()
+    for _ in range(2):
+        g = np.where(steps > 0, np.nextafter(g, np.float32(np.inf)), g)
+        g = np.where(steps < 0, np.nextafter(g, np.float32(-np.inf)), g)
+        steps = steps - np.sign(steps)
+    bands[1] = g.astype(np.float32)
+    fmask = RNG.integers(0, 256, shape).astype(np.uint8)
+    invalid = RNG.random(shape) < 0.05
+    ocean = (RNG.random(shape) < 0.9).astype(np.uint8)
+    shadow = (RNG.random(shape) < 0.8).astype(np.uint8)
+    lc = RNG.choice(np.array([0, 100, 200, 201, 255], np.uint8), shape)
+
+    kernel = make_wtr_kernel(cfg, with_ocean=True, with_shadow=True,
+                             with_landcover=True, block_rows=32,
+                             interpret=True, float_inputs=True)
+    import jax.numpy as jnp
+    got = kernel(*[jnp.asarray(a) for a in bands], jnp.asarray(fmask),
+                 jnp.asarray(invalid), jnp.asarray(ocean),
+                 jnp.asarray(shadow), jnp.asarray(lc))
+    want = dswx_chain(*bands, fmask, invalid, cfg, ocean_mask=ocean,
+                      shadow_layer=shadow, landcover_mask=lc)
+    for layer in ('DIAG', 'WTR-1', 'WTR-2', 'WTR', 'BWTR', 'CONF',
+                  'CLOUD', 'BROWSE'):
+        np.testing.assert_array_equal(np.asarray(got[layer]),
+                                      np.asarray(want[layer]),
+                                      err_msg=f'{layer} mode={mode}')
+
+
 def test_kernel_cover_blob_propagation():
     """'cover' dilation across block boundaries: snow blobs next to
     cloud-adjacent areas must grow identically to the scipy-semantics jnp

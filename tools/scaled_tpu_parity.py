@@ -124,6 +124,45 @@ def nondecimal_diag_case(jax, results, ref):
         'bit_identical': bool((got == want).all())}
 
 
+def float_kernel_case(jax, results):
+    """Fused Pallas kernel in float_inputs mode vs the jnp float chain,
+    full 3660^2 tile, boundary-adversarial greens, compiled Mosaic."""
+    import jax.numpy as jnp
+    from proteus_tpu.core.thresholds import HlsThresholds
+    from proteus_tpu.models.dswx.chain import DswxChainConfig, dswx_chain
+    from proteus_tpu.ops.pallas.wtr_kernel import make_wtr_kernel
+    rng = np.random.default_rng(3)
+    cfg = DswxChainConfig()
+    size = int(os.environ.get('PROTEUS_TPU_PARITY_SIZE', '3660'))
+    shape = (size, size)
+    bands = [np.float32(0.0001) * np.clip(
+        rng.integers(-2000, 18000, shape), 1, None).astype(np.float32)
+        for _ in range(6)]
+    t32 = np.float32(cfg.thresholds.wigt)
+    m = (np.float64(t32) + np.float64(
+        np.nextafter(t32, np.float32(np.inf)))) * 0.5
+    g0 = (m * (bands[4][:256].astype(np.float64) * 2 / (1 - m))).astype(
+        np.float32)
+    bands[1][:256] = g0
+    fmask = rng.integers(0, 256, shape).astype(np.uint8)
+    invalid = rng.random(shape) < 0.02
+    on_tpu = jax.devices()[0].platform == 'tpu'
+    kernel = make_wtr_kernel(cfg, float_inputs=True,
+                             interpret=not on_tpu)
+    dev = [jnp.asarray(a) for a in bands + [fmask, invalid]]
+    t0 = time.time()
+    got = {k: np.asarray(v) for k, v in kernel(*dev).items()}
+    dt = time.time() - t0
+    want = dswx_chain(*bands, fmask, invalid, cfg)
+    mism = {k: int((got[k] != np.asarray(want[k])).sum())
+            for k in ('DIAG', 'WTR-1', 'WTR-2', 'WTR', 'BWTR', 'CONF',
+                      'CLOUD', 'BROWSE')}
+    results['float_kernel'] = {
+        'size': size, 'seconds_incl_compile': round(dt, 2),
+        'mismatched_pixels': mism,
+        'bit_identical': not any(mism.values())}
+
+
 def main():
     import jax
     import refbridge
@@ -133,11 +172,15 @@ def main():
     ratio_cmp_cases(jax, results)
     scaled_diag_case(jax, results, ref)
     nondecimal_diag_case(jax, results, ref)
+    float_kernel_case(jax, results)
     total_mism = (sum(c['mismatches'] for c in results['ratio_cmp'])
                   + sum(c.get('mismatched_pixels', 0)
                         for c in results['scaled_diag'])
                   + results.get('nondecimal_int_diag',
-                                {}).get('mismatched_pixels', 0))
+                                {}).get('mismatched_pixels', 0)
+                  + sum(results.get('float_kernel',
+                                    {}).get('mismatched_pixels',
+                                            {}).values()))
     results['all_bit_identical'] = total_mism == 0
     out = os.path.join(_root, 'SCALED_TPU_PARITY.json')
     with open(out, 'w') as fh:
