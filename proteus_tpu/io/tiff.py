@@ -89,6 +89,8 @@ class TiffIFD:
     def __init__(self, tags, endian):
         self.tags = tags            # tag id -> tuple of values (or bytes)
         self.endian = endian
+        self.file_offset = None     # byte position of this IFD (set by
+        # the reader; GDAL exposes it as the 'IFD_OFFSET' TIFF item)
 
     def get(self, tag, default=None):
         return self.tags.get(tag, default)
@@ -193,7 +195,9 @@ class TiffReader:
         seen = set()
         while offset and offset not in seen:
             seen.add(offset)
+            this_offset = offset
             ifd, offset = self._read_ifd(offset)
+            ifd.file_offset = this_offset
             self.ifds.append(ifd)
 
     def close(self):

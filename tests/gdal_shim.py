@@ -59,10 +59,59 @@ GDT_Float32 = 6
 GDT_Float64 = 7
 
 GCI_PaletteIndex = 2
+GMF_ALL_VALID = 1
+GMF_PER_DATASET = 2
 
 
 def TermProgress_nocb(*args, **kwargs):
     return 1
+
+
+def VersionInfo(key=None):
+    return '3060200'  # behave like the reference docker's GDAL 3.6.2
+
+
+def PushErrorHandler(*args):
+    return None
+
+
+def PopErrorHandler():
+    return None
+
+
+def GetLastErrorMsg():
+    return ''
+
+
+def VSIFOpenL(path, mode):
+    try:
+        return open(path, mode if 'b' in mode else mode + 'b')
+    except OSError:
+        return None
+
+
+def VSIFReadL(size, count, fh):
+    return fh.read(size * count)
+
+
+def VSIFSeekL(fh, offset, whence):
+    return fh.seek(offset, whence)
+
+
+def VSIFCloseL(fh):
+    fh.close()
+    return 0
+
+
+def VSIStatL(path):
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+
+    class _Stat:
+        size = st.st_size
+    return _Stat()
 
 
 def GetDataTypeName(code):
@@ -105,21 +154,68 @@ class ColorTable:
 # ---------------------------------------------------------------------------
 
 class _ReadBand:
-    def __init__(self, ds, index):
+    def __init__(self, ds, index, ifd_index=0):
         self._ds = ds
         self._index = index
+        self._ifd_index = ifd_index
+
+    @property
+    def _ifd(self):
+        return self._ds._reader.ifds[self._ifd_index]
 
     @property
     def XSize(self):
-        return self._ds.RasterXSize
+        return self._ifd.width
 
     @property
     def YSize(self):
-        return self._ds.RasterYSize
+        return self._ifd.length
 
     @property
     def DataType(self):
         return _NP_TO_GDT[np.dtype(self._ds._reader.dtype)]
+
+    # --- structural queries the reference COG validator relies on -----
+
+    def GetBlockSize(self):
+        ifd = self._ifd
+        if ifd.is_tiled:
+            return [int(ifd.scalar(322)), int(ifd.scalar(323))]
+        return [ifd.width, int(ifd.scalar(278, ifd.length))]
+
+    def GetOverviewCount(self):
+        return len(self._ds._reader.ifds) - 1
+
+    def GetOverview(self, i):
+        return _ReadBand(self._ds, self._index, ifd_index=i + 1)
+
+    def GetMetadataItem(self, key, domain=''):
+        if domain != 'TIFF':
+            return None
+        ifd = self._ifd
+        if key == 'IFD_OFFSET':
+            return str(ifd.file_offset)
+        m = re.match(r'^BLOCK_(OFFSET|SIZE)_(\d+)_(\d+)$', key)
+        if not m:
+            return None
+        kind, x, y = m.group(1), int(m.group(2)), int(m.group(3))
+        if ifd.is_tiled:
+            tw, tl = int(ifd.scalar(322)), int(ifd.scalar(323))
+            tiles_across = (ifd.width + tw - 1) // tw
+            values = ifd.get(324 if kind == 'OFFSET' else 325)
+            idx = y * tiles_across + x
+        else:
+            values = ifd.get(273 if kind == 'OFFSET' else 279)
+            idx = y
+        if values is None or idx >= len(values):
+            return None
+        return str(int(values[idx]))
+
+    def GetMaskFlags(self):
+        return 1  # GMF_ALL_VALID: no mask bands in this writer
+
+    def GetMaskBand(self):
+        return None
 
     def GetNoDataValue(self):
         return self._ds._nodata
@@ -181,6 +277,14 @@ class _ReadDataset:
 
     def GetDescription(self):
         return self._path
+
+    def GetDriver(self):
+        class _D:
+            ShortName = 'GTiff'
+        return _D()
+
+    def GetFileList(self):
+        return [self._path]
 
     def _read_window(self, xoff, yoff, win_xsize, win_ysize, band=None):
         if win_xsize is None and win_ysize is None and xoff == 0 \
@@ -756,11 +860,14 @@ def make_modules():
     g = types.ModuleType('gdal_shim.gdal')
     for name in ('GA_ReadOnly', 'GA_Update', 'GDT_Byte', 'GDT_UInt16',
                  'GDT_Int16', 'GDT_UInt32', 'GDT_Int32', 'GDT_Float32',
-                 'GDT_Float64', 'GCI_PaletteIndex', 'TermProgress_nocb',
+                 'GDT_Float64', 'GCI_PaletteIndex', 'GMF_ALL_VALID',
+                 'GMF_PER_DATASET', 'TermProgress_nocb',
                  'GetDataTypeName', 'SetConfigOption', 'ColorTable',
                  'GetDriverByName', 'Open', 'Warp', 'Translate',
                  'DEMProcessing', 'BuildVRT', 'BuildVRTOptions',
-                 'RasterizeLayer'):
+                 'RasterizeLayer', 'VersionInfo', 'PushErrorHandler',
+                 'PopErrorHandler', 'GetLastErrorMsg', 'VSIFOpenL',
+                 'VSIFReadL', 'VSIFSeekL', 'VSIFCloseL', 'VSIStatL'):
         setattr(g, name, globals()[name])
 
     o = types.ModuleType('gdal_shim.osr')

@@ -425,6 +425,52 @@ class TestReferenceEndToEnd:
         write_cog(other, arr2, geotransform=gt, epsg=epsg, metadata=md)
         assert not ref_with_shims.compare_dswx_hls_products(wtr, other)
 
+    def test_reference_cog_validator_on_our_products(self, ref_with_shims,
+                                                     tmp_path):
+        """The reference's COG validator
+        (extern/validate_cloud_optimized_geotiff.py) executes its FULL
+        check — IFD ordering, data-offset ordering, structural ghost
+        metadata, per-tile leader/trailer bytes — over our product files
+        through the shim's structural TIFF queries; a product must pass
+        with zero errors and a corrupted leader byte must be caught."""
+        import importlib
+        val = importlib.import_module(
+            'proteus.extern.validate_cloud_optimized_geotiff')
+        g, _, _ = gdal_shim.make_modules()
+        saved = val.gdal
+        val.gdal = g
+        try:
+            input_dir = str(tmp_path / 'input')
+            files, _bands = synthetic.make_hls_v2_dataset(input_dir,
+                                                          size=720)
+            out_dir = str(tmp_path / 'out')
+            scratch = str(tmp_path / 'scratch')
+            os.makedirs(out_dir)
+            os.makedirs(scratch)
+            common, _rt, our_t = _common_kwargs('dswx_val')
+            wtr = os.path.join(out_dir, 'wtr.tif')
+            assert orchestrator.generate_dswx_layers(
+                list(files), hls_thresholds=our_t,
+                output_interpreted_band=wtr, scratch_dir=scratch,
+                **common)
+            warnings_, errors_, details = val.validate(wtr,
+                                                       full_check=True)
+            assert errors_ == [], errors_
+            assert details['ifd_offsets']['main'] > 16
+
+            # corrupt one tile-leader byte: the full check must fail
+            first_block = int(details['data_offsets']['main'])
+            bad = os.path.join(out_dir, 'wtr_bad.tif')
+            with open(wtr, 'rb') as fh:
+                blob = bytearray(fh.read())
+            blob[first_block - 4] ^= 0xFF  # leader length word
+            with open(bad, 'wb') as fh:
+                fh.write(bytes(blob))
+            _w, errors_bad, _d = val.validate(bad, full_check=True)
+            assert any('leader' in e for e in errors_bad), errors_bad
+        finally:
+            val.gdal = saved
+
     def test_reference_multiband_output_quirks(self, ref_with_shims,
                                                tmp_path, monkeypatch):
         """Document the reference's single-file (``output_file``) product
