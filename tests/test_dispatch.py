@@ -93,3 +93,40 @@ class TestTwoHostIntegration:
         # the surviving host's finished tiles were skipped, not re-run
         assert os.path.getmtime(os.path.join(
             out_root, 'tile0', 'dswx_hls_v0.1_B01_WTR.tif')) == kept_mtime
+
+    def test_hung_worker_is_killed_and_recovered(self, tiny_dataset,
+                                                 tmp_path, monkeypatch):
+        """A worker that exceeds the timeout is killed; its tiles are
+        re-run by the in-process recovery round instead of crashing the
+        dispatcher."""
+        import subprocess
+
+        real_popen = subprocess.Popen
+        hung = {'count': 0}
+
+        class _HungProc:
+            pid = 99999
+
+            def wait(self, timeout=None):
+                if hung['count'] == 0:
+                    hung['count'] = 1
+                    raise subprocess.TimeoutExpired('worker', timeout)
+                return 0
+
+            def kill(self):
+                return None
+
+        def fake_popen(cmd, *a, **k):
+            # first worker 'hangs'; the rest run for real
+            if hung['count'] == 0 and cmd[-1].endswith('host0_r0.json'):
+                return _HungProc()
+            return real_popen(cmd, *a, **k)
+
+        monkeypatch.setattr(dispatch.subprocess, 'Popen', fake_popen)
+        out_root = str(tmp_path / 'out')
+        jobs = self._jobs(tiny_dataset, out_root, 4)
+        merged, stats = dispatch.dispatch_campaign(
+            jobs, n_hosts=2, manifest_path=str(tmp_path / 'm.json'),
+            scratch_dir=str(tmp_path / 'scratch'), platform='cpu')
+        assert stats['tiles_done'] == 4 and stats['tiles_failed'] == 0
+        assert hung['count'] == 1

@@ -134,8 +134,10 @@ class TestReferenceEndToEnd:
     @pytest.mark.parametrize('product', ['S30', 'L30'])
     def test_core_layers_no_ancillaries(self, ref_with_shims, tmp_path,
                                         product):
+        # 720 px: products span a 2x2 grid of 512-px COG tiles, so the
+        # comparison also covers multi-tile layout (360 is single-tile)
         input_dir = str(tmp_path / 'input')
-        files, _bands = synthetic.make_hls_v2_dataset(input_dir, size=360,
+        files, _bands = synthetic.make_hls_v2_dataset(input_dir, size=720,
                                                       product=product)
         ref_dir = str(tmp_path / 'ref_out')
         our_dir = str(tmp_path / 'our_out')
