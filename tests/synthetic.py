@@ -210,7 +210,7 @@ def write_runconfig(path, input_dir, output_dir, scratch_dir,
                     dem_file=None, landcover_file=None,
                     worldcover_file=None, shoreline_shapefile=None,
                     check_coverage=False, apply_ocean_masking=False,
-                    extra_processing=None):
+                    extra_processing=None, thresholds=None):
     anc = ''
     if dem_file:
         anc += f'            dem_file: {dem_file}\n'
@@ -250,6 +250,9 @@ def write_runconfig(path, input_dir, output_dir, scratch_dir,
             check_ancillary_inputs_coverage: {check_coverage}
             apply_ocean_masking: {apply_ocean_masking}
 {extra}"""
+    if thresholds:
+        text += '        hls_thresholds:\n' + ''.join(
+            f'            {k}: {v}\n' for k, v in thresholds.items())
     with open(path, 'w') as fh:
         fh.write(text)
     return path

@@ -394,6 +394,83 @@ class TestReferenceEndToEnd:
                 list(files), hls_thresholds=our_t,
                 scratch_dir=our_scratch, **bad, **common)
 
+    def test_reference_runconfig_parser_on_our_engines(self,
+                                                       ref_with_shims,
+                                                       tmp_path):
+        """The reference's parse_runconfig_file (dswx_hls.py:3601)
+        executes with yamale backed by our config/validator engine and
+        ruamel backed by PyYAML: the reference's own schema validates a
+        user runconfig, its deep-merge and constants extraction run, and
+        every resulting RunConfigConstants field (incl. thresholds)
+        matches our parser on the same file. A schema-violating
+        runconfig is rejected by both."""
+        import types
+        import yaml as pyyaml
+        from proteus_tpu.config import validator as v
+
+        def _make_schema(path, parser=None):
+            return v.load_schema(path)
+
+        def _make_data(path, parser=None):
+            with open(path) as fh:
+                return [(pyyaml.safe_load(fh), path)]
+
+        def _validate(schema, data):
+            for d, _path in data:
+                v.validate(d, schema[0], schema[1])
+
+        yam = types.SimpleNamespace(
+            make_schema=_make_schema, make_data=_make_data,
+            validate=_validate, YamaleError=v.SchemaError)
+
+        class _RuamelYaml:
+            def __init__(self, typ=None):
+                pass
+
+            def load(self, stream):
+                return pyyaml.safe_load(stream)
+
+        saved = (REF.yamale, REF.ruamel_yaml)
+        REF.yamale = yam
+        REF.ruamel_yaml = _RuamelYaml
+        try:
+            rc_path = str(tmp_path / 'rc.yaml')
+            synthetic.write_runconfig(
+                rc_path, str(tmp_path / 'in'), str(tmp_path / 'out'),
+                str(tmp_path / 'scratch'),
+                extra_processing={'mask_adjacent_to_cloud_mode':
+                                  'cover'},
+                thresholds={'wigt': 0.2, 'pswt_1_nir': 1400})
+            ref_rc = ref_with_shims.parse_runconfig_file(rc_path)
+            our_rc = parse_runconfig_file(user_runconfig_file=rc_path)
+            from proteus_tpu.config.runconfig import RunConfigConstants
+            for field in RunConfigConstants.__dataclass_fields__:
+                if field == 'hls_thresholds':
+                    continue
+                assert getattr(our_rc, field) == getattr(ref_rc, field), \
+                    field
+            for key in our_rc.hls_thresholds.__dataclass_fields__:
+                assert getattr(our_rc.hls_thresholds, key) == \
+                    getattr(ref_rc.hls_thresholds, key), key
+            assert ref_rc.mask_adjacent_to_cloud_mode == 'cover'
+            assert ref_rc.hls_thresholds.wigt == 0.2
+
+            # schema violation: both sides must reject
+            bad_path = str(tmp_path / 'bad.yaml')
+            with open(rc_path) as fh:
+                rc_text = fh.read()
+            assert 'mask_adjacent_to_cloud_mode: cover' in rc_text
+            with open(bad_path, 'w') as fh:
+                fh.write(rc_text.replace(
+                    'mask_adjacent_to_cloud_mode: cover',
+                    'mask_adjacent_to_cloud_mode: 42'))
+            with pytest.raises(Exception):
+                ref_with_shims.parse_runconfig_file(bad_path)
+            with pytest.raises(Exception):
+                parse_runconfig_file(user_runconfig_file=bad_path)
+        finally:
+            REF.yamale, REF.ruamel_yaml = saved
+
     def test_reference_comparator_on_our_products(self, ref_with_shims,
                                                   tmp_path):
         """The reference's own compare_dswx_hls_products
