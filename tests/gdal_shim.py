@@ -638,19 +638,41 @@ OAMS_TRADITIONAL_GIS_ORDER = 0
 
 
 class SpatialReference:
+    """CRS facade with GDAL-3 axis-order semantics: proj4-defined CRS
+    use traditional (lon, lat) order; EPSG/WellKnown-defined geographic
+    CRS use authority (lat, lon) order unless SetAxisMappingStrategy
+    switches them (the reference relies on both behaviors —
+    dswx_hls.py:3420-3428 forces traditional; core.py:104-113 does not
+    and unpacks lat-first)."""
+
     def __init__(self):
         self.crs = None
+        self._traditional = True
 
     def ImportFromProj4(self, text):
         # the reference round-trips WKT through this call
         # (get_projection_proj4, dswx_hls.py:3130-3145); accept anything
         self.crs = CRS.from_any(text)
+        self._traditional = True
         return 0
 
     ImportFromWkt = ImportFromProj4
 
     def ImportFromEPSG(self, code):
         self.crs = CRS.from_epsg(code)
+        self._traditional = False
+        return 0
+
+    def SetUTM(self, zone, is_northern):
+        self.crs = CRS.from_utm(zone, bool(is_northern))
+        self._traditional = False
+        return 0
+
+    def SetWellKnownGeogCS(self, name):
+        if str(name).upper() not in ('WGS84', 'WGS 84', 'EPSG:4326'):
+            raise ValueError(f'unsupported GeogCS: {name}')
+        self.crs = CRS.from_epsg(4326)
+        self._traditional = False
         return 0
 
     def ExportToProj4(self):
@@ -663,7 +685,7 @@ class SpatialReference:
         return int(self.crs.is_geographic)
 
     def SetAxisMappingStrategy(self, strategy):
-        # transform_points is always (x, y)/(lon, lat) traditional order
+        self._traditional = True
         return None
 
     def IsSame(self, other):
@@ -677,9 +699,17 @@ class CoordinateTransformation:
     def __init__(self, src, dst):
         self._src = src.crs
         self._dst = dst.crs
+        self._dst_swap = (dst.crs.is_geographic
+                          and not dst._traditional)
+        self._src_swap = (src.crs.is_geographic
+                          and not src._traditional)
 
     def TransformPoint(self, x, y, z=0.0):
+        if self._src_swap:
+            x, y = y, x  # authority order input: (lat, lon)
         tx, ty = transform_points(self._src, self._dst, x, y)
+        if self._dst_swap:
+            tx, ty = ty, tx  # authority order output: (lat, lon)
         return float(tx), float(ty), float(z)
 
 

@@ -17,6 +17,7 @@ write through this repo's COG writer).
 
 import glob
 import os
+import sys
 
 import numpy as np
 import pytest
@@ -549,6 +550,44 @@ class TestReferenceEndToEnd:
             assert any('leader' in e for e in errors_bad), errors_bad
         finally:
             val.gdal = saved
+
+    def test_reference_mgrs_boundaries_on_our_engines(self,
+                                                      ref_with_shims):
+        """The reference's get_hls_geographic_boundaries_from_mgrs_tile
+        (core.py:93-155) executes with the mgrs library backed by our
+        MGRS math and osr by our CRS engine (authority axis order — the
+        reference unpacks lat-first there), matching our implementation
+        for tiles across zones/hemispheres to sub-metre precision."""
+        import importlib
+        import types
+        core = importlib.import_module('proteus.core')
+        from proteus_tpu.geo.mgrs import (
+            get_hls_geographic_boundaries_from_mgrs_tile as ours,
+            mgrs_to_utm)
+
+        class _MGRS:
+            def MGRSToUTM(self, name):
+                zone, north, x, y = mgrs_to_utm(name)
+                return zone, ('N' if north else 'S'), x, y
+
+        _, osr_mod, _ = gdal_shim.make_modules()
+        saved = {'osr': core.osr,
+                 'mgrs': sys.modules.get('mgrs')}
+        core.osr = osr_mod
+        sys.modules['mgrs'] = types.SimpleNamespace(MGRS=_MGRS)
+        try:
+            for tile in ('T15RYP', 'T18LVQ', '33UUP', 'T01KAB'):
+                want = core.get_hls_geographic_boundaries_from_mgrs_tile(
+                    tile.lstrip('T') if tile.startswith('33') else tile)
+                got = ours(tile)
+                np.testing.assert_allclose(got, want, atol=1e-9,
+                                           err_msg=tile)
+        finally:
+            core.osr = saved['osr']
+            if saved['mgrs'] is None:
+                del sys.modules['mgrs']
+            else:
+                sys.modules['mgrs'] = saved['mgrs']
 
     def test_reference_multiband_output_quirks(self, ref_with_shims,
                                                tmp_path, monkeypatch):
