@@ -472,6 +472,36 @@ class TestReferenceEndToEnd:
         finally:
             REF.yamale, REF.ruamel_yaml = saved
 
+    @pytest.mark.skipif(
+        not os.environ.get('PROTEUS_TPU_FULL_E2E'),
+        reason='full-size run (minutes); set PROTEUS_TPU_FULL_E2E=1')
+    def test_full_size_core_layers(self, ref_with_shims, tmp_path):
+        """Production-size (3660^2) reference-vs-ours comparison: full
+        COG pyramid (overviews 4/16/64/128), partial edge tiles, big
+        browse resize — everything the 720-px run cannot exercise."""
+        input_dir = str(tmp_path / 'input')
+        files, _bands = synthetic.make_hls_v2_dataset(input_dir,
+                                                      size=3660)
+        ref_dir = str(tmp_path / 'ref_out')
+        our_dir = str(tmp_path / 'our_out')
+        ref_scratch = str(tmp_path / 'ref_scratch')
+        our_scratch = str(tmp_path / 'our_scratch')
+        for d in (ref_dir, our_dir, ref_scratch, our_scratch):
+            os.makedirs(d)
+        common, ref_t, our_t = _common_kwargs('dswx_e2e_full')
+
+        ret = ref_with_shims.generate_dswx_layers(
+            list(files), hls_thresholds=ref_t,
+            scratch_dir=ref_scratch, **_per_layer_outputs(ref_dir),
+            **common)
+        assert ret
+        ret = orchestrator.generate_dswx_layers(
+            list(files), hls_thresholds=our_t,
+            scratch_dir=our_scratch, **_per_layer_outputs(our_dir),
+            **common)
+        assert ret
+        _compare_trees(ref_dir, our_dir)
+
     def test_reference_comparator_on_our_products(self, ref_with_shims,
                                                   tmp_path):
         """The reference's own compare_dswx_hls_products
