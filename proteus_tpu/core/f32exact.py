@@ -45,6 +45,7 @@ the int16-derived integer path. Thresholds smaller in magnitude than
 ~2^-100 (other than exactly 0) are rejected.
 """
 
+import contextlib
 import dataclasses
 import struct
 from typing import Optional, Tuple
@@ -59,9 +60,44 @@ _F32 = jnp.float32
 # Device error-free transforms (IEEE f32 add/sub/mul only)
 # ---------------------------------------------------------------------------
 
+_BARRIERS_DISABLED = False
+
+
+@contextlib.contextmanager
+def eft_barriers_disabled():
+    """Trace-time switch: emit EFT intermediates without optimization
+    barriers. Needed inside compiled Pallas TPU kernels — Mosaic has no
+    optimization_barrier lowering, and (empirically, see
+    SCALED_TPU_PARITY.json) does not apply the reassociation rewrites
+    the barrier guards against."""
+    global _BARRIERS_DISABLED
+    prev = _BARRIERS_DISABLED
+    _BARRIERS_DISABLED = True
+    try:
+        yield
+    finally:
+        _BARRIERS_DISABLED = prev
+
+
+def _opaque(x):
+    """Hide a rounded intermediate from XLA's algebraic simplifier.
+
+    In large fused graphs XLA reassociates real-arithmetic identities
+    like ``a - ((a + b) - b) -> 0`` that destroy error-free transforms
+    (observed on XLA:CPU: the TwoSum error term collapsed and
+    double-f32 accumulation degraded to plain f32 — context-dependent,
+    so small unit graphs survive while bigger fusions break). An
+    optimization barrier keeps the compiled arithmetic IEEE-faithful;
+    eager/interpret semantics are unchanged."""
+    if _BARRIERS_DISABLED:
+        return x
+    import jax
+    return jax.lax.optimization_barrier(x)
+
+
 def _two_sum(a, b):
     """Knuth TwoSum: s + e == a + b exactly, s = fl(a + b)."""
-    s = a + b
+    s = _opaque(a + b)
     bb = s - a
     e = (a - (s - bb)) + (b - bb)
     return s, e
@@ -69,14 +105,14 @@ def _two_sum(a, b):
 
 def _split(a):
     """Veltkamp split of a float32 into two 12-bit halves."""
-    c = a * _F32(4097.0)  # 2**12 + 1
+    c = _opaque(a * _F32(4097.0))  # 2**12 + 1
     hi = c - (c - a)
     return hi, a - hi
 
 
 def _two_prod(a, b):
     """Dekker TwoProduct: p + e == a * b exactly (no FMA needed)."""
-    p = a * b
+    p = _opaque(a * b)
     ah, al = _split(a)
     bh, bl = _split(b)
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl

@@ -312,14 +312,23 @@ def _resample_block(fdata, valid, u, v, algorithm, fill, wraps, width,
     rbase = np.clip(iv, -PAD, h + PAD - 1) + PAD
     cbase = np.clip(iu, -PAD, w + PAD - 1) + PAD
 
+    def _tap_rows(dr):
+        # coordinates far outside the padded window (possible when the
+        # tile extends past the source) clamp to the pad; such pixels
+        # are outside center_in and masked to fill regardless
+        return np.clip(rbase + dr, 0, h + 2 * PAD - 1)
+
+    def _tap_cols(dc):
+        return np.clip(cbase + dc, 0, w + 2 * PAD - 1)
+
     if all_valid and not wraps:
         # fast path: weights sum to 1 exactly; edge replication stands in
         # for GDAL's kernel clamping at the source border
         acc = np.zeros(u.shape, dtype=np.float64)
         for dr, wr in taps:
-            rr = rbase + dr
+            rr = _tap_rows(dr)
             for dc, wc in cols_w:
-                acc += (wr * wc) * dpad[rr, cbase + dc]
+                acc += (wr * wc) * dpad[rr, _tap_cols(dc)]
         return np.where(center_in, acc, fill)
 
     vpad = np.pad(valid, PAD, mode='constant', constant_values=False) \
@@ -327,9 +336,9 @@ def _resample_block(fdata, valid, u, v, algorithm, fill, wraps, width,
     acc = np.zeros(u.shape, dtype=np.float64)
     wacc = np.zeros(u.shape, dtype=np.float64)
     for dr, wr in taps:
-        rr = rbase + dr
+        rr = _tap_rows(dr)
         for dc, wc in cols_w:
-            cc = cbase + dc
+            cc = _tap_cols(dc)
             wgt = wr * wc
             vals = dpad[rr, cc]
             if vpad is not None:
@@ -418,7 +427,8 @@ def _device_resample_impl(data, valid, lat, spacing, out_h,
                          f'device warp (got {spacing})')
 
     def dd_norm(hi, lo):
-        s = hi + lo
+        from proteus_tpu.core.f32exact import _opaque
+        s = _opaque(hi + lo)  # shield the fast-two-sum from reassociation
         return s, lo - (s - hi)
 
     def dd_add(ah, al, bh, bl):
@@ -477,73 +487,181 @@ def _device_resample_impl(data, valid, lat, spacing, out_h,
                 (inb & jnp.take(vflat, flat, mode='clip'))
             return vals, ok
 
+        # exact dd floor: hi is float, frac = hi - floor(hi) is exact
+        # (Sterbenz for |hi|>=1; the +-1 rounding of hi+1 for |hi|<1 is
+        # inside the ambiguity band); err can push frac across 0 or 1
+        def dd_floor(hi, err):
+            base = jnp.floor(hi)
+            frac = hi - base
+            c, cl = _two_sum(frac, err)
+            n = base + jnp.where(c < 0, -1.0,
+                                 jnp.where(c >= 1, 1.0, 0.0))
+            cf = jnp.where(c < 0, c + 1, jnp.where(c >= 1, c - 1, c))
+            return n.astype(jnp.int32), cf, cl
+
+        # ambiguity band: where the dd value sits within eps of a floor
+        # boundary, the host float64 value could floor differently; eps
+        # bounds the dd-vs-f64 divergence (lattice split residual
+        # 2^-48|coord| + O(5) dd-op errors) plus the f32 rounding of the
+        # fraction itself (<= 2^-24)
+        def near_edge(hi, cf):
+            eps = jnp.float32(2.0 ** -22) \
+                + (jnp.abs(hi) + 16.0) * jnp.float32(2.0 ** -38)
+            return (cf < eps) | (cf > 1 - eps)
+
         if algorithm == 'nearest':
-            # exact dd floor: u_hi is float, frac = u_hi - floor(u_hi) is
-            # exact; the residual u_err (|u_err| <= ulp(u_hi)/2) can only
-            # push the fraction across 0 or 1 when frac itself is 0
-            def dd_floor(hi, err):
-                base = jnp.floor(hi)
-                frac = hi - base  # exact (Sterbenz)
-                c = frac + err
-                n = base + jnp.where(c < 0, -1.0,
-                                     jnp.where(c >= 1, 1.0, 0.0))
-                cf = jnp.where(c < 0, c + 1, jnp.where(c >= 1, c - 1, c))
-                return n.astype(jnp.int32), cf
-
-            rows, fv_n = dd_floor(v, v_err)
-            cols, fu_n = dd_floor(u, u_err)
-            # ambiguity band: where the dd value sits within eps of a
-            # pick boundary, the host float64 value could floor
-            # differently; eps bounds the dd-vs-f64 divergence (lattice
-            # split residual 2^-48|coord| + O(5) dd-op errors) plus the
-            # f32 rounding of the fraction itself (<= 2^-24)
-            def near_edge(hi, cf):
-                eps = jnp.float32(2.0 ** -22) \
-                    + (jnp.abs(hi) + 16.0) * jnp.float32(2.0 ** -38)
-                return (cf < eps) | (cf > 1 - eps)
-
+            rows, fv_n, _ = dd_floor(v, v_err)
+            cols, fu_n, _ = dd_floor(u, u_err)
             amb = near_edge(u, fu_n) | near_edge(v, fv_n)
+            # a floor flip far outside the source window cannot change
+            # the (fill) result, and such coordinates may lie outside
+            # what the host resolver can index
+            in_range = ((u >= -1) & (u <= w + 1)
+                        & (v >= -1) & (v <= h + 1))
+            amb = amb & in_range
             vals, ok = gather(rows, cols)
             out = jnp.where(ok, vals, jnp.asarray(fill, data.dtype))
             return out, amb
 
-        uc = u - 0.5
-        vc = v - 0.5
-        iu = jnp.floor(uc).astype(jnp.int32)
-        iv = jnp.floor(vc).astype(jnp.int32)
-        fu = uc - iu.astype(jnp.float32)
-        fv = vc - iv.astype(jnp.float32)
-        if algorithm == 'bilinear':
-            taps = [(0, 1 - fv), (1, fv)]
-            cols_w = [(0, 1 - fu), (1, fu)]
-        else:
-            a = -0.5
+        # --- kernel resamplers in double-f32: the host accumulates in
+        # float64, so weights/products/sums run as dd here and pixels
+        # whose dd value sits near an f32 rounding boundary (or near a
+        # tap-selection boundary) are re-evaluated on host in float64
+        def dd_addc(x, c):
+            return dd_add(x[0], x[1], jnp.float32(c),
+                          jnp.float32(0.0))
 
-            def cw(x):
-                ax = jnp.abs(x)
-                return jnp.where(
-                    ax <= 1, (a + 2) * ax ** 3 - (a + 3) * ax ** 2 + 1,
-                    jnp.where(ax < 2, a * ax ** 3 - 5 * a * ax ** 2
-                              + 8 * a * ax - 4 * a, 0.0))
-            taps = list(zip((-1, 0, 1, 2),
-                            [cw(fv + 1), cw(fv), cw(1 - fv), cw(2 - fv)]))
-            cols_w = list(zip((-1, 0, 1, 2),
-                              [cw(fu + 1), cw(fu), cw(1 - fu),
-                               cw(2 - fu)]))
-        acc = jnp.zeros(u.shape, jnp.float32)
-        wacc = jnp.zeros(u.shape, jnp.float32)
+        def dd_mul(x, y):
+            p, e = _two_prod(x[0], y[0])
+            return dd_norm(p, e + (x[0] * y[1] + x[1] * y[0]))
+
+        def dd_mulc(x, c):
+            return dd_mul_f32(x[0], x[1], jnp.float32(c))
+
+        uc = dd_add(u, u_err, jnp.float32(-0.5), jnp.float32(0.0))
+        vc = dd_add(v, v_err, jnp.float32(-0.5), jnp.float32(0.0))
+        iu, fu_hi, fu_lo = dd_floor(uc[0], uc[1])
+        iv, fv_hi, fv_lo = dd_floor(vc[0], vc[1])
+        amb = near_edge(uc[0], fu_hi) | near_edge(vc[0], fv_hi)
+        fu = (fu_hi, fu_lo)
+        fv = (fv_hi, fv_lo)
+
+        def one_minus(x):
+            return dd_add(jnp.float32(1.0), jnp.float32(0.0),
+                          -x[0], -x[1])
+
+        if algorithm == 'bilinear':
+            taps = [(0, one_minus(fv)), (1, fv)]
+            cols_w = [(0, one_minus(fu)), (1, fu)]
+        else:
+            # GDAL cubic (a=-0.5): |x|<=1: 1.5x^3-2.5x^2+1;
+            # 1<|x|<2: -0.5x^3+2.5x^2-4x+2 — evaluated per tap on the
+            # known-sign arguments f+1, f, 1-f, 2-f (dd Horner)
+            def poly_inner(x):
+                t = dd_addc(dd_mulc(x, 1.5), -2.5)
+                t = dd_mul(t, x)
+                t = dd_mul(t, x)
+                return dd_addc(t, 1.0)
+
+            def poly_outer(x):
+                t = dd_addc(dd_mulc(x, -0.5), 2.5)
+                t = dd_mul(t, x)
+                t = dd_addc(t, -4.0)
+                t = dd_mul(t, x)
+                return dd_addc(t, 2.0)
+
+            def two_minus(x):
+                return dd_add(jnp.float32(2.0), jnp.float32(0.0),
+                              -x[0], -x[1])
+
+            taps = [(-1, poly_outer(dd_addc(fv, 1.0))),
+                    (0, poly_inner(fv)),
+                    (1, poly_inner(one_minus(fv))),
+                    (2, poly_outer(two_minus(fv)))]
+            cols_w = [(-1, poly_outer(dd_addc(fu, 1.0))),
+                      (0, poly_inner(fu)),
+                      (1, poly_inner(one_minus(fu))),
+                      (2, poly_outer(two_minus(fu)))]
+
         center_in = (u >= 0) & (u <= w) & (v >= 0) & (v <= h)
+        zero = jnp.zeros(u.shape, jnp.float32)
+        all_valid = valid is None and not wraps
+        acc = (zero, zero)
+        wacc = (zero, zero)
+        macc = zero  # magnitude accumulator: bounds the dd-vs-f64 error
+        vmin = jnp.full(u.shape, jnp.inf, jnp.float32)
+        vmax = jnp.full(u.shape, -jnp.inf, jnp.float32)
         for dr, wr in taps:
             for dc, wc in cols_w:
                 vals, ok = gather(iv + dr, iu + dc)
-                wgt = wr * wc
-                acc = acc + jnp.where(ok, vals.astype(jnp.float32) * wgt,
-                                      0.0)
-                wacc = wacc + jnp.where(ok, wgt, 0.0)
-        res = acc / jnp.where(wacc > 1e-9, wacc, 1.0)
-        good = center_in & (wacc > 1e-9)
-        out = jnp.where(good, res, jnp.float32(fill))
-        return out, jnp.zeros(out.shape, bool)
+                w2 = dd_mul(wr, wc)
+                term = dd_mul_f32(w2[0], w2[1],
+                                  vals.astype(jnp.float32))
+                vf = vals.astype(jnp.float32)
+                if all_valid:
+                    macc = macc + jnp.abs(term[0])
+                    vmin = jnp.minimum(vmin, vf)
+                    vmax = jnp.maximum(vmax, vf)
+                else:
+                    # a NaN (nodata) tap would poison the error trackers
+                    # and disable the ambiguity flag
+                    macc = macc + jnp.where(ok, jnp.abs(term[0]), 0.0)
+                    vmin = jnp.minimum(vmin, jnp.where(ok, vf, jnp.inf))
+                    vmax = jnp.maximum(vmax, jnp.where(ok, vf,
+                                                       -jnp.inf))
+                if all_valid:
+                    # host fast path: edge-replicated taps at full
+                    # weight, no renormalization (gather clips = pad
+                    # replication)
+                    acc = dd_add(acc[0], acc[1], term[0], term[1])
+                else:
+                    acc = dd_add(acc[0], acc[1],
+                                 jnp.where(ok, term[0], 0.0),
+                                 jnp.where(ok, term[1], 0.0))
+                    wacc = dd_add(wacc[0], wacc[1],
+                                  jnp.where(ok, w2[0], 0.0),
+                                  jnp.where(ok, w2[1], 0.0))
+
+        def near_f32_boundary(hi, lo):
+            # the f64 value rounds to a different f32 than hi only when
+            # |lo| sits within the dd-vs-f64 error of ulp(hi)/2. That
+            # error has two drivers, both scaling with the accumulated
+            # TERM magnitudes (macc) rather than the result (cancelling
+            # taps leave a small result with a larger absolute error):
+            # accumulation roundoff (~macc*2^-45) and the coordinate
+            # error amplified through the weight derivatives
+            # (~macc * (|uc|+|vc|)*2^-46 — the dd coordinates carry
+            # ~(|coord|+16)*2^-46 of divergence from the host float64)
+            absh = jnp.abs(hi) + jnp.float32(1e-30)
+            # exact half-ulp (an |hi|*2^-25 approximation is up to 2x
+            # small and misses values sitting exactly ON the boundary,
+            # where |lo| == ulp/2)
+            half_ulp = (jnp.nextafter(absh, jnp.float32(jnp.inf))
+                        - absh) * jnp.float32(0.5)
+            coord_mag = jnp.abs(uc[0]) + jnp.abs(vc[0]) + 32.0
+            spread = jnp.nan_to_num(vmax - vmin, nan=0.0, posinf=0.0,
+                                    neginf=0.0)
+            delta = half_ulp * jnp.float32(2.0 ** -16) \
+                + macc * jnp.float32(2.0 ** -40) \
+                + spread * coord_mag * jnp.float32(2.0 ** -42)
+            return jnp.abs(jnp.abs(lo) - half_ulp) < delta
+
+        if all_valid:
+            res_hi, res_lo = acc
+            good = center_in
+        else:
+            # dd division: one Newton correction on the f32 quotient
+            denom = jnp.where(wacc[0] > 1e-9, wacc[0], 1.0)
+            q0 = acc[0] / denom
+            r = dd_add(acc[0], acc[1],
+                       *(lambda t: (-t[0], -t[1]))(
+                           dd_mul_f32(wacc[0], wacc[1], q0)))
+            res_hi, res_lo = dd_norm(*_two_sum(q0, r[0] / denom))
+            good = center_in & (wacc[0] > 1e-9)
+            amb = amb | (jnp.abs(wacc[0] - 1e-9) < 1e-12)
+        amb = amb | near_f32_boundary(res_hi, res_lo)
+        out = jnp.where(good, res_hi, jnp.float32(fill))
+        return out, amb & center_in
 
     return run(data, valid, lat)
 
@@ -630,33 +748,46 @@ def warp_to_grid_device(input_file, geotransform, projection, length,
             float(fill) if (is_float_fill or
                             resample_algorithm != 'nearest') else fill,
             wraps=wraps, full_width=ww)
-        if resample_algorithm == 'nearest':
-            n_amb = int(jnp.sum(amb))
-            if n_amb:
-                # exact host re-decision of the boundary-ambiguous picks,
-                # replicating warp_to_grid's float64 chunk pipeline
-                flat = np.asarray(jnp.nonzero(amb.ravel(),
-                                              size=n_amb)[0])
-                ii = (flat // out_w).astype(np.float64)
-                jj = (flat % out_w).astype(np.float64)
-                hsx, hsy = tx(ii, jj)
-                hu, hv = src.pixel_coords(hsx, hsy)
-                hu = hu - c0
-                hv = hv - r0
-                rows = np.floor(hv).astype(np.int64)
-                cols = np.floor(hu).astype(np.int64)
-                vals, ok = _gather(data, valid if not all_valid else None,
-                                   rows, cols, wraps, ww)
-                res = np.where(ok, vals, fill).astype(out.dtype)
-                out = out.ravel().at[flat].set(
-                    jnp.asarray(res)).reshape(out.shape)
-        # the host path accumulates in float64 and rint+clips for any
-        # integer output dtype — mirror it whenever the device result is
-        # floating (covers nearest with a narrowing `dtype` override)
-        if np.dtype(out_dtype).kind in 'ui' \
-                and jnp.issubdtype(out.dtype, jnp.floating):
+        to_int = np.dtype(out_dtype).kind in 'ui' \
+            and jnp.issubdtype(out.dtype, jnp.floating)
+        if to_int and radius > 0:
+            # kernel value near a half-integer: the f32 intermediate can
+            # rint differently than the host's float64 — flag for the
+            # f64 re-evaluation below
+            half_dist = jnp.abs(out - jnp.floor(out)
+                                - jnp.float32(0.5))
+            amb = amb | (jnp.isfinite(out) & (half_dist < 1e-4))
+        if to_int:
+            # the host path accumulates in float64 and rint+clips for
+            # any integer output dtype — mirror it (covers nearest with
+            # a narrowing `dtype` override); ambiguous pixels are then
+            # overwritten with the f64-converted host values
             out = jnp.clip(jnp.rint(out), np.iinfo(out_dtype).min,
                            np.iinfo(out_dtype).max)
+        n_amb = int(jnp.sum(amb))
+        if n_amb:
+            # exact host re-evaluation of the boundary-ambiguous pixels,
+            # replicating warp_to_grid's float64 chunk pipeline
+            flat = np.asarray(jnp.nonzero(amb.ravel(), size=n_amb)[0])
+            ii = (flat // out_w).astype(np.float64)
+            jj = (flat % out_w).astype(np.float64)
+            hsx, hsy = tx(ii, jj)
+            hu, hv = src.pixel_coords(hsx, hsy)
+            hu = hu - c0
+            hv = hv - r0
+            host_all_valid = all_valid and not wraps
+            host_valid = None if host_all_valid else (
+                valid if valid is not None
+                else np.ones(data.shape, bool))
+            res = _resample_block(
+                data.astype(np.float64), host_valid, hu, hv,
+                resample_algorithm, fill, wraps=wraps, width=ww,
+                all_valid=host_all_valid)
+            if to_int:
+                res = np.clip(np.rint(res), np.iinfo(out_dtype).min,
+                              np.iinfo(out_dtype).max)
+            out = out.ravel().at[flat].set(
+                jnp.asarray(res.astype(out.dtype))).reshape(out.shape)
         return out.astype(out_dtype)
     finally:
         src.close()

@@ -251,7 +251,15 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
 
         if float_inputs:
             # --- diagnostics (IEEE f32, matching the reference's scaled
-            # chain; ratio thresholds via exact boundary sign tests) ----
+            # chain; ratio thresholds via exact boundary sign tests).
+            # Compiled Mosaic has no optimization_barrier lowering and
+            # does not reassociate the EFT patterns (hardware-verified:
+            # SCALED_TPU_PARITY.json), so the barriers are trace-time
+            # disabled; interpret mode runs under XLA and keeps them.
+            import contextlib
+            from proteus_tpu.core.f32exact import eft_barriers_disabled
+            barrier_ctx = contextlib.nullcontext() if interpret \
+                else eft_barriers_disabled()
             blue = blue_r[:]
             green = green_r[:]
             red = red_r[:]
@@ -264,18 +272,22 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
             ndvi_num, ndvi_den = nir - red, nir + red
             awesh = (blue + f32(2.5) * green - f32(1.5) * mbsrn
                      - f32(0.25) * swir2)
-            t1 = _ratio_cmp_f32_finite(mndwi_num, mndwi_den,
-                                       f32_bounds['wigt'])
+            with barrier_ctx:
+                t1 = _ratio_cmp_f32_finite(mndwi_num, mndwi_den,
+                                           f32_bounds['wigt'])
+                t4r = _ratio_cmp_f32_finite(mndwi_num, mndwi_den,
+                                            f32_bounds['p1_mndwi'])
+                t4n = _ratio_cmp_f32_finite(ndvi_num, ndvi_den,
+                                            f32_bounds['p1_ndvi'])
+                t5r = _ratio_cmp_f32_finite(mndwi_num, mndwi_den,
+                                            f32_bounds['p2_mndwi'])
             t2 = mbsrv > mbsrn
             t3 = awesh > f32(f32_consts['awgt'])
-            t4 = (_ratio_cmp_f32_finite(mndwi_num, mndwi_den,
-                                        f32_bounds['p1_mndwi'])
+            t4 = (t4r
                   & (swir1 < f32(f32_consts['pswt_1_swir1']))
                   & (nir < f32(f32_consts['pswt_1_nir']))
-                  & _ratio_cmp_f32_finite(ndvi_num, ndvi_den,
-                                          f32_bounds['p1_ndvi']))
-            t5 = (_ratio_cmp_f32_finite(mndwi_num, mndwi_den,
-                                        f32_bounds['p2_mndwi'])
+                  & t4n)
+            t5 = (t5r
                   & (blue < f32(f32_consts['pswt_2_blue']))
                   & (swir1 < f32(f32_consts['pswt_2_swir1']))
                   & (swir2 < f32(f32_consts['pswt_2_swir2']))

@@ -203,6 +203,65 @@ def one_nondecimal_iteration(seed, ref):
             f'thresholds={tdict}')
 
 
+def one_warp_iteration(seed, tmpdir):
+    """Device warp vs host float64 warp: bit-equality fuzz over random
+    sources (dtype, nodata, resolution) and tile grids, all three
+    resampling kernels."""
+    import tempfile
+    from proteus_tpu.io.cog import write_cog
+    from proteus_tpu.geo.warp import warp_to_grid, warp_to_grid_device
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(80, 400))
+    w = int(rng.integers(80, 400))
+    step = float(rng.uniform(0.0005, 0.006))
+    gt = (-92.5 + float(rng.uniform(-0.3, 0.3)), step, 0.0,
+          31.8 + float(rng.uniform(-0.3, 0.3)), 0.0, -step)
+    kind = rng.integers(0, 3)
+    if kind == 0:
+        arr = (120 * np.sin(np.arange(w)[None, :] / rng.uniform(5, 40))
+               * np.cos(np.arange(h)[:, None] / rng.uniform(5, 40))
+               + rng.normal(0, rng.uniform(1, 50), (h, w))
+               ).astype(np.float32)
+        nodata = float('nan')
+        if rng.random() < 0.5:
+            arr[rng.random((h, w)) < 0.05] = np.nan
+    elif kind == 1:
+        arr = rng.integers(0, 201, (h, w)).astype(np.uint8)
+        nodata = 255
+        if rng.random() < 0.5:
+            arr[rng.random((h, w)) < 0.05] = 255
+    else:
+        arr = rng.integers(-2000, 15000, (h, w)).astype(np.int16)
+        nodata = -9999
+    path = os.path.join(tmpdir, f'warp_src_{seed}.tif')
+    write_cog(path, arr, geotransform=gt, epsg=4326, nodata=nodata,
+              overview_levels=())
+    tile_gt = (700000.0 + float(rng.uniform(-5e4, 5e4)),
+               float(rng.choice([10.0, 30.0])), 0.0,
+               3.48e6 + float(rng.uniform(-5e4, 5e4)), 0.0,
+               -float(rng.choice([10.0, 30.0])))
+    L = int(rng.integers(50, 200))
+    Wd = int(rng.integers(50, 200))
+    margin = int(rng.choice([0, 10, 50]))
+    for alg in ('nearest', 'bilinear', 'cubic'):
+        host = warp_to_grid(path, tile_gt, 'EPSG:32615', L, Wd,
+                            resample_algorithm=alg,
+                            margin_in_pixels=margin)
+        dev = np.asarray(warp_to_grid_device(
+            path, tile_gt, 'EPSG:32615', L, Wd,
+            resample_algorithm=alg, margin_in_pixels=margin))
+        if host.dtype.kind == 'f':
+            nn = np.isnan(host) & np.isnan(dev)
+            bad = (host != dev) & ~nn
+        else:
+            bad = host != dev
+        if bad.any():
+            raise AssertionError(
+                f'warp seed={seed} alg={alg} kind={kind}: '
+                f'{int(bad.sum())} device-vs-host mismatches')
+    os.remove(path)
+
+
 def one_shadow_iteration(seed, ref):
     """Fuzz compute_opera_shadow_layer_exact against the reference's
     executing float64 chain over synthetic DEMs (smooth, rough, quantized,
@@ -248,6 +307,15 @@ def main():
         if (i + 1) % 25 == 0:
             print(f'{i + 1}/{n} iterations bit-exact', flush=True)
     print(f'fuzz complete: {n} iterations, all layers bit-exact')
+
+    import tempfile
+    warp_dir = tempfile.mkdtemp()
+    for i in range(n):
+        one_warp_iteration(7000 + i, warp_dir)
+        if (i + 1) % 25 == 0:
+            print(f'{i + 1}/{n} warp iterations bit-exact', flush=True)
+    print(f'warp fuzz complete: {n} iterations, device == host float64 '
+          'for nearest/bilinear/cubic')
 
     import refbridge
     ref = refbridge.load_reference_dswx()

@@ -114,12 +114,33 @@ class TestWarp:
             dev = np.asarray(warp_to_grid_device(
                 path, tile_gt, 'EPSG:32615', 150, 150,
                 resample_algorithm=alg))
-            if alg == 'nearest':
-                # dd-f32 coordinates + host boundary resolve: bit-equal
-                np.testing.assert_array_equal(host, dev, err_msg=alg)
-            else:
-                np.testing.assert_allclose(host, dev, rtol=2e-4,
-                                           atol=0.05, err_msg=alg)
+            # dd-f32 coordinates/accumulation + host boundary resolve:
+            # bit-equal for every resampler
+            np.testing.assert_array_equal(host, dev, err_msg=alg)
+
+    def test_device_cubic_nodata_matches_host(self, tmp_path):
+        """Masked cubic (NaN holes -> renormalizing accumulation +
+        dd division correction) must be bit-identical to the host
+        float64 path too."""
+        h, w = 300, 300
+        gt = (-91.5, 0.004, 0.0, 31.0, 0.0, -0.004)
+        arr = (120 * np.sin(np.arange(w)[None, :] / 17.0)
+               * np.cos(np.arange(h)[:, None] / 13.0)
+               + RNG.normal(0, 20, (h, w))).astype(np.float32)
+        arr[100:130, 100:140] = np.nan
+        arr[RNG.random((h, w)) < 0.01] = np.nan
+        path = str(tmp_path / 'dem.tif')
+        write_cog(path, arr, geotransform=gt, epsg=4326,
+                  nodata=float('nan'), overview_levels=())
+        tile_gt = (700000.0, 30.0, 0.0, 3390000.0, 0.0, -30.0)
+        host = warp_to_grid(path, tile_gt, 'EPSG:32615', 150, 150,
+                            resample_algorithm='cubic',
+                            margin_in_pixels=10)
+        dev = np.asarray(warp_to_grid_device(
+            path, tile_gt, 'EPSG:32615', 150, 150,
+            resample_algorithm='cubic', margin_in_pixels=10))
+        both_nan = np.isnan(host) & np.isnan(dev)
+        np.testing.assert_array_equal(host[~both_nan], dev[~both_nan])
 
     def test_device_nearest_boundary_resolve(self, tmp_path):
         """Same-CRS warp with a half-pixel origin shift puts EVERY

@@ -204,13 +204,11 @@ class TestReferenceEndToEnd:
         """Full ancillary run compared per layer, including LAND, SHAD
         and the float32 DEM layer (CUBICSPLINE overviews on both sides).
 
-        Our orchestrator runs its PRODUCTION device-warp path: nearest
-        warps (LAND inputs) are bit-identical to the host float64 warp
-        the shim routes the reference through (dd-f32 coordinates +
-        boundary resolve), so every classification layer must match
-        exactly. The cubic-warped DEM layer accumulates in float32 on
-        device vs float64 on host, so it alone is compared at the
-        documented 2e-3 m tolerance.
+        Our orchestrator runs its PRODUCTION device-warp path, which is
+        bit-identical to the host float64 warp the shim routes the
+        reference through (double-f32 coordinates and accumulation +
+        host resolve of the boundary-ambiguity band) — every layer,
+        including the cubic-warped float32 DEM, must match exactly.
         """
         input_dir = str(tmp_path / 'input')
         files, _bands = synthetic.make_hls_v2_dataset(input_dir, size=360)
@@ -251,16 +249,6 @@ class TestReferenceEndToEnd:
             scratch_dir=our_scratch, **extra_outputs(our_dir),
             **anc, **common)
         assert ret
-
-        from proteus_tpu.io.tiff import TiffReader
-        with TiffReader(os.path.join(ref_dir, 'dem.tif')) as ra, \
-                TiffReader(os.path.join(our_dir, 'dem.tif')) as rb:
-            dem_ref, dem_our = ra.read(), rb.read()
-        both_nan = np.isnan(dem_ref) & np.isnan(dem_our)
-        close = np.isclose(dem_ref, dem_our, atol=2e-3, rtol=0)
-        assert (close | both_nan).all(), 'DEM layer beyond 2e-3 m'
-        os.remove(os.path.join(ref_dir, 'dem.tif'))
-        os.remove(os.path.join(our_dir, 'dem.tif'))
 
         _compare_trees(ref_dir, our_dir)
 
