@@ -515,9 +515,11 @@ def _device_resample_impl(data, valid, lat, spacing, out_h,
             amb = near_edge(u, fu_n) | near_edge(v, fv_n)
             # a floor flip far outside the source window cannot change
             # the (fill) result, and such coordinates may lie outside
-            # what the host resolver can index
-            in_range = ((u >= -1) & (u <= w + 1)
-                        & (v >= -1) & (v <= h + 1))
+            # what the host resolver can index; wrapping sources take
+            # any u (modulo) so only the rows are bounded
+            in_range = (v >= -1) & (v <= h + 1)
+            if not wraps:
+                in_range = in_range & (u >= -1) & (u <= w + 1)
             amb = amb & in_range
             vals, ok = gather(rows, cols)
             out = jnp.where(ok, vals, jnp.asarray(fill, data.dtype))
@@ -583,9 +585,20 @@ def _device_resample_impl(data, valid, lat, spacing, out_h,
                       (1, poly_inner(one_minus(fu))),
                       (2, poly_outer(two_minus(fu)))]
 
-        center_in = (u >= 0) & (u <= w) & (v >= 0) & (v <= h)
+        # three accumulation modes mirroring _resample_block exactly:
+        # - fast (no nodata, no wrap): every tap at full weight (edge
+        #   replication via the clipping gather), NO renormalization
+        # - unmasked wrap (no nodata, wrapping source): every tap at
+        #   full weight (host pads row-edges/x-wrap but its vpad is
+        #   None), with the acc/wacc division
+        # - masked: validity-weighted taps + division
+        if wraps:
+            center_in = (v >= 0) & (v <= h)
+        else:
+            center_in = (u >= 0) & (u <= w) & (v >= 0) & (v <= h)
         zero = jnp.zeros(u.shape, jnp.float32)
-        all_valid = valid is None and not wraps
+        fast = valid is None and not wraps
+        unmasked = valid is None
         acc = (zero, zero)
         wacc = (zero, zero)
         macc = zero  # magnitude accumulator: bounds the dd-vs-f64 error
@@ -598,10 +611,13 @@ def _device_resample_impl(data, valid, lat, spacing, out_h,
                 term = dd_mul_f32(w2[0], w2[1],
                                   vals.astype(jnp.float32))
                 vf = vals.astype(jnp.float32)
-                if all_valid:
+                if unmasked:
                     macc = macc + jnp.abs(term[0])
                     vmin = jnp.minimum(vmin, vf)
                     vmax = jnp.maximum(vmax, vf)
+                    acc = dd_add(acc[0], acc[1], term[0], term[1])
+                    if not fast:
+                        wacc = dd_add(wacc[0], wacc[1], w2[0], w2[1])
                 else:
                     # a NaN (nodata) tap would poison the error trackers
                     # and disable the ambiguity flag
@@ -609,12 +625,6 @@ def _device_resample_impl(data, valid, lat, spacing, out_h,
                     vmin = jnp.minimum(vmin, jnp.where(ok, vf, jnp.inf))
                     vmax = jnp.maximum(vmax, jnp.where(ok, vf,
                                                        -jnp.inf))
-                if all_valid:
-                    # host fast path: edge-replicated taps at full
-                    # weight, no renormalization (gather clips = pad
-                    # replication)
-                    acc = dd_add(acc[0], acc[1], term[0], term[1])
-                else:
                     acc = dd_add(acc[0], acc[1],
                                  jnp.where(ok, term[0], 0.0),
                                  jnp.where(ok, term[1], 0.0))
@@ -646,7 +656,7 @@ def _device_resample_impl(data, valid, lat, spacing, out_h,
                 + spread * coord_mag * jnp.float32(2.0 ** -42)
             return jnp.abs(jnp.abs(lo) - half_ulp) < delta
 
-        if all_valid:
+        if fast:
             res_hi, res_lo = acc
             good = center_in
         else:
@@ -674,12 +684,12 @@ def warp_to_grid_device(input_file, geotransform, projection, length,
 
     Returns a device array (jnp). Keeping the result on device lets the
     downstream consumers (LAND decimation, terrain shadow) run without a
-    host round-trip. For 'nearest' the result is BIT-IDENTICAL to the
-    host warp_to_grid: coordinates interpolate in double-float32 on
-    device and every pixel within the tiny boundary-ambiguity band is
-    re-decided on host with the same float64 lattice transform. Kernel
-    resamplers (bilinear/cubic) accumulate in float32 on device vs the
-    host's float64 — value differences stay at float32-rounding level.
+    host round-trip. The result is BIT-IDENTICAL to the host
+    warp_to_grid for every resampler: coordinates AND kernel
+    accumulation run in double-float32 error-free transforms on device,
+    and every pixel inside the boundary-ambiguity band (floor/pick,
+    f32 value-rounding, and integer-rint boundaries) is re-evaluated on
+    host with the same float64 pipeline.
     """
     import jax.numpy as jnp
 
@@ -775,14 +785,25 @@ def warp_to_grid_device(input_file, geotransform, projection, length,
             hu, hv = src.pixel_coords(hsx, hsy)
             hu = hu - c0
             hv = hv - r0
-            host_all_valid = all_valid and not wraps
-            host_valid = None if host_all_valid else (
-                valid if valid is not None
-                else np.ones(data.shape, bool))
+            # mirror warp_to_grid's flags verbatim (all_valid with a
+            # wrapping source selects the vpad=None unmasked branch of
+            # _resample_block); restrict the float64 copy to the rows
+            # the flagged pixels' taps can touch — columns stay whole
+            # for the modulo wrap
+            rlo = max(int(np.floor(np.nanmin(hv))) - 4, 0)
+            rhi = min(int(np.ceil(np.nanmax(hv))) + 5, data.shape[0])
+            rlo = min(rlo, data.shape[0] - 1)
+            rhi = max(rhi, rlo + 1)
+            if valid is not None:
+                full_all = bool(valid.all())
+                valid_slice = valid[rlo:rhi]
+            else:
+                full_all = True
+                valid_slice = np.ones((rhi - rlo, data.shape[1]), bool)
             res = _resample_block(
-                data.astype(np.float64), host_valid, hu, hv,
-                resample_algorithm, fill, wraps=wraps, width=ww,
-                all_valid=host_all_valid)
+                data[rlo:rhi].astype(np.float64), valid_slice,
+                hu, hv - rlo, resample_algorithm, fill, wraps=wraps,
+                width=ww, all_valid=full_all)
             if to_int:
                 res = np.clip(np.rint(res), np.iinfo(out_dtype).min,
                               np.iinfo(out_dtype).max)

@@ -95,7 +95,10 @@ def _ratio_cmp_f32_finite(num, den, b):
         base = (q_cmp > 0) if b.op_gt else (q_cmp < 0)
     den_zero = den == 0
     inf_hit = (num > 0) if b.op_gt else (num < 0)
-    return ((~den_zero) & base) | (den_zero & inf_hit)
+    # NaN operands distill to an exact 'tie' (sign 0), which an
+    # inclusive boundary would treat as True; NumPy compares NaN False
+    not_nan = (num == num) & (den == den)
+    return (((~den_zero) & base) | (den_zero & inf_hit)) & not_nan
 
 
 # 'cover' mode influence radius: 10 snow-dilation + 7 unmask-dilation

@@ -444,27 +444,17 @@ def generate_dswx_layers(input_list,
     use_pallas = (os.environ.get('PROTEUS_TPU_USE_PALLAS', '1')
                   not in ('0', 'off', 'false')) \
         and jax.devices()[0].platform == 'tpu'
-    if use_pallas and not flag_offset_and_scale_inputs:
-        from proteus_tpu.core.thresholds import ExactThresholds
-        et = ExactThresholds.from_thresholds(chain_config.thresholds)
-        if not all(getattr(et, f)[2] for f in (
-                'wigt', 'awgt', 'pswt_1_mndwi', 'pswt_1_nir',
-                'pswt_1_swir1', 'pswt_1_ndvi', 'pswt_2_mndwi',
-                'pswt_2_blue', 'pswt_2_nir', 'pswt_2_swir1',
-                'pswt_2_swir2', 'lcmask_nir')):
-            use_pallas = False  # inexact thresholds: XLA float chain
-    elif use_pallas:
+    if use_pallas:
+        # the kernel builder itself validates the thresholds for its
+        # path (exact rationals for integer inputs; representable f32
+        # boundaries for scaled inputs) — probe it rather than
+        # duplicating the rules here
+        from proteus_tpu.ops.pallas.wtr_kernel import make_wtr_kernel
         try:
-            from proteus_tpu.core.f32exact import ratio_boundary
-            for field, op in (('wigt', 'gt'), ('pswt_1_mndwi', 'gt'),
-                              ('pswt_2_mndwi', 'gt'),
-                              ('pswt_1_ndvi', 'lt')):
-                b = ratio_boundary(
-                    getattr(chain_config.thresholds, field), op, 'f32')
-                if b.always is not None:
-                    raise ValueError('non-finite threshold')
+            make_wtr_kernel(chain_config,
+                            float_inputs=flag_offset_and_scale_inputs)
         except ValueError:
-            use_pallas = False  # untestable thresholds: XLA float chain
+            use_pallas = False  # unexpressable thresholds: XLA chain
 
     def run_pallas():
         from proteus_tpu.ops.pallas.wtr_kernel import make_wtr_kernel

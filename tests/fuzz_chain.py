@@ -211,11 +211,21 @@ def one_warp_iteration(seed, tmpdir):
     from proteus_tpu.io.cog import write_cog
     from proteus_tpu.geo.warp import warp_to_grid, warp_to_grid_device
     rng = np.random.default_rng(seed)
-    h = int(rng.integers(80, 400))
-    w = int(rng.integers(80, 400))
-    step = float(rng.uniform(0.0005, 0.006))
-    gt = (-92.5 + float(rng.uniform(-0.3, 0.3)), step, 0.0,
-          31.8 + float(rng.uniform(-0.3, 0.3)), 0.0, -step)
+    wrap_source = rng.random() < 0.25
+    if wrap_source:
+        # global 360-deg raster (wraps in longitude) + a UTM zone-1
+        # tile whose margin crosses the antimeridian
+        step = float(rng.choice([0.2, 0.25, 0.5]))
+        w = int(round(360.0 / step))
+        h = int(rng.integers(80, 240))
+        gt = (-180.0, step, 0.0, 72.0 + float(rng.uniform(-2, 2)),
+              0.0, -step)
+    else:
+        h = int(rng.integers(80, 400))
+        w = int(rng.integers(80, 400))
+        step = float(rng.uniform(0.0005, 0.006))
+        gt = (-92.5 + float(rng.uniform(-0.3, 0.3)), step, 0.0,
+              31.8 + float(rng.uniform(-0.3, 0.3)), 0.0, -step)
     kind = rng.integers(0, 3)
     if kind == 0:
         arr = (120 * np.sin(np.arange(w)[None, :] / rng.uniform(5, 40))
@@ -236,19 +246,25 @@ def one_warp_iteration(seed, tmpdir):
     path = os.path.join(tmpdir, f'warp_src_{seed}.tif')
     write_cog(path, arr, geotransform=gt, epsg=4326, nodata=nodata,
               overview_levels=())
-    tile_gt = (700000.0 + float(rng.uniform(-5e4, 5e4)),
-               float(rng.choice([10.0, 30.0])), 0.0,
-               3.48e6 + float(rng.uniform(-5e4, 5e4)), 0.0,
-               -float(rng.choice([10.0, 30.0])))
+    if wrap_source:
+        proj = 'EPSG:32601'  # zone 1: the west margin crosses +-180
+        tile_gt = (199980.0 + float(rng.uniform(-2e4, 2e4)), 30.0, 0.0,
+                   7.0e6 + float(rng.uniform(-3e5, 3e5)), 0.0, -30.0)
+    else:
+        proj = 'EPSG:32615'
+        tile_gt = (700000.0 + float(rng.uniform(-5e4, 5e4)),
+                   float(rng.choice([10.0, 30.0])), 0.0,
+                   3.48e6 + float(rng.uniform(-5e4, 5e4)), 0.0,
+                   -float(rng.choice([10.0, 30.0])))
     L = int(rng.integers(50, 200))
     Wd = int(rng.integers(50, 200))
     margin = int(rng.choice([0, 10, 50]))
     for alg in ('nearest', 'bilinear', 'cubic'):
-        host = warp_to_grid(path, tile_gt, 'EPSG:32615', L, Wd,
+        host = warp_to_grid(path, tile_gt, proj, L, Wd,
                             resample_algorithm=alg,
                             margin_in_pixels=margin)
         dev = np.asarray(warp_to_grid_device(
-            path, tile_gt, 'EPSG:32615', L, Wd,
+            path, tile_gt, proj, L, Wd,
             resample_algorithm=alg, margin_in_pixels=margin))
         if host.dtype.kind == 'f':
             nn = np.isnan(host) & np.isnan(dev)

@@ -196,9 +196,13 @@ class TestWarp:
         out = warp_to_grid(path, tile_gt, 'EPSG:32601', 200, 200)
         # no fill stripe: every output pixel found a source pixel
         assert (out != 0).all() or (out == 0).mean() < 0.05
-        dev = np.asarray(warp_to_grid_device(
-            path, tile_gt, 'EPSG:32601', 200, 200))
-        assert (out != dev).mean() < 1e-3
+        for alg in ('nearest', 'bilinear', 'cubic'):
+            host = warp_to_grid(path, tile_gt, 'EPSG:32601', 200, 200,
+                                resample_algorithm=alg)
+            dev = np.asarray(warp_to_grid_device(
+                path, tile_gt, 'EPSG:32601', 200, 200,
+                resample_algorithm=alg))
+            np.testing.assert_array_equal(host, dev, err_msg=alg)
 
 
 class TestOceanMask:

@@ -61,10 +61,11 @@ def test_float_inputs_kernel_matches_chain(mode):
                                 None).astype(np.float32)))
              for _ in range(6)]
     # adversarial: green within +-2 f32 ULPs of the wigt boundary
+    # (mndwi = (g-s1)/(g+s1) == m  <=>  g = s1*(1+m)/(1-m))
     t32 = np.float32(cfg.thresholds.wigt)
     m = (np.float64(t32) + np.float64(
         np.nextafter(t32, np.float32(np.inf)))) * 0.5
-    g0 = (m * (bands[4].astype(np.float64) * 2 / (1 - m))).astype(
+    g0 = (bands[4].astype(np.float64) * (1 + m) / (1 - m)).astype(
         np.float32)
     steps = RNG.integers(-2, 3, shape)
     g = g0.copy()

@@ -72,9 +72,9 @@ def scaled_diag_case(jax, results, ref):
     m = (np.float64(t32) + np.float64(np.nextafter(
         t32, np.float32(np.inf)))) * 0.5
     s1 = bands[4][:64]
-    den_like = (m * (2 * s1.astype(np.float64) / (1 - m))).astype(
-        np.float32)  # g0 s.t. (g-s1)/(g+s1) ~ m
-    bands[1][:64] = den_like
+    # g s.t. (g-s1)/(g+s1) ~ m (the wigt rounding boundary)
+    bands[1][:64] = (s1.astype(np.float64) * (1 + m) / (1 - m)).astype(
+        np.float32)
     fn = jax.jit(lambda *b: compute_diagnostic_tests(*b, t))
     t0 = time.time()
     got = np.asarray(fn(*bands))
@@ -141,8 +141,8 @@ def float_kernel_case(jax, results):
     t32 = np.float32(cfg.thresholds.wigt)
     m = (np.float64(t32) + np.float64(
         np.nextafter(t32, np.float32(np.inf)))) * 0.5
-    g0 = (m * (bands[4][:256].astype(np.float64) * 2 / (1 - m))).astype(
-        np.float32)
+    g0 = (bands[4][:256].astype(np.float64) * (1 + m) / (1 - m)).astype(
+        np.float32)  # mndwi == m boundary
     bands[1][:256] = g0
     fmask = rng.integers(0, 256, shape).astype(np.uint8)
     invalid = rng.random(shape) < 0.02
