@@ -794,16 +794,13 @@ def warp_to_grid_device(input_file, geotransform, projection, length,
             rhi = min(int(np.ceil(np.nanmax(hv))) + 5, data.shape[0])
             rlo = min(rlo, data.shape[0] - 1)
             rhi = max(rhi, rlo + 1)
-            if valid is not None:
-                full_all = bool(valid.all())
-                valid_slice = valid[rlo:rhi]
-            else:
-                full_all = True
-                valid_slice = np.ones((rhi - rlo, data.shape[1]), bool)
+            # `all_valid` (computed above) is exactly warp_to_grid's
+            # flag; when it holds, _resample_block never reads validity
+            valid_slice = None if valid is None else valid[rlo:rhi]
             res = _resample_block(
                 data[rlo:rhi].astype(np.float64), valid_slice,
                 hu, hv - rlo, resample_algorithm, fill, wraps=wraps,
-                width=ww, all_valid=full_all)
+                width=ww, all_valid=all_valid)
             if to_int:
                 res = np.clip(np.rint(res), np.iinfo(out_dtype).min,
                               np.iinfo(out_dtype).max)
