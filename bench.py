@@ -62,6 +62,12 @@ def main():
     on_tpu = jax.devices()[0].platform == 'tpu'
     path = os.environ.get('PROTEUS_TPU_BENCH_PATH',
                           'pallas' if on_tpu else 'xla')
+    # PROTEUS_TPU_BENCH_FLOAT=1: bench the scaled-reflectance (float32)
+    # mode — float bands through the float-input kernel / float chain
+    bench_float = os.environ.get('PROTEUS_TPU_BENCH_FLOAT') == '1'
+    if bench_float:
+        bands = [np.float32(0.0001) * b.astype(np.float32)
+                 for b in bands]
     dev = [jax.device_put(a) for a in bands + [fmask, invalid]]
     jax.block_until_ready(dev)
     K = int(os.environ.get('PROTEUS_TPU_BENCH_ITERS', '4'))
@@ -70,7 +76,8 @@ def main():
     if path == 'pallas':
         from proteus_tpu.ops.pallas.wtr_kernel import make_wtr_kernel
         kernel = make_wtr_kernel(config, compute_browse=True,
-                                 interpret=not on_tpu)
+                                 interpret=not on_tpu,
+                                 float_inputs=bench_float)
 
         def chain_out(b, g, r, n, s1, s2, fm, inv):
             return kernel(b, g, r, n, s1, s2, fm, inv)
@@ -79,7 +86,7 @@ def main():
             return dswx_chain(b, g, r, n, s1, s2, fm, inv, config)
 
     def one(k, b, g, r, n, s1, s2, fm, inv):
-        out = chain_out(b + k.astype(jnp.int16), g, r, n, s1, s2, fm, inv)
+        out = chain_out(b + k.astype(b.dtype), g, r, n, s1, s2, fm, inv)
         return sum(jnp.sum(v.astype(jnp.int32)) for v in out.values()
                    if hasattr(v, 'ndim') and v.ndim == 2)
 
