@@ -494,9 +494,16 @@ def _device_resample_impl(data, valid, lat, spacing, out_h,
             base = jnp.floor(hi)
             frac = hi - base
             c, cl = _two_sum(frac, err)
-            n = base + jnp.where(c < 0, -1.0,
-                                 jnp.where(c >= 1, 1.0, 0.0))
-            cf = jnp.where(c < 0, c + 1, jnp.where(c >= 1, c - 1, c))
+            shift = jnp.where(c < 0, jnp.float32(1.0),
+                              jnp.where(c >= 1, jnp.float32(-1.0),
+                                        jnp.float32(0.0)))
+            n = base - shift
+            # the +-1 wrap of the fraction must stay error-free: a plain
+            # c + 1 rounds at ulp(1) and silently discards ~2^-25 of the
+            # fraction — fatal when the coordinate sits just below an
+            # integer (c ~ -1e-5 -> cf ~ 0.99999x needs the residual)
+            cf, e2 = _two_sum(c, shift)
+            cf, cl = dd_norm(cf, cl + e2)
             return n.astype(jnp.int32), cf, cl
 
         # ambiguity band: where the dd value sits within eps of a floor
@@ -651,14 +658,18 @@ def _device_resample_impl(data, valid, lat, spacing, out_h,
             coord_mag = jnp.abs(uc[0]) + jnp.abs(vc[0]) + 32.0
             spread = jnp.nan_to_num(vmax - vmin, nan=0.0, posinf=0.0,
                                     neginf=0.0)
+            # err_scale: renormalization (1/wacc) amplifies both error
+            # drivers when a pixel's valid-tap weight sum is small
             delta = half_ulp * jnp.float32(2.0 ** -16) \
-                + macc * jnp.float32(2.0 ** -40) \
-                + spread * coord_mag * jnp.float32(2.0 ** -42)
+                + err_scale * (macc * jnp.float32(2.0 ** -40)
+                               + spread * coord_mag
+                               * jnp.float32(2.0 ** -42))
             return jnp.abs(jnp.abs(lo) - half_ulp) < delta
 
         if fast:
             res_hi, res_lo = acc
             good = center_in
+            err_scale = jnp.float32(1.0)
         else:
             # dd division: one Newton correction on the f32 quotient
             denom = jnp.where(wacc[0] > 1e-9, wacc[0], 1.0)
@@ -669,6 +680,8 @@ def _device_resample_impl(data, valid, lat, spacing, out_h,
             res_hi, res_lo = dd_norm(*_two_sum(q0, r[0] / denom))
             good = center_in & (wacc[0] > 1e-9)
             amb = amb | (jnp.abs(wacc[0] - 1e-9) < 1e-12)
+            err_scale = jnp.float32(1.0) / jnp.maximum(
+                jnp.abs(denom), jnp.float32(2.0 ** -8))
         amb = amb | near_f32_boundary(res_hi, res_lo)
         out = jnp.where(good, res_hi, jnp.float32(fill))
         return out, amb & center_in
