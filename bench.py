@@ -108,7 +108,7 @@ def main():
     device_s = per_tile[len(per_tile) // 2]  # median of N passes
     tiles_per_min = 60.0 / device_s
 
-    print(json.dumps({
+    record = {
         'metric': 'full_chain_tiles_per_min_3660x3660',
         'value': round(tiles_per_min, 2),
         'unit': 'tiles/min',
@@ -116,7 +116,10 @@ def main():
         'path': path,
         'n_passes': N_PASSES,
         'pass_s_per_tile': [round(t, 3) for t in per_tile],
-    }))
+    }
+    if bench_float:
+        record['scaled_float_inputs'] = True
+    print(json.dumps(record))
 
 
 if __name__ == '__main__':

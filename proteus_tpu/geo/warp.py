@@ -502,8 +502,7 @@ def _device_resample_impl(data, valid, lat, spacing, out_h,
             # c + 1 rounds at ulp(1) and silently discards ~2^-25 of the
             # fraction — fatal when the coordinate sits just below an
             # integer (c ~ -1e-5 -> cf ~ 0.99999x needs the residual)
-            cf, e2 = _two_sum(c, shift)
-            cf, cl = dd_norm(cf, cl + e2)
+            cf, cl = dd_add(c, cl, shift, jnp.float32(0.0))
             return n.astype(jnp.int32), cf, cl
 
         # ambiguity band: where the dd value sits within eps of a floor
@@ -682,6 +681,10 @@ def _device_resample_impl(data, valid, lat, spacing, out_h,
             amb = amb | (jnp.abs(wacc[0] - 1e-9) < 1e-12)
             err_scale = jnp.float32(1.0) / jnp.maximum(
                 jnp.abs(denom), jnp.float32(2.0 ** -8))
+            # below the clamp the 1/wacc amplification outruns any band
+            # — just resolve those (rare: nearly-all-invalid kernels)
+            amb = amb | (good & (jnp.abs(wacc[0])
+                                 < jnp.float32(2.0 ** -8)))
         amb = amb | near_f32_boundary(res_hi, res_lo)
         out = jnp.where(good, res_hi, jnp.float32(fill))
         return out, amb & center_in

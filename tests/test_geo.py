@@ -142,6 +142,16 @@ class TestWarp:
         both_nan = np.isnan(host) & np.isnan(dev)
         np.testing.assert_array_equal(host[~both_nan], dev[~both_nan])
 
+    def test_warp_fuzz_pinned_seeds(self, tmp_path):
+        """Regression pins for device-vs-host escapes the long fuzz
+        found: 7114 hit dd_floor's f32-rounded fraction wrap (coordinate
+        ~2^-25 below an integer on a wrapping source); 7012 hit the
+        host-resolver out-of-pad indexing; 7000 the rint boundary of a
+        narrowing int dtype."""
+        import fuzz_chain
+        for seed in (7000, 7012, 7114):
+            fuzz_chain.one_warp_iteration(seed, str(tmp_path))
+
     def test_device_nearest_boundary_resolve(self, tmp_path):
         """Same-CRS warp with a half-pixel origin shift puts EVERY
         output coordinate exactly on a pick boundary — the worst case
