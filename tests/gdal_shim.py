@@ -590,10 +590,31 @@ def Translate(destination, source, format=None, height=None, width=None,
         'COG rewriting goes through the bridged save_as_cog')
 
 
-def DEMProcessing(*args, **kwargs):
-    raise NotImplementedError(
-        "gdal_shim does not implement DEMProcessing (hillshade); use "
-        "shadow_masking_algorithm='sun_local_inc_angle'")
+def DEMProcessing(destination, source, processing, azimuth=None,
+                  altitude=None, **kwargs):
+    """gdaldem hillshade (the reference's 'otsu' shadow branch,
+    dswx_hls.py:4177-4212) backed by this repo's Horn-kernel
+    implementation; pixel spacings come from the source geotransform."""
+    if processing != 'hillshade':
+        raise NotImplementedError(
+            f'gdal_shim DEMProcessing supports only hillshade '
+            f'(got {processing!r})')
+    from proteus_tpu.models.dswx.shadow import compute_hillshade
+    with TiffReader(source) as r:
+        dem = r.read()
+        gt = r.geotransform()
+        epsg = r.epsg()
+    hs = np.asarray(compute_hillshade(dem, azimuth, altitude,
+                                      pixel_spacing_x=gt[1],
+                                      pixel_spacing_y=gt[5]))
+    ds = _WriteDataset(destination, hs.shape[1], hs.shape[0], 1,
+                       GDT_Byte)
+    ds._arrays[0] = hs
+    ds._geotransform = tuple(gt)
+    if epsg:
+        ds._projection = CRS.from_epsg(epsg).to_wkt()
+    ds.FlushCache()
+    return ds
 
 
 def BuildVRT(*args, **kwargs):

@@ -252,6 +252,46 @@ class TestReferenceEndToEnd:
 
         _compare_trees(ref_dir, our_dir)
 
+    def test_otsu_shadow_branch(self, ref_with_shims, tmp_path):
+        """The reference's 'otsu' shadow algorithm — gdal.DEMProcessing
+        hillshade (shimmed onto our Horn kernel) + its Otsu threshold +
+        crop — executes end-to-end and the shadow-dependent layers match
+        our orchestrator's otsu path."""
+        input_dir = str(tmp_path / 'input')
+        files, _bands = synthetic.make_hls_v2_dataset(input_dir, size=360)
+        os.makedirs(str(tmp_path / 'dem'))
+        dem_file = synthetic.make_dem(str(tmp_path / 'dem'), size=360)
+        ref_dir = str(tmp_path / 'ref_out')
+        our_dir = str(tmp_path / 'our_out')
+        ref_scratch = str(tmp_path / 'ref_scratch')
+        our_scratch = str(tmp_path / 'our_scratch')
+        for d in (ref_dir, our_dir, ref_scratch, our_scratch):
+            os.makedirs(d)
+        common, ref_t, our_t = _common_kwargs('dswx_e2e_otsu')
+        common['shadow_masking_algorithm'] = 'otsu'
+
+        def outs(out_dir):
+            return dict(
+                output_interpreted_band=os.path.join(out_dir, 'wtr.tif'),
+                output_shadow_masked_dswx=os.path.join(out_dir,
+                                                       'wtr2.tif'),
+                output_shadow_layer=os.path.join(out_dir, 'shad.tif'))
+
+        ret = ref_with_shims.generate_dswx_layers(
+            list(files), hls_thresholds=ref_t, dem_file=dem_file,
+            scratch_dir=ref_scratch, **outs(ref_dir), **common)
+        assert ret, 'reference generate_dswx_layers reported failure'
+        ret = orchestrator.generate_dswx_layers(
+            list(files), hls_thresholds=our_t, dem_file=dem_file,
+            scratch_dir=our_scratch, **outs(our_dir), **common)
+        assert ret
+        from proteus_tpu.io.tiff import TiffReader
+        with TiffReader(os.path.join(our_dir, 'shad.tif')) as r:
+            shad = r.read()
+        assert set(np.unique(shad)) <= {0, 1}
+        assert (shad == 0).any() and (shad == 1).any()
+        _compare_trees(ref_dir, our_dir)
+
     def test_hls_v1_hdf4_ingest(self, ref_with_shims, tmp_path):
         """HLS v1 (HDF4-EOS): the reference's _load_hls_product_v1 opens
         HDF4_EOS:EOS_GRID subdataset refs (dswx_hls.py:2358) — routed by
