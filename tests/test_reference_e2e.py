@@ -506,10 +506,24 @@ class TestReferenceEndToEnd:
     def test_full_size_core_layers(self, ref_with_shims, tmp_path):
         """Production-size (3660^2) reference-vs-ours comparison: full
         COG pyramid (overviews 4/16/64/128), partial edge tiles, big
-        browse resize — everything the 720-px run cannot exercise."""
+        browse resize — everything the 720-px run cannot exercise.
+        PROTEUS_TPU_FULL_E2E=2 adds the DEM/landcover ancillaries (LAND,
+        SHAD, float32 DEM layer over the full 10980^2 WorldCover warp)."""
+        with_anc = os.environ.get('PROTEUS_TPU_FULL_E2E') == '2'
         input_dir = str(tmp_path / 'input')
         files, _bands = synthetic.make_hls_v2_dataset(input_dir,
                                                       size=3660)
+        anc = {}
+        if with_anc:
+            for d in ('dem', 'lc', 'wc'):
+                os.makedirs(str(tmp_path / d))
+            anc = dict(
+                dem_file=synthetic.make_dem(str(tmp_path / 'dem'),
+                                            size=3660),
+                landcover_file=synthetic.make_landcover(
+                    str(tmp_path / 'lc'), size=3660),
+                worldcover_file=synthetic.make_worldcover(
+                    str(tmp_path / 'wc'), size=3660))
         ref_dir = str(tmp_path / 'ref_out')
         our_dir = str(tmp_path / 'our_out')
         ref_scratch = str(tmp_path / 'ref_scratch')
@@ -518,15 +532,23 @@ class TestReferenceEndToEnd:
             os.makedirs(d)
         common, ref_t, our_t = _common_kwargs('dswx_e2e_full')
 
+        def outs(out_dir):
+            out = _per_layer_outputs(out_dir)
+            if with_anc:
+                out.update(
+                    output_landcover=os.path.join(out_dir, 'land.tif'),
+                    output_shadow_layer=os.path.join(out_dir,
+                                                     'shad.tif'),
+                    output_dem_layer=os.path.join(out_dir, 'dem.tif'))
+            return out
+
         ret = ref_with_shims.generate_dswx_layers(
             list(files), hls_thresholds=ref_t,
-            scratch_dir=ref_scratch, **_per_layer_outputs(ref_dir),
-            **common)
+            scratch_dir=ref_scratch, **outs(ref_dir), **anc, **common)
         assert ret
         ret = orchestrator.generate_dswx_layers(
             list(files), hls_thresholds=our_t,
-            scratch_dir=our_scratch, **_per_layer_outputs(our_dir),
-            **common)
+            scratch_dir=our_scratch, **outs(our_dir), **anc, **common)
         assert ret
         _compare_trees(ref_dir, our_dir)
 
