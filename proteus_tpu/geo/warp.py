@@ -331,8 +331,21 @@ def _resample_block(fdata, valid, u, v, algorithm, fill, wraps, width,
                 acc += (wr * wc) * dpad[rr, _tap_cols(dc)]
         return np.where(center_in, acc, fill)
 
-    vpad = np.pad(valid, PAD, mode='constant', constant_values=False) \
-        if not all_valid else None
+    # validity pads follow the data pads in x: wrapping sources wrap
+    # their validity modulo the width (a seam-crossing tap whose wrapped
+    # column holds valid data IS valid — matching the device gather);
+    # rows and non-wrapping x pad with False so out-of-window taps are
+    # dropped and renormalized
+    if all_valid:
+        vpad = None
+    else:
+        vpad = np.pad(valid, ((PAD, PAD), (0, 0)), mode='constant',
+                      constant_values=False)
+        if wraps:
+            vpad = np.pad(vpad, ((0, 0), (PAD, PAD)), mode='wrap')
+        else:
+            vpad = np.pad(vpad, ((0, 0), (PAD, PAD)), mode='constant',
+                          constant_values=False)
     acc = np.zeros(u.shape, dtype=np.float64)
     wacc = np.zeros(u.shape, dtype=np.float64)
     for dr, wr in taps:
@@ -487,13 +500,16 @@ def _device_resample_impl(data, valid, lat, spacing, out_h,
                 (inb & jnp.take(vflat, flat, mode='clip'))
             return vals, ok
 
-        # exact dd floor: hi is float, frac = hi - floor(hi) is exact
-        # (Sterbenz for |hi|>=1; the +-1 rounding of hi+1 for |hi|<1 is
-        # inside the ambiguity band); err can push frac across 0 or 1
+        # exact dd floor. frac = hi - base must be ERROR-FREE: for
+        # |hi| < 1 (base = -1, the wrap-seam band u in (0,1)) the f32
+        # subtraction hi+1 rounds at ulp(1), a 2^-25 coordinate error
+        # that kernel weights amplify by the tap value spread — far
+        # outside the modeled ambiguity band (round-3 seam-fuzz find).
+        # TwoSum tracks the residual; err can push frac across 0 or 1
         def dd_floor(hi, err):
             base = jnp.floor(hi)
-            frac = hi - base
-            c, cl = _two_sum(frac, err)
+            frac, frac_err = _two_sum(hi, -base)
+            c, cl = _two_sum(frac, frac_err + err)
             shift = jnp.where(c < 0, jnp.float32(1.0),
                               jnp.where(c >= 1, jnp.float32(-1.0),
                                         jnp.float32(0.0)))

@@ -143,7 +143,22 @@ def _bspline_decimate_axis0(a, factor):
 
 def _cubicspline_decimate(arr, factor):
     """CUBICSPLINE overview for float data, separable along both axes
-    (reference builds these through GDAL BuildOverviews; core.py:36-45)."""
+    (reference builds these through GDAL BuildOverviews; core.py:36-45).
+
+    float32 inputs route through the native decimator (tiffturbo) when
+    built — bit-identical to the NumPy path below (same float64 tap
+    order/renormalization; asserted by tests/test_native.py) and ~5x
+    faster, which matters because overview building dominates the float
+    COG encode."""
+    if arr.dtype == np.float32:
+        from proteus_tpu import native
+        if native.available():
+            try:
+                taps, weights = _bspline_taps(factor)
+                return native.bspline_decimate_f32(arr, factor, taps,
+                                                   weights)
+            except RuntimeError:
+                pass  # stale library without the symbol: NumPy path
     out = _bspline_decimate_axis0(arr, factor)
     out = np.swapaxes(_bspline_decimate_axis0(
         np.swapaxes(out, 0, 1), factor), 0, 1)

@@ -66,6 +66,19 @@ def _scalar_lt_exact(band_i32, p, q):
     return band_i32 * q < p
 
 
+def _ratio_cmp_approx(num, den, tval, op):
+    """Plain float32 division compare — the fallback for pathological
+    thresholds outside the exact-boundary domain (finite nonzero |t|
+    below ~1e-30 needs subnormal f32 boundary parts, which TPU flushes;
+    see core.f32exact). Approximate by design: TPU f32 division is ~1 ULP
+    off, but at these magnitudes the reference's own comparison is
+    equally degenerate, and crashing mid-product on a legal runconfig
+    value is worse (ADVICE round 2, low)."""
+    q = num.astype(jnp.float32) / den.astype(jnp.float32)
+    t32 = jnp.float32(tval)
+    return (q > t32) if op == 'gt' else (q < t32)
+
+
 def _int_ratio_test(num, den, field, tval, op):
     """Exact int-path ratio test for any threshold value.
 
@@ -76,8 +89,21 @@ def _int_ratio_test(num, den, field, tval, op):
     if field[2]:
         fn = _ratio_gt_exact if op == 'gt' else _ratio_lt_exact
         return fn(num, den, *field[:2])
-    b = ratio_boundary(tval, op, 'f64')
+    try:
+        b = ratio_boundary(tval, op, 'f64')
+    except ValueError:
+        return _ratio_cmp_approx(num, den, tval, op)
     return ratio_cmp(num.astype(jnp.float32), den.astype(jnp.float32), b)
+
+
+def _float_ratio_test(num, den, tval, op):
+    """Exact f32-semantics ratio test, with the division fallback for
+    thresholds whose boundary has no normal-f32 decomposition."""
+    try:
+        b = ratio_boundary(tval, op, 'f32')
+    except ValueError:
+        return _ratio_cmp_approx(num, den, tval, op)
+    return ratio_cmp(num, den, b)
 
 
 def _int_scalar_lt(band_i32, field, tval):
@@ -161,17 +187,14 @@ def _diag_tests_float(blue, green, red, nir, swir1, swir2,
     mbsrn = nir + swir1
     awesh = blue + f32(2.5) * green - f32(1.5) * mbsrn - f32(0.25) * swir2
 
-    t1 = ratio_cmp(mndwi_num, mndwi_den, ratio_boundary(t.wigt, 'gt'))
+    t1 = _float_ratio_test(mndwi_num, mndwi_den, t.wigt, 'gt')
     t2 = mbsrv > mbsrn
     t3 = awesh > f32(t.awgt)
-    t4 = (ratio_cmp(mndwi_num, mndwi_den,
-                    ratio_boundary(t.pswt_1_mndwi, 'gt')) &
+    t4 = (_float_ratio_test(mndwi_num, mndwi_den, t.pswt_1_mndwi, 'gt') &
           (swir1 < f32(t.pswt_1_swir1)) &
           (nir < f32(t.pswt_1_nir)) &
-          ratio_cmp(ndvi_num, ndvi_den,
-                    ratio_boundary(t.pswt_1_ndvi, 'lt')))
-    t5 = (ratio_cmp(mndwi_num, mndwi_den,
-                    ratio_boundary(t.pswt_2_mndwi, 'gt')) &
+          _float_ratio_test(ndvi_num, ndvi_den, t.pswt_1_ndvi, 'lt'))
+    t5 = (_float_ratio_test(mndwi_num, mndwi_den, t.pswt_2_mndwi, 'gt') &
           (blue < f32(t.pswt_2_blue)) &
           (swir1 < f32(t.pswt_2_swir1)) &
           (swir2 < f32(t.pswt_2_swir2)) &

@@ -54,6 +54,12 @@ def _load():
     lib.tt_unpredict_float.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                        ctypes.c_int, ctypes.c_int,
                                        ctypes.c_int, ctypes.c_int]
+    if hasattr(lib, 'tt_bspline_decimate_f32'):
+        lib.tt_bspline_decimate_f32.restype = ctypes.c_int
+        lib.tt_bspline_decimate_f32.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int]
     _LIB = lib
     return _LIB
 
@@ -83,6 +89,38 @@ def inflate(data: bytes, expected_size: int) -> bytes:
     if n < 0:
         raise ValueError('corrupt DEFLATE stream')
     return out.raw[:n]
+
+
+def bspline_decimate_f32(arr: np.ndarray, factor: int, taps: np.ndarray,
+                         weights: np.ndarray,
+                         n_threads: int = None) -> np.ndarray:
+    """Cubic-B-spline decimation of a float32 (h, w[, s]) array.
+
+    Bit-identical to io/cog.py's NumPy implementation (same float64
+    tap order, renormalization, and final float32 rounding).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, 'tt_bspline_decimate_f32'):
+        raise RuntimeError('native codec unavailable')
+    squeeze = arr.ndim == 2
+    a3 = arr[:, :, None] if squeeze else arr
+    a3 = np.ascontiguousarray(a3, dtype=np.float32)
+    h, w, s = a3.shape
+    oh = (h + factor - 1) // factor
+    ow = (w + factor - 1) // factor
+    taps = np.ascontiguousarray(taps, dtype=np.int64)
+    weights = np.ascontiguousarray(weights, dtype=np.float64)
+    out = np.empty((oh, ow, s), dtype=np.float32)
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    rc = lib.tt_bspline_decimate_f32(
+        a3.ctypes.data_as(ctypes.c_void_p), h, w, s, int(factor),
+        taps.ctypes.data_as(ctypes.c_void_p),
+        weights.ctypes.data_as(ctypes.c_void_p), len(taps),
+        out.ctypes.data_as(ctypes.c_void_p), n_threads)
+    if rc != 0:
+        raise RuntimeError('native bspline decimation failed')
+    return out[:, :, 0] if squeeze else out
 
 
 def deflate_tiles(tiles: np.ndarray, predictor: int, level: int = 6,

@@ -241,6 +241,96 @@ int tt_deflate_tiles(const uint8_t* data, long n_tiles, int rows,
 }
 
 // ---------------------------------------------------------------------
+// Cubic-B-spline overview decimation (GDAL CUBICSPLINE semantics)
+// ---------------------------------------------------------------------
+
+// Separable decimation of a float32 (h, w, s) raster by ``factor``,
+// bit-identical to the NumPy reference implementation in io/cog.py
+// (_bspline_decimate_axis0 twice): per output element, taps accumulate
+// in ascending-tap order in float64, edge windows renormalize by the
+// participating weight sum, and the final cast rounds to float32.
+// taps/weights are computed once in Python and passed in so both paths
+// share the exact same float64 values.
+int tt_bspline_decimate_f32(const float* in, long h, long w, long s,
+                            int factor, const long* taps,
+                            const double* weights, int ntaps,
+                            float* out, int n_threads) {
+  const long oh = (h + factor - 1) / factor;
+  const long ow = (w + factor - 1) / factor;
+  const long row_elems = w * s;
+  std::vector<double> mid((size_t)oh * row_elems);
+
+  // pass 1: axis 0
+  {
+    std::atomic<long> next(0);
+    auto worker = [&]() {
+      while (true) {
+        long j = next.fetch_add(1);
+        if (j >= oh) break;
+        double* num = mid.data() + (size_t)j * row_elems;
+        std::memset(num, 0, sizeof(double) * row_elems);
+        double den = 0.0;
+        for (int t = 0; t < ntaps; ++t) {
+          long r = j * (long)factor + taps[t];
+          if (r < 0 || r >= h) continue;
+          const float* src = in + (size_t)r * row_elems;
+          const double wt = weights[t];
+          for (long k = 0; k < row_elems; ++k)
+            num[k] += wt * (double)src[k];
+          den += weights[t];
+        }
+        for (long k = 0; k < row_elems; ++k) num[k] /= den;
+      }
+    };
+    if (n_threads <= 1) worker();
+    else {
+      std::vector<std::thread> pool;
+      for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+      for (auto& th : pool) th.join();
+    }
+  }
+
+  // pass 2: axis 1 (per output row, accumulate over column taps in tap
+  // order — element order identical to the transposed-axis0 NumPy pass)
+  {
+    std::atomic<long> next(0);
+    auto worker = [&]() {
+      std::vector<double> acc(ow * s);
+      std::vector<double> den(ow);
+      while (true) {
+        long i = next.fetch_add(1);
+        if (i >= oh) break;
+        const double* row = mid.data() + (size_t)i * row_elems;
+        std::fill(acc.begin(), acc.end(), 0.0);
+        std::fill(den.begin(), den.end(), 0.0);
+        for (int t = 0; t < ntaps; ++t) {
+          const double wt = weights[t];
+          for (long j = 0; j < ow; ++j) {
+            long c = j * (long)factor + taps[t];
+            if (c < 0 || c >= w) continue;
+            const double* v = row + (size_t)c * s;
+            double* a = acc.data() + (size_t)j * s;
+            for (long k = 0; k < s; ++k) a[k] += wt * v[k];
+            den[j] += wt;
+          }
+        }
+        float* orow = out + (size_t)i * ow * s;
+        for (long j = 0; j < ow; ++j)
+          for (long k = 0; k < s; ++k)
+            orow[j * s + k] = (float)(acc[j * s + k] / den[j]);
+      }
+    };
+    if (n_threads <= 1) worker();
+    else {
+      std::vector<std::thread> pool;
+      for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+      for (auto& th : pool) th.join();
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------
 // LZW (TIFF variant: MSB-first codes, early change)
 // ---------------------------------------------------------------------
 

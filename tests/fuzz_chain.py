@@ -247,9 +247,23 @@ def one_warp_iteration(seed, tmpdir):
     write_cog(path, arr, geotransform=gt, epsg=4326, nodata=nodata,
               overview_levels=())
     if wrap_source:
-        proj = 'EPSG:32601'  # zone 1: the west margin crosses +-180
-        tile_gt = (199980.0 + float(rng.uniform(-2e4, 2e4)), 30.0, 0.0,
-                   7.0e6 + float(rng.uniform(-3e5, 3e5)), 0.0, -30.0)
+        proj = 'EPSG:32601'  # zone 1: tiles west of the central meridian
+        if rng.random() < 0.7:
+            # easting ~350000 at ~63-64N puts the tile longitudes ON
+            # +-180: kernel footprints genuinely cross the source x wrap
+            # boundary (u spans through w), exercising seam-crossing
+            # taps — including the masked-renormalization branch when
+            # the source carries nodata holes
+            tile_gt = (350000.0 + float(rng.uniform(-2.5e4, 1.0e4)),
+                       30.0, 0.0,
+                       7.05e6 + float(rng.uniform(-5e4, 5e4)), 0.0,
+                       -30.0)
+        else:
+            # near-seam but not crossing (~177E): wrap bookkeeping with
+            # in-range u
+            tile_gt = (199980.0 + float(rng.uniform(-2e4, 2e4)), 30.0,
+                       0.0, 7.0e6 + float(rng.uniform(-3e5, 3e5)), 0.0,
+                       -30.0)
     else:
         proj = 'EPSG:32615'
         tile_gt = (700000.0 + float(rng.uniform(-5e4, 5e4)),

@@ -121,6 +121,40 @@ class TestF32RatioCmp:
         with pytest.raises(ValueError):
             ratio_boundary(1e-40, 'gt', 'f32')
 
+    def test_tiny_threshold_chain_fallback(self):
+        # a legal-but-pathological runconfig threshold (|t| ~< 1e-30 has
+        # no normal-f32 boundary decomposition) must not crash the jnp
+        # diagnostic chain: it falls back to an approximate f32 division
+        # compare (ADVICE round 2)
+        from proteus_tpu.core.thresholds import HlsThresholds
+        from proteus_tpu.models.dswx.diagnostics import \
+            compute_diagnostic_tests
+        rng = np.random.default_rng(7)
+        t = HlsThresholds(wigt=1e-35, awgt=0.0, pswt_1_mndwi=-1e-32,
+                          pswt_1_nir=1500, pswt_1_swir1=900,
+                          pswt_1_ndvi=0.7, pswt_2_mndwi=-0.5,
+                          pswt_2_blue=1000, pswt_2_nir=2500,
+                          pswt_2_swir1=3000, pswt_2_swir2=1000,
+                          lcmask_nir=1200)
+        shape = (16, 16)
+        ibands = [rng.integers(-2000, 18000, shape).astype(np.int16)
+                  for _ in range(6)]
+        diag_i = np.asarray(compute_diagnostic_tests(*ibands, t))
+        fbands = [(0.0001 * b).astype(np.float32) for b in ibands]
+        diag_f = np.asarray(compute_diagnostic_tests(*fbands, t))
+        assert diag_i.shape == shape and diag_f.shape == shape
+        # at these magnitudes the division compare reduces to a sign
+        # test: the smallest nonzero |num/den| here is 1/65535 >> 1e-35,
+        # so a float64 oracle division agrees exactly
+        g, s1 = ibands[1].astype(np.int64), ibands[4].astype(np.int64)
+        num = ((g - s1) % 65536 + 32768) % 65536 - 32768
+        den = ((g + s1) % 65536 + 32768) % 65536 - 32768
+        with np.errstate(divide='ignore', invalid='ignore'):
+            q = num / den
+        expect_t1 = q > 1e-35
+        got_t1 = (diag_i & 1) == 1
+        assert (got_t1 == expect_t1).all()
+
 
 class TestF64IntRatioCmp:
     """float64 semantics for int16-derived numerators/denominators."""

@@ -52,6 +52,25 @@ def test_deflate_tiles_matches_python(dtype, predictor, samples):
         np.testing.assert_array_equal(got, tiles[i])
 
 
+@pytest.mark.parametrize('factor', [4, 16, 64])
+@pytest.mark.parametrize('samples', [1, 3])
+def test_bspline_decimate_matches_numpy(factor, samples):
+    """Native CUBICSPLINE overview decimation must be bit-identical to
+    the NumPy implementation (same float64 tap order/renormalization)."""
+    from proteus_tpu.io import cog
+    shape = (333, 291, samples)
+    arr = (1000 * RNG.normal(size=shape)).astype(np.float32)
+    arr[RNG.random(shape) < 0.02] = np.nan
+    out = cog._bspline_decimate_axis0(arr, factor)
+    out = np.swapaxes(cog._bspline_decimate_axis0(
+        np.swapaxes(out, 0, 1), factor), 0, 1)
+    ref = np.ascontiguousarray(out).astype(np.float32)
+    taps, weights = cog._bspline_taps(factor)
+    got = native.bspline_decimate_f32(arr, factor, taps, weights)
+    same = (ref == got) | (np.isnan(ref) & np.isnan(got))
+    assert same.all()
+
+
 def test_cog_native_vs_python_roundtrip(tmp_path):
     """COGs written with the native compressor must read back identically
     through the pure-Python decoder (and vice versa)."""
