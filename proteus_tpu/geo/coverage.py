@@ -120,6 +120,17 @@ def check_ancillary_inputs(check_ancillary_inputs_coverage,
             f_epsg = r.epsg()
             f_w, f_l = r.width, r.length
         file_crs = CRS.from_epsg(f_epsg) if f_epsg else CRS.from_epsg(4326)
+        if not file_crs.supported:
+            # fail here — the reference's error contract puts ancillary
+            # input problems in this check (dswx_hls.py:4428-4436) — not
+            # deep inside the warp service mid-product
+            msg = (f'ERROR {desc} has an unsupported CRS'
+                   f' (EPSG:{file_crs.epsg}): supported CRS are WGS84'
+                   ' geographic (EPSG:4326), WGS84 UTM (EPSG:326xx/'
+                   '327xx), and WGS84 polar stereographic (EPSG:3031/'
+                   f'3032/3413/3976). File: {file_name}')
+            logger.error(msg)
+            raise ValueError(msg)
         min_x, f_dx, _, max_y, _, f_dy = f_gt
         max_x = min_x + f_w * f_dx
         min_y = max_y + f_l * f_dy

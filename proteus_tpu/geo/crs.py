@@ -7,9 +7,13 @@ at dswx_hls.py:3385-3461, core.py:93-155). Implements the standard
 2011 form), accurate to nanometers — far beyond the 30 m pixel grid —
 vectorized over NumPy float64 arrays on host.
 
-Supported CRS: EPSG:4326 (WGS84 geographic) and WGS84 UTM zones
-(EPSG:326xx north / 327xx south), which covers every HLS/MGRS tile and the
-lat/lon ancillary inputs (Copernicus DEM, CGLS, WorldCover, GSHHS).
+Supported CRS: EPSG:4326 (WGS84 geographic), WGS84 UTM zones
+(EPSG:326xx north / 327xx south) — covering every HLS/MGRS tile and the
+lat/lon ancillary inputs (Copernicus DEM, CGLS, WorldCover, GSHHS) — and
+the WGS84 polar stereographic grids (EPSG:3031/3032/3413/3976, variant B,
+Snyder 1987 eqs. 15-9/21-34..36), the plausible CRS of polar DEM
+deliveries. Anything else is rejected up front by the ancillary coverage
+check (geo/coverage.py) with a clear error.
 """
 
 import dataclasses
@@ -121,6 +125,101 @@ def utm_inverse(x, y, zone, north):
     return lat, lon
 
 
+# ---------------------------------------------------------------------------
+# Polar Stereographic (variant B) on WGS84 — the one plausible real-world
+# DEM/ancillary CRS outside 4326/UTM (reference accepts any OSR SRS at
+# dswx_hls.py:3385-3461; we support the standard polar grids explicitly)
+# ---------------------------------------------------------------------------
+
+# EPSG code -> (standard parallel deg, longitude of origin deg,
+#               false easting, false northing, north aspect)
+_POLAR_STEREO = {
+    3031: (-71.0, 0.0, 0.0, 0.0, False),    # WGS84 Antarctic PS
+    3032: (-71.0, 70.0, 6000000.0, 6000000.0, False),  # Australian AAPS
+    3413: (70.0, -45.0, 0.0, 0.0, True),    # NSIDC Sea Ice Polar North
+    3976: (-70.0, 0.0, 0.0, 0.0, False),    # NSIDC Sea Ice Polar South
+}
+
+
+def _ps_t(lat):
+    """Snyder (15-9): isometric colatitude function t(phi), north aspect."""
+    s = np.sin(lat)
+    return np.tan(np.pi / 4 - lat / 2) \
+        * ((1 + _E * s) / (1 - _E * s)) ** (_E / 2)
+
+
+def _ps_rho_per_t(lat_ts_abs):
+    """rho/t for a standard parallel (variant B: k=1 at lat_ts)."""
+    lat_f = np.radians(lat_ts_abs)
+    m_f = np.cos(lat_f) / np.sqrt(1 - _E2 * np.sin(lat_f) ** 2)
+    return _A * m_f / _ps_t(np.float64(lat_f))
+
+
+def polar_stereo_forward(lat_deg, lon_deg, lat_ts, lon0, fe, fn, north):
+    """WGS84 geographic -> polar stereographic (variant B) E/N, float64."""
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lam0 = np.radians(lon0)
+    if not north:
+        lat = -lat
+        lon = -lon
+        lam0 = -lam0
+    rho = _ps_rho_per_t(abs(lat_ts)) * _ps_t(lat)
+    theta = np.arctan2(np.sin(lon - lam0), np.cos(lon - lam0))
+    x = rho * np.sin(theta)
+    y = -rho * np.cos(theta)
+    if not north:
+        x, y = -x, -y
+    return fe + x, fn + y
+
+
+def polar_stereo_inverse(x, y, lat_ts, lon0, fe, fn, north):
+    """Polar stereographic (variant B) E/N -> WGS84 lat/lon degrees."""
+    x = np.asarray(x, dtype=np.float64) - fe
+    y = np.asarray(y, dtype=np.float64) - fn
+    lam0 = np.radians(lon0)
+    if not north:
+        x, y, lam0 = -x, -y, -lam0
+    rho = np.hypot(x, y)
+    t = rho / _ps_rho_per_t(abs(lat_ts))
+    # iterate phi = pi/2 - 2 atan(t ((1-e sin phi)/(1+e sin phi))^(e/2))
+    lat = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        s = np.sin(lat)
+        lat = np.pi / 2 - 2 * np.arctan(
+            t * ((1 - _E * s) / (1 + _E * s)) ** (_E / 2))
+    lon = lam0 + np.arctan2(x, -y)
+    lat_deg = np.degrees(lat)
+    lon_deg = np.degrees(lon)
+    if not north:
+        lat_deg = -lat_deg
+        lon_deg = -lon_deg
+    lon_deg = (lon_deg + 180.0) % 360.0 - 180.0
+    return lat_deg, lon_deg
+
+
+_WKT_PS_TEMPLATE = (
+    'PROJCS["{name}",GEOGCS["WGS 84",'
+    'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563,'
+    'AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
+    'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
+    'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
+    'AUTHORITY["EPSG","4326"]],PROJECTION["Polar_Stereographic"],'
+    'PARAMETER["latitude_of_origin",{lat_ts}],'
+    'PARAMETER["central_meridian",{lon0}],'
+    'PARAMETER["false_easting",{fe}],'
+    'PARAMETER["false_northing",{fn}],'
+    'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+    'AUTHORITY["EPSG","{epsg}"]]')
+
+_PS_NAMES = {
+    3031: 'WGS 84 / Antarctic Polar Stereographic',
+    3032: 'WGS 84 / Australian Antarctic Polar Stereographic',
+    3413: 'WGS 84 / NSIDC Sea Ice Polar Stereographic North',
+    3976: 'WGS 84 / NSIDC Sea Ice Polar Stereographic South',
+}
+
+
 _WKT_UTM_TEMPLATE = (
     'PROJCS["WGS 84 / UTM zone {zone}{ns}",GEOGCS["WGS 84",'
     'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563,'
@@ -171,6 +270,17 @@ class CRS:
     def from_utm(cls, zone, north):
         return cls((32600 if north else 32700) + int(zone))
 
+    @property
+    def polar_stereo(self):
+        """(lat_ts, lon0, fe, fn, north) for polar stereographic CRS."""
+        return _POLAR_STEREO.get(self.epsg)
+
+    @property
+    def supported(self):
+        """True if this CRS can be transformed by this engine."""
+        return (self.is_geographic or self.utm is not None
+                or self.polar_stereo is not None)
+
     def to_wkt(self):
         utm = self.utm
         if utm is not None:
@@ -179,6 +289,12 @@ class CRS:
                 zone=zone, ns='N' if north else 'S',
                 lon0=zone * 6 - 183, fn=0 if north else 10000000,
                 epsg=self.epsg)
+        ps = self.polar_stereo
+        if ps is not None:
+            lat_ts, lon0, fe, fn, _ = ps
+            return _WKT_PS_TEMPLATE.format(
+                name=_PS_NAMES[self.epsg], lat_ts=lat_ts, lon0=lon0,
+                fe=fe, fn=fn, epsg=self.epsg)
         if self.is_geographic:
             return _WKT_WGS84
         raise ValueError(f'cannot build WKT for EPSG:{self.epsg}')
@@ -190,6 +306,12 @@ class CRS:
             south = '' if north else ' +south'
             return (f'+proj=utm +zone={zone}{south} +datum=WGS84 '
                     '+units=m +no_defs')
+        ps = self.polar_stereo
+        if ps is not None:
+            lat_ts, lon0, fe, fn, _ = ps
+            return (f'+proj=stere +lat_0={"90" if ps[4] else "-90"} '
+                    f'+lat_ts={lat_ts:g} +lon_0={lon0:g} +x_0={fe:g} '
+                    f'+y_0={fn:g} +datum=WGS84 +units=m +no_defs')
         if self.is_geographic:
             return '+proj=longlat +datum=WGS84 +no_defs'
         raise ValueError(f'cannot build proj4 for EPSG:{self.epsg}')
@@ -254,6 +376,8 @@ def transform_points(src, dst, x, y):
     # to geographic
     if src.utm is not None:
         lat, lon = utm_inverse(x, y, *src.utm)
+    elif src.polar_stereo is not None:
+        lat, lon = polar_stereo_inverse(x, y, *src.polar_stereo)
     elif src.is_geographic:
         lon, lat = x, y
     else:
@@ -262,4 +386,6 @@ def transform_points(src, dst, x, y):
         return lon, lat
     if dst.utm is not None:
         return utm_forward(lat, lon, *dst.utm)
+    if dst.polar_stereo is not None:
+        return polar_stereo_forward(lat, lon, *dst.polar_stereo)
     raise ValueError(f'unsupported destination CRS: EPSG:{dst.epsg}')

@@ -85,13 +85,50 @@ def browse(wtr, flag_collapse_wtr_classes=True,
     return arr
 
 
+# packed-transfer decode: wtr class index (3 bits) -> class value.
+# Index 7 is unused by the device packer; map it to fill.
+_WTR_IDX_TO_CLASS = np.array([0, 1, 2, 3, 4, C.WTR_OCEAN_MASKED,
+                              C.UINT8_FILL_VALUE, C.UINT8_FILL_VALUE],
+                             np.uint8)
+
+
+def unpack_minimal(packed_a, packed_b):
+    """Invert the device-side 2-byte/px packing of the minimal layers.
+
+    packed_a = diag6 | (cloud[1:0] << 6)
+    packed_b = cloud[3:2] | (wtr1_idx << 2) | (wtr2_idx << 5)
+
+    The CLOUD fill value (255) is reconstructed from the invariant
+    cloud == 255 <=> wtr2 == 255 (the kernel sets both from the same
+    invalid mask). See parallel/campaign.py::_pack_minimal_device.
+    """
+    packed_a = np.asarray(packed_a)
+    packed_b = np.asarray(packed_b)
+    diag6 = (packed_a & 0x3F).astype(np.uint8)
+    wtr1 = _WTR_IDX_TO_CLASS[(packed_b >> 2) & 7]
+    wtr2 = _WTR_IDX_TO_CLASS[(packed_b >> 5) & 7]
+    cloud = ((packed_a >> 6) | ((packed_b & 3) << 2)).astype(np.uint8)
+    cloud[wtr2 == C.UINT8_FILL_VALUE] = C.UINT8_FILL_VALUE
+    return {'DIAG6': diag6, 'WTR-1': wtr1, 'WTR-2': wtr2, 'CLOUD': cloud}
+
+
+def unpack_bits(packed, width):
+    """Invert pack_bits_device: (h, ceil(w/8)) uint8 -> (h, w) 0/1."""
+    return np.unpackbits(np.asarray(packed), axis=1,
+                         bitorder='little')[:, :width]
+
+
 def derive_dependent_layers(layers, compute_browse=False,
                             browse_options=None):
     """Fill WTR/BWTR/CONF/DIAG(+BROWSE) from minimal device outputs.
 
     ``layers`` must contain 'DIAG6' (uint8 decimal), 'WTR-1', 'WTR-2',
-    'CLOUD'; it is updated in place and returned.
+    'CLOUD' (or their 2-byte packing 'PACKED_A'/'PACKED_B'); it is
+    updated in place and returned.
     """
+    if 'PACKED_A' in layers:
+        layers.update(unpack_minimal(layers.pop('PACKED_A'),
+                                     layers.pop('PACKED_B')))
     wtr2 = layers['WTR-2']
     cloud = layers['CLOUD']
     wtr = apply_cloud_masking(wtr2, cloud)

@@ -148,10 +148,12 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
     Returns fn(blue, green, red, nir, swir1, swir2, fmask, invalid
                [, ocean][, shadow][, landcover]) -> dict of layers.
 
-    ``minimal_outputs=True`` emits only the independent layers — 'DIAG6'
-    (raw 6-bit decimal, uint8), 'WTR-1', 'WTR-2', 'CLOUD' — halving the
-    output bytes; WTR/BWTR/CONF/BROWSE/DIAG are elementwise functions of
-    these, derived on host (models/dswx/host_derive.py).
+    ``minimal_outputs=True`` emits only the independent layers
+    (DIAG6/WTR-1/WTR-2/CLOUD), packed on the fly into two uint8 planes
+    'PACKED_A'/'PACKED_B' (2 bytes/px — a quarter of the full-mode
+    output bytes); the writer unpacks and derives WTR/BWTR/CONF/BROWSE/
+    DIAG on host (models/dswx/host_derive.py::unpack_minimal,
+    derive_dependent_layers).
 
     ``float_inputs=True``: the scaled-reflectance (float32) mode. The
     reference's scaled chain is float32 end-to-end (dswx_hls.py:2298-
@@ -227,7 +229,8 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
             idx += 1
         outs = refs[idx:]
         if minimal_outputs:
-            diag_o, wtr1_o, wtr2_o, cloud_o = outs
+            pa_o, pb_o = outs
+            diag_o = wtr1_o = wtr2_o = cloud_o = None
             wtr_o = bwtr_o = conf_o = browse_o = None
         else:
             (diag_o, wtr1_o, wtr2_o, wtr_o, bwtr_o, conf_o, cloud_o) = \
@@ -340,13 +343,13 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
 
         bits = [t1, t2, t3, t4, t5]
         if minimal_outputs:
-            # raw 6-bit decimal (host expands to the pseudo-binary repr)
+            # raw 6-bit decimal (host expands to the pseudo-binary repr);
+            # stored packed at the end of the pass
             diag6 = jnp.zeros(t1.shape, jnp.int32)
             for i, b in enumerate(bits):
                 diag6 = diag6 + b.astype(jnp.int32) * (1 << i)
             diag6 = jnp.where(invalid,
                               C.DIAGNOSTIC_LAYER_NO_DATA_DECIMAL, diag6)
-            store(diag_o, diag6.astype(jnp.uint8))
         else:
             # DIAG pseudo-binary representation (fill -> 65535)
             diag_rep = jnp.zeros(t1.shape, jnp.int32)
@@ -363,7 +366,8 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
             wtr1 = jnp.where(ocean_r[:].astype(jnp.int32) == 0,
                              C.WTR_OCEAN_MASKED, wtr1)
         wtr1 = jnp.where(invalid, C.UINT8_FILL_VALUE, wtr1)
-        store(wtr1_o, wtr1.astype(jnp.uint8))
+        if not minimal_outputs:
+            store(wtr1_o, wtr1.astype(jnp.uint8))
 
         # preliminary CLOUD
         shadow_bit = (fmask & 8) != 0
@@ -408,7 +412,8 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
                       | ((lc >= 0) & (lc < 100) & nir_bright & psw)
                       | ((lc >= 100) & (lc < 200) & water))
             wtr2 = jnp.where(demote, 0, wtr2)
-        store(wtr2_o, wtr2.astype(jnp.uint8))
+        if not minimal_outputs:
+            store(wtr2_o, wtr2.astype(jnp.uint8))
 
         # snow + fill -> final CLOUD
         snow = (fmask & 16) != 0
@@ -427,10 +432,28 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
             snow = snow & (~not_masked)
         cloud = cloud + 2 * snow.astype(jnp.int32)
         cloud = jnp.where(wtr2 == C.UINT8_FILL_VALUE, 255, cloud)
-        store(cloud_o, cloud.astype(jnp.uint8))
 
         if minimal_outputs:
+            # 2-byte/px packing (see parallel/campaign.py
+            # ::_pack_minimal_device for the scheme and
+            # models/dswx/host_derive.unpack_minimal for the inverse):
+            # two stores instead of four halve the output HBM traffic.
+            # CLOUD's 255 fill is redundant with WTR-2's (same invalid
+            # mask), so only its 4 payload bits ship.
+            cloudp = jnp.where(cloud == 255, 0, cloud)
+
+            def widx(wv):
+                return jnp.where(wv == C.WTR_OCEAN_MASKED, 5,
+                                 jnp.where(wv == C.UINT8_FILL_VALUE, 6,
+                                           wv))
+
+            pa = diag6 | ((cloudp & 3) << 6)
+            pb = (((cloudp >> 2) & 3) | (widx(wtr1) << 2)
+                  | (widx(wtr2) << 5))
+            store(pa_o, pa.astype(jnp.uint8))
+            store(pb_o, pb.astype(jnp.uint8))
             return
+        store(cloud_o, cloud.astype(jnp.uint8))
 
         # WTR
         cloudy = (cloud != 0) & (cloud != 8)
@@ -500,7 +523,7 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
 
         n_in = 8 + n_extra
         if minimal_outputs:
-            n_out = 4
+            n_out = 2
             out_shapes = [jax.ShapeDtypeStruct((h, w), jnp.uint8)
                           for _ in range(n_out)]
         else:
@@ -535,7 +558,7 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
                       for a in arrays]
         outs = call(*arrays)
         if minimal_outputs:
-            names = ['DIAG6', 'WTR-1', 'WTR-2', 'CLOUD']
+            names = ['PACKED_A', 'PACKED_B']
         else:
             names = ['DIAG', 'WTR-1', 'WTR-2', 'WTR', 'BWTR', 'CONF',
                      'CLOUD']

@@ -58,6 +58,48 @@ def _campaign_uses_pallas(config):
         'pswt_2_swir1', 'pswt_2_swir2', 'lcmask_nir'))
 
 
+def _pack_minimal_device(out):
+    """Reference implementation of the minimal-layer 2-byte/px packing.
+
+    DIAG6 needs 6 bits (0..32), the WTR-1/WTR-2 class sets
+    {0..4, 254, 255} need 3 bits each, and CLOUD's payload needs 4 bits
+    (its 255 fill is redundant with WTR-2's: both come from the same
+    invalid mask). 17 significant bits pack into two uint8 planes —
+    a quarter of the unpacked minimal-mode bytes, decisive on slow d2h
+    links. The fused Pallas kernel implements the same scheme inline
+    (ops/pallas/wtr_kernel.py, minimal_outputs) so packing costs no
+    extra HBM pass; this jnp twin documents the scheme and
+    cross-validates models/dswx/host_derive.unpack_minimal in tests."""
+    diag6 = out['DIAG6'].astype(jnp.int32)
+    cloud = out['CLOUD'].astype(jnp.int32)
+    cloud = jnp.where(cloud == 255, 0, cloud)
+
+    def idx(w):
+        w = w.astype(jnp.int32)
+        return jnp.where(w == C.WTR_OCEAN_MASKED, 5,
+                         jnp.where(w == C.UINT8_FILL_VALUE, 6, w))
+
+    pa = (diag6 | ((cloud & 3) << 6)).astype(jnp.uint8)
+    pb = (((cloud >> 2) & 3) | (idx(out['WTR-1']) << 2)
+          | (idx(out['WTR-2']) << 5)).astype(jnp.uint8)
+    packed = {'PACKED_A': pa, 'PACKED_B': pb}
+    for k, v in out.items():
+        if k not in ('DIAG6', 'WTR-1', 'WTR-2', 'CLOUD'):
+            packed[k] = v
+    return packed
+
+
+def pack_bits_device(x):
+    """(h, w) 0/1 uint8 -> (h, ceil(w/8)) uint8 bit-packing on device
+    (little bit order, matching np.unpackbits(bitorder='little'))."""
+    h, w = x.shape
+    pad = (-w) % 8
+    xp = jnp.pad(x.astype(jnp.int32), ((0, 0), (0, pad)))
+    xp = xp.reshape(h, -1, 8)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+    return (xp * weights).sum(-1).astype(jnp.uint8)
+
+
 def make_campaign_step(config: DswxChainConfig, mesh,
                        compute_browse=False, with_ocean=False,
                        with_shadow=False, with_landcover=False,
@@ -74,8 +116,9 @@ def make_campaign_step(config: DswxChainConfig, mesh,
     if use_pallas is None:
         use_pallas = _campaign_uses_pallas(config)
     # minimal-transfer mode: the kernel emits only the independent layers
-    # (DIAG6/WTR-1/WTR-2/CLOUD, ~54 MB/tile instead of ~107); the writer
-    # pool derives WTR/BWTR/CONF/DIAG/BROWSE on host
+    # (DIAG6/WTR-1/WTR-2/CLOUD), which a device epilogue packs into
+    # 2 bytes/px (~27 MB/tile instead of ~107); the writer pool unpacks
+    # and derives WTR/BWTR/CONF/DIAG/BROWSE on host
     # (models/dswx/host_derive.py)
     minimal = bool(use_pallas)
     pallas_kernel = None
@@ -98,6 +141,7 @@ def make_campaign_step(config: DswxChainConfig, mesh,
                           compute_browse=compute_browse)
 
     def per_tile_pallas(b, g, r, n, s1, s2, fm, inv, *extras):
+        # the kernel packs the minimal layers itself (PACKED_A/PACKED_B)
         out = pallas_kernel(b, g, r, n, s1, s2, fm, inv, *extras)
         # coverage stats (the kernel emits layers only)
         it = iter(extras)
@@ -142,7 +186,7 @@ def make_campaign_step(config: DswxChainConfig, mesh,
 
     spec = P(TILE_AXIS)
     if minimal:
-        keys = ('DIAG6', 'WTR-1', 'WTR-2', 'CLOUD')
+        keys = ('PACKED_A', 'PACKED_B')
     else:
         keys = ('DIAG', 'WTR-1', 'WTR-2', 'WTR', 'BWTR', 'CONF', 'CLOUD')
         if compute_browse:
@@ -392,8 +436,11 @@ def _read_tile(job, flag_debug=False, config=None):
                                                 min_slope, max_inc,
                                                 as_device=True)
         import jax.numpy as jnp
-        image_dict['shadow_layer'] = jnp.asarray(shad[m:-m, m:-m],
-                                                 jnp.uint8)
+        shad_crop = jnp.asarray(shad[m:-m, m:-m], jnp.uint8)
+        image_dict['shadow_layer'] = shad_crop
+        # the writer only needs the binary SHAD values: ship 1 bit/px
+        # (1.7 MB instead of 13.4) over the slow d2h link
+        image_dict['shadow_packed'] = pack_bits_device(shad_crop)
         image_dict['dem'] = dem_m[m:-m, m:-m]
 
     if job.landcover_file and job.worldcover_file:
@@ -430,7 +477,7 @@ def _write_tile(job, layers, image_dict, metadata, derive_opts=None):
     from proteus_tpu.runtime import product_writer as pw
     from proteus_tpu.io.png import geotiff2png
     layers = {name: np.asarray(a) for name, a in layers.items()}
-    if 'DIAG6' in layers:
+    if 'DIAG6' in layers or 'PACKED_A' in layers:
         from proteus_tpu.models.dswx import host_derive
         host_derive.derive_dependent_layers(layers,
                                             **(derive_opts or {}))
@@ -486,7 +533,13 @@ def _write_tile(job, layers, image_dict, metadata, derive_opts=None):
         saved.append(path)
     if 'shadow_layer' in image_dict:
         path = path_for(8, 'SHAD')
-        pw.save_array(image_dict['shadow_layer'], path, metadata,
+        if 'shadow_packed' in image_dict:
+            from proteus_tpu.models.dswx import host_derive
+            shad = host_derive.unpack_bits(image_dict['shadow_packed'],
+                                           image_dict['width'])
+        else:
+            shad = image_dict['shadow_layer']
+        pw.save_array(shad, path, metadata,
                       geotransform, projection,
                       description=C.BAND_DESCRIPTION_DICT['SHAD'],
                       ctable=ctables.get_binary_mask_ctable())

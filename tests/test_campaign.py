@@ -57,9 +57,9 @@ def test_campaign_step_matches_oracle(mode):
 @pytest.mark.parametrize('mode', ['mask', 'cover'])
 def test_campaign_step_pallas_minimal_matches_chain(mode):
     """The production TPU default: dp sharding + fused Pallas kernel in
-    minimal-transfer mode (DIAG6/WTR-1/WTR-2/CLOUD on device, dependent
-    layers derived on host) — exercised on the virtual mesh in interpret
-    mode, bit-identical to the jnp chain."""
+    minimal-transfer mode (2-byte/px packed layers on device, unpacked +
+    dependent layers derived on host) — exercised on the virtual mesh in
+    interpret mode, bit-identical to the jnp chain."""
     from proteus_tpu.models.dswx import host_derive
     from proteus_tpu.models.dswx.chain import dswx_chain
     mesh = make_tile_mesh()
@@ -76,7 +76,7 @@ def test_campaign_step_pallas_minimal_matches_chain(mode):
 
     for k in range(B):
         minimal = {key: np.asarray(out[key][k])
-                   for key in ('DIAG6', 'WTR-1', 'WTR-2', 'CLOUD')}
+                   for key in ('PACKED_A', 'PACKED_B')}
         derived = host_derive.derive_dependent_layers(dict(minimal))
         want = dswx_chain(*[b[k] for b in bands], fmask[k], invalid[k],
                           cfg)

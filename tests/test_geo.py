@@ -273,6 +273,106 @@ class TestCoverage:
                                    'EPSG:32615', 360, 360, {})
 
 
+class TestPolarStereographic:
+    def test_epsg_guidance_note_example(self):
+        """EPSG Guidance Note 7-2 worked example for Polar Stereographic
+        variant B (EPSG:3032): 75S 120E -> E 7255380.79 N 7053389.56."""
+        from proteus_tpu.geo.crs import (polar_stereo_forward,
+                                         polar_stereo_inverse)
+        E, N = polar_stereo_forward(-75.0, 120.0, -71.0, 70.0, 6e6, 6e6,
+                                    False)
+        assert abs(E - 7255380.79) < 0.01
+        assert abs(N - 7053389.56) < 0.01
+        lat, lon = polar_stereo_inverse(7255380.79, 7053389.56, -71.0,
+                                        70.0, 6e6, 6e6, False)
+        assert abs(lat - -75.0) < 1e-7 and abs(lon - 120.0) < 1e-7
+
+    @pytest.mark.parametrize('epsg', [3031, 3413, 3976])
+    def test_roundtrip_and_unit_scale(self, epsg):
+        from proteus_tpu.geo.crs import (CRS, polar_stereo_forward,
+                                         polar_stereo_inverse)
+        ps = CRS.from_epsg(epsg).polar_stereo
+        rng = np.random.default_rng(epsg)
+        sign = 1 if ps[4] else -1
+        lat = sign * rng.uniform(55, 89.99, 5000)
+        lon = rng.uniform(-180, 180, 5000)
+        x, y = polar_stereo_forward(lat, lon, *ps)
+        la2, lo2 = polar_stereo_inverse(x, y, *ps)
+        assert np.abs(la2 - lat).max() < 1e-12
+        assert np.abs((lo2 - lon + 180) % 360 - 180).max() < 1e-12
+        # variant B: scale factor 1 at the standard parallel
+        x1, y1 = polar_stereo_forward(ps[0], 0.0, *ps)
+        x2, y2 = polar_stereo_forward(ps[0], 1e-3, *ps)
+        latr = np.radians(abs(ps[0]))
+        nu = 6378137.0 / np.sqrt(
+            1 - 0.00669437999014132 * np.sin(latr) ** 2)
+        d_true = np.radians(1e-3) * nu * np.cos(latr)
+        k = np.hypot(x2 - x1, y2 - y1) / d_true
+        assert abs(k - 1.0) < 1e-9
+
+    def test_ps_warp_device_matches_host(self, tmp_path):
+        """A DEM delivered in EPSG:3031 warped onto a southern UTM tile:
+        grid-transformer warp vs exact per-pixel transform, and device
+        vs host bit-equality."""
+        rng = np.random.default_rng(3)
+        h = w = 300
+        # 1 km PS grid around (0E, ~70S): PS coords near (0, 2.2e6)
+        gt = (-150000.0, 1000.0, 0.0, 2400000.0, 0.0, -1000.0)
+        arr = (1000 * rng.normal(size=(h, w))).astype(np.float32)
+        arr[rng.random((h, w)) < 0.03] = np.nan
+        path = str(tmp_path / 'ps_dem.tif')
+        write_cog(path, arr, geotransform=gt, epsg=3031,
+                  nodata=float('nan'), overview_levels=())
+        # UTM 31S tile near 69.5S (PS y ~ 2.27e6 at lon ~3E)
+        tile_gt = (500000.0, 30.0, 0.0, 2290000.0 + 10000000.0 - 7.72e6,
+                   0.0, -30.0)
+        tile_gt = (460000.0, 30.0, 0.0, 2286000.0, 0.0, -30.0)
+        proj = 'EPSG:32731'
+        from proteus_tpu.geo.crs import transform_points
+        # confirm the tile's center actually lands inside the PS source
+        cx, cy = transform_points(proj, 'EPSG:3031',
+                                  np.array([462000.0]),
+                                  np.array([2284000.0]))
+        assert -150000 < cx[0] < 150000 and 2.1e6 < cy[0] < 2.4e6
+        for alg in ('nearest', 'bilinear', 'cubic'):
+            host = warp_to_grid(path, tile_gt, proj, 100, 120,
+                                resample_algorithm=alg,
+                                margin_in_pixels=10)
+            exact = warp_to_grid(path, tile_gt, proj, 100, 120,
+                                 resample_algorithm=alg,
+                                 margin_in_pixels=10,
+                                 transformer='exact')
+            nn = np.isnan(host)
+            finite = ~nn
+            # grid-vs-exact transformer: identical picks away from the
+            # 5 mm interpolation band (nearest may flip a boundary pick)
+            close = np.isclose(host, exact, rtol=1e-5, atol=1e-3,
+                               equal_nan=True)
+            assert close.mean() > 0.999
+            dev = np.asarray(warp_to_grid_device(
+                path, tile_gt, proj, 100, 120, resample_algorithm=alg,
+                margin_in_pixels=10))
+            bad = (host != dev) & ~(nn & np.isnan(dev))
+            assert not bad.any(), f'{alg}: {bad.sum()} mismatches'
+            assert finite.any(), 'tile missed the PS source entirely'
+
+    def test_unsupported_crs_rejected_at_coverage_check(self, tmp_path):
+        """A non-4326/UTM/PS ancillary must fail inside
+        check_ancillary_inputs with a clear message, not mid-warp."""
+        import synthetic
+        from proteus_tpu.geo.coverage import check_ancillary_inputs
+        size = 64
+        dem = synthetic.make_dem(str(tmp_path), size=size)
+        arr = np.zeros((50, 50), np.float32)
+        weird = str(tmp_path / 'web_mercator.tif')
+        write_cog(weird, arr, geotransform=(0, 100, 0, 0, 0, -100),
+                  epsg=3857, overview_levels=())
+        with pytest.raises(ValueError, match='unsupported CRS'):
+            check_ancillary_inputs(True, False, weird, dem, dem, None,
+                                   synthetic.geotransform(),
+                                   'EPSG:32615', size, size, {})
+
+
 def test_unsupported_resample_algorithm_raises(latlon_source):
     path, gt, arr = latlon_source
     tile_gt = (700000.0, 30.0, 0.0, 3395100.0, 0.0, -30.0)

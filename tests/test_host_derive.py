@@ -59,3 +59,44 @@ def test_derivation_matches_chain():
                 np.testing.assert_array_equal(
                     derived[layer], full[layer],
                     err_msg=f'{layer} mode={mode} anc={with_anc}')
+
+
+def test_pack_unpack_minimal_roundtrip():
+    """Device 2-byte packing -> host unpack must be lossless over the
+    full value domains (incl. ocean/fill classes and the CLOUD<->WTR-2
+    fill invariant)."""
+    from proteus_tpu.parallel.campaign import _pack_minimal_device
+    shape = (64, 64)
+    diag6 = RNG.integers(0, 33, shape).astype(np.uint8)
+    invalid = diag6 == 32
+    classes = np.array([0, 1, 2, 3, 4, 254], np.uint8)
+    wtr1 = classes[RNG.integers(0, 6, shape)]
+    wtr2 = classes[RNG.integers(0, 6, shape)]
+    wtr1[invalid] = 255
+    wtr2[invalid] = 255
+    cloud = RNG.integers(0, 16, shape).astype(np.uint8)
+    cloud[invalid] = 255
+    out = {'DIAG6': diag6, 'WTR-1': wtr1, 'WTR-2': wtr2,
+           'CLOUD': cloud, 'n_valid': np.int32(5)}
+    import jax.numpy as jnp
+    packed = _pack_minimal_device(
+        {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+         for k, v in out.items()})
+    assert set(packed) == {'PACKED_A', 'PACKED_B', 'n_valid'}
+    got = host_derive.unpack_minimal(np.asarray(packed['PACKED_A']),
+                                     np.asarray(packed['PACKED_B']))
+    np.testing.assert_array_equal(got['DIAG6'], diag6)
+    np.testing.assert_array_equal(got['WTR-1'], wtr1)
+    np.testing.assert_array_equal(got['WTR-2'], wtr2)
+    np.testing.assert_array_equal(got['CLOUD'], cloud)
+
+
+def test_pack_bits_roundtrip():
+    from proteus_tpu.parallel.campaign import pack_bits_device
+    import jax.numpy as jnp
+    for w in (96, 97, 103):
+        x = (RNG.random((33, w)) < 0.5).astype(np.uint8)
+        packed = np.asarray(pack_bits_device(jnp.asarray(x)))
+        assert packed.shape == (33, (w + 7) // 8)
+        np.testing.assert_array_equal(
+            host_derive.unpack_bits(packed, w), x)
