@@ -77,11 +77,20 @@ def run_pass(files, extra, out_root, n_tiles, tag):
         config=DswxChainConfig(), save_browse=True,
         tiles_per_device=int(os.environ.get(
             'PROTEUS_TPU_TILES_PER_DEVICE', '1')))
+    from proteus_tpu.parallel.campaign import STAGE_TIMES
+    STAGE_TIMES.reset()  # per-pass stage tables
     t0 = time.time()
     stats = runner.run(jobs)
     dt = time.time() - t0
     if stats['tiles_failed']:
         raise RuntimeError(f'{stats["tiles_failed"]} tiles failed')
+    if 'stage_seconds' in stats:
+        print(f'# stage core-seconds ({tag}, {n_tiles} tiles):',
+              file=sys.stderr)
+        for name, rec in stats['stage_seconds'].items():
+            print(f'#   {name}: {rec["seconds"]:.1f} s '
+                  f'({rec["seconds"] / n_tiles:.2f} s/tile,'
+                  f' {rec["calls"]} calls)', file=sys.stderr)
     return dt
 
 

@@ -27,9 +27,11 @@ from proteus_tpu.io.tiff import TiffReader
 logger = logging.getLogger('dswx_hls')
 
 # supported resampling kernels and their tap radii (the reference only
-# uses 'nearest' and 'cubic'; 'cubicspline' maps to cubic convolution)
+# uses 'nearest' and 'cubic'; 'cubicspline' maps to cubic convolution;
+# 'average' is footprint-based — its radius is data-dependent and
+# resolved per call)
 _KERNEL_RADIUS = {'nearest': 0, 'bilinear': 1, 'cubic': 2,
-                  'cubicspline': 2}
+                  'cubicspline': 2, 'average': 2}
 
 
 def _cubic_weights(t):
@@ -244,9 +246,18 @@ def warp_to_grid(input_file, geotransform, projection, length, width,
 
         for row0 in range(0, out_h, chunk_rows):
             rows = min(chunk_rows, out_h - row0)
-            jj, ii = np.meshgrid(np.arange(out_w, dtype=np.float64),
-                                 np.arange(row0, row0 + rows,
-                                           dtype=np.float64))
+            if resample_algorithm == 'average':
+                # footprint-based: transform the PIXEL CORNERS
+                # (index - 0.5 evaluates the center-sampled transform at
+                # the corner positions)
+                jj, ii = np.meshgrid(
+                    np.arange(out_w + 1, dtype=np.float64) - 0.5,
+                    np.arange(row0, row0 + rows + 1,
+                              dtype=np.float64) - 0.5)
+            else:
+                jj, ii = np.meshgrid(np.arange(out_w, dtype=np.float64),
+                                     np.arange(row0, row0 + rows,
+                                               dtype=np.float64))
             if grid_tx is not None:
                 sx, sy = grid_tx(ii, jj)
             else:
@@ -256,10 +267,16 @@ def warp_to_grid(input_file, geotransform, projection, length, width,
             u, v = src.pixel_coords(sx, sy)
             u = u - c0
             v = v - r0
-            block = _resample_block(fdata, valid, u, v, resample_algorithm,
-                                    fill, wraps=src.wraps and c0 == 0
-                                    and ww == src.width, width=ww,
-                                    all_valid=all_valid)
+            block_wraps = src.wraps and c0 == 0 and ww == src.width
+            if resample_algorithm == 'average':
+                block = _resample_block_average(
+                    fdata, None if all_valid else valid, u, v, fill,
+                    wraps=block_wraps, width=ww)
+            else:
+                block = _resample_block(fdata, valid, u, v,
+                                        resample_algorithm, fill,
+                                        wraps=block_wraps, width=ww,
+                                        all_valid=all_valid)
             out[row0:row0 + rows, :] = block
 
         if np.dtype(out_dtype).kind in 'ui':
@@ -269,6 +286,81 @@ def warp_to_grid(input_file, geotransform, projection, length, width,
         return out.astype(out_dtype)
     finally:
         src.close()
+
+
+def _resample_block_average(fdata, valid, uc, vc, fill, wraps, width,
+                            max_span=256):
+    """GDAL 'average' semantics: area-weighted mean over the source-space
+    bounding box of each target pixel's footprint.
+
+    ``uc``/``vc`` are the CORNER coordinates of the target pixels in
+    window-relative source pixel space, shape (rows+1, cols+1) — corner
+    (i, j) is the top-left of pixel (i, j). Each source cell
+    intersecting the footprint bbox contributes with weight equal to its
+    overlap fraction per axis (gdal.Warp GRA_Average,
+    gdalwarpkernel.cpp GWKAverageOrMode); nodata cells are skipped and
+    the sum renormalized; zero total weight -> fill.
+    """
+    h, w = fdata.shape
+    x00, x01 = uc[:-1, :-1], uc[:-1, 1:]
+    x10, x11 = uc[1:, :-1], uc[1:, 1:]
+    y00, y01 = vc[:-1, :-1], vc[:-1, 1:]
+    y10, y11 = vc[1:, :-1], vc[1:, 1:]
+    if wraps:
+        # make the quad continuous around its top-left corner so
+        # seam-crossing footprints get a sane bbox (gathers wrap below)
+        def unwrap(x):
+            return x - width * np.round((x - x00) / width)
+        x01, x10, x11 = unwrap(x01), unwrap(x10), unwrap(x11)
+    xmin = np.minimum(np.minimum(x00, x01), np.minimum(x10, x11))
+    xmax = np.maximum(np.maximum(x00, x01), np.maximum(x10, x11))
+    ymin = np.minimum(np.minimum(y00, y01), np.minimum(y10, y11))
+    ymax = np.maximum(np.maximum(y00, y01), np.maximum(y10, y11))
+
+    bad = ~(np.isfinite(xmin) & np.isfinite(xmax)
+            & np.isfinite(ymin) & np.isfinite(ymax))
+    xmin = np.where(bad, 0.0, xmin)
+    xmax = np.where(bad, 0.0, xmax)
+    ymin = np.where(bad, 0.0, ymin)
+    ymax = np.where(bad, 0.0, ymax)
+
+    ix0 = np.floor(xmin).astype(np.int64)
+    iy0 = np.floor(ymin).astype(np.int64)
+    nx = int(np.max(np.ceil(xmax) - ix0)) if xmin.size else 0
+    ny = int(np.max(np.ceil(ymax) - iy0)) if ymin.size else 0
+    if nx > max_span or ny > max_span:
+        raise ValueError(
+            f'average footprint spans {nx}x{ny} source cells; '
+            f'downscale factor too extreme (cap {max_span})')
+
+    acc = np.zeros(xmin.shape, np.float64)
+    wacc = np.zeros(xmin.shape, np.float64)
+    for dy in range(max(ny, 1)):
+        cy = iy0 + dy
+        wy = np.clip(np.minimum(cy + 1.0, ymax)
+                     - np.maximum(cy, ymin), 0.0, None)
+        rows_in = (cy >= 0) & (cy < h)
+        cyc = np.clip(cy, 0, h - 1)
+        for dx in range(max(nx, 1)):
+            cx = ix0 + dx
+            wx = np.clip(np.minimum(cx + 1.0, xmax)
+                         - np.maximum(cx, xmin), 0.0, None)
+            if wraps:
+                cxc = cx % width
+                cols_in = np.ones(cx.shape, bool)
+            else:
+                cols_in = (cx >= 0) & (cx < w)
+                cxc = np.clip(cx, 0, w - 1)
+            wgt = wx * wy
+            vals = fdata[cyc, cxc]
+            ok = rows_in & cols_in & (wgt > 0)
+            if valid is not None:
+                ok = ok & valid[cyc, cxc]
+            acc += np.where(ok, vals * wgt, 0.0)
+            wacc += np.where(ok, wgt, 0.0)
+    with np.errstate(invalid='ignore', divide='ignore'):
+        res = acc / wacc
+    return np.where((wacc > 0) & ~bad, res, fill)
 
 
 def _resample_block(fdata, valid, u, v, algorithm, fill, wraps, width,
@@ -724,6 +816,17 @@ def warp_to_grid_device(input_file, geotransform, projection, length,
     host with the same float64 pipeline.
     """
     import jax.numpy as jnp
+
+    if resample_algorithm == 'average':
+        # footprint-based kernel with data-dependent tap counts: no
+        # device path (no production input uses 'average'); the host
+        # implementation is exact float64, so routing through it keeps
+        # the bit-identity contract trivially
+        out = warp_to_grid(input_file, geotransform, projection, length,
+                           width, resample_algorithm='average',
+                           margin_in_pixels=margin_in_pixels,
+                           grid_spacing=grid_spacing, dtype=dtype)
+        return jnp.asarray(out)
 
     m = margin_in_pixels
     x0, dx, _, y0, _, dy = geotransform

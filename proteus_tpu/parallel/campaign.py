@@ -17,9 +17,11 @@ chips"):
   none, SURVEY.md section 5).
 """
 
+import contextlib
 import json
 import logging
 import os
+import threading
 import time
 import traceback
 from concurrent.futures import ThreadPoolExecutor
@@ -37,6 +39,49 @@ from proteus_tpu.models.dswx.chain import DswxChainConfig, dswx_chain
 from proteus_tpu.parallel.mesh import TILE_AXIS, make_tile_mesh
 
 logger = logging.getLogger('dswx_hls')
+
+
+class StageTimes:
+    """Cumulative wall-clock per pipeline stage (thread-safe).
+
+    Enabled by PROTEUS_TPU_STAGE_TIMES=1; CampaignRunner.run() returns
+    the table under stats['stage_seconds']. Stage seconds are summed
+    across pool threads, so they measure CORE-seconds of occupancy (plus
+    in-stage waiting, e.g. d2h transfer time inside 'd2h_*'), not
+    wall-clock — the per-stage budget VERDICT r2 asked to attack.
+    """
+
+    def __init__(self):
+        self.enabled = os.environ.get('PROTEUS_TPU_STAGE_TIMES') == '1'
+        self._lock = threading.Lock()
+        self.totals = {}
+
+    @contextlib.contextmanager
+    def stage(self, name):
+        if not self.enabled:
+            yield
+            return
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            with self._lock:
+                cur = self.totals.setdefault(name, [0.0, 0])
+                cur[0] += dt
+                cur[1] += 1
+
+    def reset(self):
+        with self._lock:
+            self.totals = {}
+
+    def table(self):
+        return {k: {'seconds': round(v[0], 2), 'calls': v[1]}
+                for k, v in sorted(self.totals.items(),
+                                   key=lambda kv: -kv[1][0])}
+
+
+STAGE_TIMES = StageTimes()
 
 
 def _campaign_uses_pallas(config):
@@ -366,6 +411,90 @@ class CampaignManifest:
         os.replace(tmp, self.path)
 
 
+class _AncillaryCache:
+    """Per-grid LRU cache of prepared ancillary products.
+
+    A campaign's ancillary inputs (DEM, CGLS, WorldCover, shoreline) are
+    static files, and every HLS revisit of an MGRS tile shares the same
+    product grid — so the warped DEM, the LAND mask, and the ocean mask
+    are IDENTICAL across the time series. Measured on this host they
+    dominate per-tile cost (~24 s/tile of device-warp wait,
+    BENCH_NOTES.md round 3); caching them per (file signature, grid)
+    turns that into a once-per-grid cost. Terrain shadow still runs per
+    tile (it depends on the granule's sun angles) but reuses the cached
+    DEM warp.
+
+    Thread-safe with single-flight semantics: concurrent readers of the
+    same key wait for the first computation instead of duplicating it.
+    Capacity is grids, not bytes (~85 MB of device HBM per grid);
+    PROTEUS_TPU_ANC_CACHE=0 disables.
+    """
+
+    def __init__(self, max_entries=None):
+        self._max = max_entries
+        self._lock = threading.Lock()
+        self._entries = {}
+        self._order = []
+
+    @property
+    def max_entries(self):
+        if self._max is not None:
+            return self._max
+        try:
+            return int(os.environ.get('PROTEUS_TPU_ANC_CACHE', '4'))
+        except ValueError:
+            return 4
+
+    def get(self, key, compute):
+        if self.max_entries <= 0:
+            return compute()
+        with self._lock:
+            ent = self._entries.get(key)
+            if ent is None:
+                ent = {'event': threading.Event(), 'value': None,
+                       'error': None}
+                self._entries[key] = ent
+                self._order.append(key)
+                while len(self._order) > self.max_entries:
+                    old = self._order.pop(0)
+                    if old != key:
+                        self._entries.pop(old, None)
+                owner = True
+            else:
+                owner = False
+        if not owner:
+            ent['event'].wait()
+            if ent['error'] is not None:
+                raise ent['error']
+            return ent['value']
+        try:
+            ent['value'] = compute()
+        except BaseException as e:
+            ent['error'] = e
+            with self._lock:
+                self._entries.pop(key, None)
+                if key in self._order:
+                    self._order.remove(key)
+            ent['event'].set()
+            raise
+        ent['event'].set()
+        return ent['value']
+
+    def clear(self):
+        with self._lock:
+            self._entries.clear()
+            self._order.clear()
+
+
+ANCILLARY_CACHE = _AncillaryCache()
+
+
+def _fsig(path):
+    """File identity for cache keys: path + mtime + size."""
+    st = os.stat(path)
+    return (path, st.st_mtime_ns, st.st_size)
+
+
 class TileJob:
     """One campaign work item: HLS band files (+ optional ancillaries)
     -> output layer files."""
@@ -394,9 +523,10 @@ def _read_tile(job, flag_debug=False, config=None):
     from proteus_tpu.io import hls as hls_io
     image_dict = {}
     metadata = {}
-    ok = hls_io.load_hls_product_v2(job.input_files, image_dict, {}, {},
-                                    metadata, False,
-                                    flag_debug=flag_debug)
+    with STAGE_TIMES.stage('read_ingest_decode'):
+        ok = hls_io.load_hls_product_v2(job.input_files, image_dict, {},
+                                        {}, metadata, False,
+                                        flag_debug=flag_debug)
     if not ok:
         raise IOError(f'could not read tile {job.tile_id}')
     image_dict['hls_metadata'] = metadata
@@ -408,61 +538,94 @@ def _read_tile(job, flag_debug=False, config=None):
 
     if job.shoreline_shapefile:
         from proteus_tpu.geo.polygon import create_ocean_mask
-        image_dict['ocean_mask'] = create_ocean_mask(
-            job.shoreline_shapefile,
-            job.ocean_masking_shoreline_distance_km, '.', gt, proj,
-            length, width,
-            as_device=jax.devices()[0].platform == 'tpu')
+        with STAGE_TIMES.stage('read_ocean_mask'):
+            as_dev = jax.devices()[0].platform == 'tpu'
+            okey = ('ocean', _fsig(job.shoreline_shapefile),
+                    job.ocean_masking_shoreline_distance_km, gt, proj,
+                    length, width, as_dev)
+            image_dict['ocean_mask'] = ANCILLARY_CACHE.get(
+                okey, lambda: create_ocean_mask(
+                    job.shoreline_shapefile,
+                    job.ocean_masking_shoreline_distance_km, '.', gt,
+                    proj, length, width, as_device=as_dev))
 
     if job.dem_file:
         from proteus_tpu.geo.warp import warp_to_grid_device
         from proteus_tpu.models.dswx.shadow import \
             compute_opera_shadow_layer_exact
         from proteus_tpu.runtime.orchestrator import _mean_angle
-        az = _mean_angle(metadata.get('MEAN_SUN_AZIMUTH_ANGLE', '0'))
-        zen = _mean_angle(metadata.get('MEAN_SUN_ZENITH_ANGLE', '0'))
-        min_slope = (config.min_slope_angle
-                     if config is not None else -5.0)
-        max_inc = (config.max_sun_local_inc_angle
-                   if config is not None else 40.0)
-        m = C.DEM_MARGIN_IN_PIXELS
-        dem_m = warp_to_grid_device(job.dem_file, gt, proj, length,
-                                    width, resample_algorithm='cubic',
-                                    margin_in_pixels=m)
-        # keep shadow/DEM on device: they feed the device step and the
-        # writer pool (which materializes them there, overlapped) — the
-        # slow tunneled d2h link never sees them on the critical path
-        shad = compute_opera_shadow_layer_exact(dem_m, az, 90.0 - zen,
-                                                min_slope, max_inc,
-                                                as_device=True)
-        import jax.numpy as jnp
-        shad_crop = jnp.asarray(shad[m:-m, m:-m], jnp.uint8)
-        image_dict['shadow_layer'] = shad_crop
-        # the writer only needs the binary SHAD values: ship 1 bit/px
-        # (1.7 MB instead of 13.4) over the slow d2h link
-        image_dict['shadow_packed'] = pack_bits_device(shad_crop)
-        image_dict['dem'] = dem_m[m:-m, m:-m]
+        with STAGE_TIMES.stage('read_dem_shadow'):
+            az = _mean_angle(metadata.get('MEAN_SUN_AZIMUTH_ANGLE', '0'))
+            zen = _mean_angle(metadata.get('MEAN_SUN_ZENITH_ANGLE', '0'))
+            min_slope = (config.min_slope_angle
+                         if config is not None else -5.0)
+            max_inc = (config.max_sun_local_inc_angle
+                       if config is not None else 40.0)
+            m = C.DEM_MARGIN_IN_PIXELS
+            import jax.numpy as jnp
+            dkey = ('dem_warp', _fsig(job.dem_file), gt, proj, length,
+                    width, m)
+
+            def _warp_dem():
+                dem_m = warp_to_grid_device(
+                    job.dem_file, gt, proj, length, width,
+                    resample_algorithm='cubic', margin_in_pixels=m)
+                return dem_m, dem_m[m:-m, m:-m]
+
+            # keep shadow/DEM on device: they feed the device step and
+            # the writer pool (which materializes them there,
+            # overlapped) — the slow tunneled d2h link never sees them
+            # on the critical path. The DEM warp is per-grid (cached);
+            # the shadow depends on the granule's sun angles, so its
+            # cache key includes them
+            dem_m, dem_crop = ANCILLARY_CACHE.get(dkey, _warp_dem)
+            image_dict['dem'] = dem_crop
+
+            def _shadow():
+                shad = compute_opera_shadow_layer_exact(
+                    dem_m, az, 90.0 - zen, min_slope, max_inc,
+                    as_device=True)
+                shad_crop = jnp.asarray(shad[m:-m, m:-m], jnp.uint8)
+                # the writer only needs the binary SHAD values: ship
+                # 1 bit/px (1.7 MB instead of 13.4) over the slow d2h
+                return shad_crop, pack_bits_device(shad_crop)
+
+            skey = ('shadow', dkey, az, zen, min_slope, max_inc)
+            shad_crop, shad_packed = ANCILLARY_CACHE.get(skey, _shadow)
+            image_dict['shadow_layer'] = shad_crop
+            image_dict['shadow_packed'] = shad_packed
 
     if job.landcover_file and job.worldcover_file:
         from proteus_tpu.geo.warp import (warp_to_grid_device,
                                           worldcover_year_of)
         from proteus_tpu.models.dswx.landcover import \
             create_landcover_mask_arrays
-        cgls = warp_to_grid_device(job.landcover_file, gt, proj, length,
-                                   width, resample_algorithm='nearest')
-        gt3 = (gt[0], gt[1] / 3, 0.0, gt[3], 0.0, gt[5] / 3)
-        wc3 = warp_to_grid_device(job.worldcover_file, gt3, proj,
-                                  3 * length, 3 * width,
-                                  resample_algorithm='nearest')
-        year = worldcover_year_of(job.worldcover_file)
-        forest = (config.forest_mask_landcover_classes
-                  if config is not None else
-                  (20, 50, 111, 113, 115, 116, 121, 123, 125, 126))
-        import jax.numpy as jnp
-        image_dict['landcover_mask'] = jnp.asarray(
-            create_landcover_mask_arrays(
-                cgls, wc3, C.LANDCOVER_MASK_TYPE, forest,
-                worldcover_year=year), jnp.uint8)
+        with STAGE_TIMES.stage('read_landcover'):
+            forest = tuple(config.forest_mask_landcover_classes
+                           if config is not None else
+                           (20, 50, 111, 113, 115, 116, 121, 123, 125,
+                            126))
+
+            def _landcover():
+                cgls = warp_to_grid_device(job.landcover_file, gt, proj,
+                                           length, width,
+                                           resample_algorithm='nearest')
+                gt3 = (gt[0], gt[1] / 3, 0.0, gt[3], 0.0, gt[5] / 3)
+                wc3 = warp_to_grid_device(job.worldcover_file, gt3,
+                                          proj, 3 * length, 3 * width,
+                                          resample_algorithm='nearest')
+                year = worldcover_year_of(job.worldcover_file)
+                import jax.numpy as jnp
+                return jnp.asarray(
+                    create_landcover_mask_arrays(
+                        cgls, wc3, C.LANDCOVER_MASK_TYPE, forest,
+                        worldcover_year=year), jnp.uint8)
+
+            lkey = ('landcover', _fsig(job.landcover_file),
+                    _fsig(job.worldcover_file), gt, proj, length, width,
+                    C.LANDCOVER_MASK_TYPE, forest)
+            image_dict['landcover_mask'] = ANCILLARY_CACHE.get(
+                lkey, _landcover)
     return image_dict
 
 
@@ -476,11 +639,13 @@ def _write_tile(job, layers, image_dict, metadata, derive_opts=None):
     from proteus_tpu.runtime import ctables
     from proteus_tpu.runtime import product_writer as pw
     from proteus_tpu.io.png import geotiff2png
-    layers = {name: np.asarray(a) for name, a in layers.items()}
+    with STAGE_TIMES.stage('write_d2h_layers'):
+        layers = {name: np.asarray(a) for name, a in layers.items()}
     if 'DIAG6' in layers or 'PACKED_A' in layers:
         from proteus_tpu.models.dswx import host_derive
-        host_derive.derive_dependent_layers(layers,
-                                            **(derive_opts or {}))
+        with STAGE_TIMES.stage('write_unpack_derive'):
+            host_derive.derive_dependent_layers(layers,
+                                                **(derive_opts or {}))
     geotransform = image_dict['geotransform']
     projection = image_dict['projection']
     os.makedirs(job.output_dir, exist_ok=True)
@@ -494,62 +659,71 @@ def _write_tile(job, layers, image_dict, metadata, derive_opts=None):
 
     order = [('WTR', 1), ('BWTR', 2), ('CONF', 3), ('DIAG', 4),
              ('WTR-1', 5), ('WTR-2', 6), ('CLOUD', 9)]
-    for layer, nn in order:
-        path = path_for(nn, layer)
-        if layer in ('WTR', 'WTR-1', 'WTR-2'):
-            pw.save_dswx_product(layers[layer], layer, path, metadata,
-                                 geotransform, projection)
-        elif layer == 'CLOUD':
-            pw.save_cloud_layer(layers[layer], path, metadata,
-                                geotransform, projection,
-                                description=C.BAND_DESCRIPTION_DICT[
-                                    'CLOUD'])
-        elif layer == 'BWTR':
-            pw.save_binary_water(layers[layer], path, metadata,
-                                 geotransform, projection,
-                                 description=C.BAND_DESCRIPTION_DICT[
-                                     'BWTR'])
-        elif layer == 'CONF':
-            pw.save_array(layers[layer], path, metadata, geotransform,
-                          projection,
-                          description=C.BAND_DESCRIPTION_DICT['CONF'],
-                          ctable=ctables.get_confidence_layer_ctable(),
-                          no_data_value=C.UINT8_FILL_VALUE)
-        else:
-            pw.save_array(layers[layer], path, metadata, geotransform,
-                          projection,
-                          description=C.BAND_DESCRIPTION_DICT['DIAG'],
-                          no_data_value=
-                          C.DIAGNOSTIC_LAYER_NO_DATA_BINARY_REPR)
-        saved.append(path)
+    with STAGE_TIMES.stage('write_cog_science'):
+        for layer, nn in order:
+            path = path_for(nn, layer)
+            if layer in ('WTR', 'WTR-1', 'WTR-2'):
+                pw.save_dswx_product(layers[layer], layer, path,
+                                     metadata, geotransform, projection)
+            elif layer == 'CLOUD':
+                pw.save_cloud_layer(layers[layer], path, metadata,
+                                    geotransform, projection,
+                                    description=C.BAND_DESCRIPTION_DICT[
+                                        'CLOUD'])
+            elif layer == 'BWTR':
+                pw.save_binary_water(layers[layer], path, metadata,
+                                     geotransform, projection,
+                                     description=C.BAND_DESCRIPTION_DICT[
+                                         'BWTR'])
+            elif layer == 'CONF':
+                pw.save_array(layers[layer], path, metadata,
+                              geotransform, projection,
+                              description=C.BAND_DESCRIPTION_DICT[
+                                  'CONF'],
+                              ctable=
+                              ctables.get_confidence_layer_ctable(),
+                              no_data_value=C.UINT8_FILL_VALUE)
+            else:
+                pw.save_array(layers[layer], path, metadata,
+                              geotransform, projection,
+                              description=C.BAND_DESCRIPTION_DICT[
+                                  'DIAG'],
+                              no_data_value=
+                              C.DIAGNOSTIC_LAYER_NO_DATA_BINARY_REPR)
+            saved.append(path)
 
     if 'landcover_mask' in image_dict:
         path = path_for(7, 'LAND')
-        pw.save_array(image_dict['landcover_mask'], path, metadata,
-                      geotransform, projection,
-                      description=C.BAND_DESCRIPTION_DICT['LAND'],
-                      ctable=ctables.get_landcover_mask_ctable(),
-                      no_data_value=C.UINT8_FILL_VALUE)
+        with STAGE_TIMES.stage('write_cog_land'):
+            pw.save_array(image_dict['landcover_mask'], path, metadata,
+                          geotransform, projection,
+                          description=C.BAND_DESCRIPTION_DICT['LAND'],
+                          ctable=ctables.get_landcover_mask_ctable(),
+                          no_data_value=C.UINT8_FILL_VALUE)
         saved.append(path)
     if 'shadow_layer' in image_dict:
         path = path_for(8, 'SHAD')
-        if 'shadow_packed' in image_dict:
-            from proteus_tpu.models.dswx import host_derive
-            shad = host_derive.unpack_bits(image_dict['shadow_packed'],
-                                           image_dict['width'])
-        else:
-            shad = image_dict['shadow_layer']
-        pw.save_array(shad, path, metadata,
-                      geotransform, projection,
-                      description=C.BAND_DESCRIPTION_DICT['SHAD'],
-                      ctable=ctables.get_binary_mask_ctable())
+        with STAGE_TIMES.stage('write_cog_shad'):
+            if 'shadow_packed' in image_dict:
+                from proteus_tpu.models.dswx import host_derive
+                shad = host_derive.unpack_bits(
+                    image_dict['shadow_packed'], image_dict['width'])
+            else:
+                shad = image_dict['shadow_layer']
+            pw.save_array(shad, path, metadata,
+                          geotransform, projection,
+                          description=C.BAND_DESCRIPTION_DICT['SHAD'],
+                          ctable=ctables.get_binary_mask_ctable())
         saved.append(path)
     if 'dem' in image_dict:
         path = path_for(10, 'DEM')
-        pw.save_array(image_dict['dem'], path, metadata, geotransform,
-                      projection,
-                      description=C.BAND_DESCRIPTION_DICT['DEM'],
-                      no_data_value=float('nan'))
+        with STAGE_TIMES.stage('write_d2h_dem'):
+            dem_host = np.asarray(image_dict['dem'])
+        with STAGE_TIMES.stage('write_cog_dem_float32'):
+            pw.save_array(dem_host, path, metadata,
+                          geotransform, projection,
+                          description=C.BAND_DESCRIPTION_DICT['DEM'],
+                          no_data_value=float('nan'))
         saved.append(path)
 
     if 'BROWSE' in layers:
@@ -558,11 +732,12 @@ def _write_tile(job, layers, image_dict, metadata, derive_opts=None):
             f'{job.product_id}_v{job.product_version}_BROWSE.tif')
         browse_png = browse_tif.replace('.tif', '.png')
         ct = ctables.get_browse_ctable()
-        pw.save_array(layers['BROWSE'], browse_tif, metadata,
-                      geotransform, projection, ctable=ct,
-                      no_data_value=C.UINT8_FILL_VALUE)
-        geotiff2png(browse_tif, browse_png, output_height=1024,
-                    output_width=1024, rgba_ctable=ct)
+        with STAGE_TIMES.stage('write_browse'):
+            pw.save_array(layers['BROWSE'], browse_tif, metadata,
+                          geotransform, projection, ctable=ct,
+                          no_data_value=C.UINT8_FILL_VALUE)
+            geotiff2png(browse_tif, browse_png, output_height=1024,
+                        output_width=1024, rgba_ctable=ct)
         saved += [browse_tif, browse_png]
     return saved
 
@@ -745,6 +920,8 @@ class CampaignRunner:
                 logger.error(f'tile {job.tile_id} write failed: {e}')
                 self.manifest.mark(job.tile_id, 'failed', error=str(e))
                 stats['tiles_failed'] += 1
+        if STAGE_TIMES.enabled:
+            stats['stage_seconds'] = STAGE_TIMES.table()
         return stats
 
     def _run_batch(self, loaded):
@@ -795,9 +972,11 @@ class CampaignRunner:
                 stack('landcover_mask', np.uint8, pad_value=255),
                 sharding))
         step = self._step_for(with_ocean, with_shadow, with_landcover)
-        out, totals = step(*args)
-        # out stays on device: the writer pool materializes per-tile
-        # slices, overlapping the transfers with the next batch's compute
-        totals = jax.device_get(totals)
+        with STAGE_TIMES.stage('batch_device_step_dispatch'):
+            out, totals = step(*args)
+            # out stays on device: the writer pool materializes per-tile
+            # slices, overlapping the transfers with the next batch's
+            # compute
+            totals = jax.device_get(totals)
         del n
         return out, totals

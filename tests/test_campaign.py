@@ -338,6 +338,90 @@ def test_campaign_full_product_with_ancillaries(tmp_path):
         assert (east == 254).mean() > 0.9, east
 
 
+class TestAncillaryCache:
+    def test_single_flight(self):
+        import threading
+        from proteus_tpu.parallel.campaign import _AncillaryCache
+        cache = _AncillaryCache(max_entries=4)
+        calls = []
+        barrier = threading.Barrier(4)
+
+        def compute():
+            calls.append(1)
+            import time
+            time.sleep(0.05)
+            return object()
+
+        results = []
+
+        def worker():
+            barrier.wait()
+            results.append(cache.get('k', compute))
+
+        threads = [threading.Thread(target=worker) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(calls) == 1
+        assert all(r is results[0] for r in results)
+
+    def test_lru_and_error_eviction(self):
+        from proteus_tpu.parallel.campaign import _AncillaryCache
+        cache = _AncillaryCache(max_entries=2)
+        a = cache.get('a', lambda: 'va')
+        assert cache.get('a', lambda: 'NEW') == 'va'
+        cache.get('b', lambda: 'vb')
+        cache.get('c', lambda: 'vc')  # evicts 'a'
+        assert cache.get('a', lambda: 'va2') == 'va2'
+        with pytest.raises(RuntimeError):
+            cache.get('err', lambda: (_ for _ in ()).throw(
+                RuntimeError('x')))
+        # a failed computation is not cached
+        assert cache.get('err', lambda: 'ok') == 'ok'
+        del a
+
+    def test_disabled_via_env(self, monkeypatch):
+        from proteus_tpu.parallel.campaign import _AncillaryCache
+        monkeypatch.setenv('PROTEUS_TPU_ANC_CACHE', '0')
+        cache = _AncillaryCache()
+        calls = []
+        cache.get('k', lambda: calls.append(1))
+        cache.get('k', lambda: calls.append(1))
+        assert len(calls) == 2
+
+    def test_read_tile_reuses_dem_warp(self, tmp_path, monkeypatch):
+        """Two jobs on the same grid share one DEM/landcover warp; the
+        shadow key includes the sun angles."""
+        from proteus_tpu.parallel import campaign as camp
+        import proteus_tpu.geo.warp as warp_mod
+        camp.ANCILLARY_CACHE.clear()
+        d = str(tmp_path / 'in')
+        files, _ = synthetic.make_hls_v2_dataset(d, size=96)
+        dem = synthetic.make_dem(str(tmp_path), size=96)
+        lc = synthetic.make_landcover(str(tmp_path), size=96)
+        wc = synthetic.make_worldcover(str(tmp_path), size=96)
+        calls = {'warp': 0}
+        orig = warp_mod.warp_to_grid_device
+
+        def counting(*a, **kw):
+            calls['warp'] += 1
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(warp_mod, 'warp_to_grid_device', counting)
+        job = TileJob('c0', files, str(tmp_path / 'o'), dem_file=dem,
+                      landcover_file=lc, worldcover_file=wc)
+        d1 = camp._read_tile(job, config=DswxChainConfig())
+        n_first = calls['warp']
+        assert n_first == 3  # dem + cgls + worldcover
+        d2 = camp._read_tile(job, config=DswxChainConfig())
+        assert calls['warp'] == n_first  # all cache hits
+        assert d2['dem'] is d1['dem']
+        assert d2['landcover_mask'] is d1['landcover_mask']
+        assert d2['shadow_layer'] is d1['shadow_layer']
+        camp.ANCILLARY_CACHE.clear()
+
+
 def test_campaign_runner_spatial_shards(tmp_path):
     """CampaignRunner with a 2-D (tile x space) mesh produces the same
     products as the data-parallel runner, ancillaries included."""

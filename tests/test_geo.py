@@ -373,12 +373,98 @@ class TestPolarStereographic:
                                    'EPSG:32615', size, size, {})
 
 
-def test_unsupported_resample_algorithm_raises(latlon_source):
-    path, gt, arr = latlon_source
-    tile_gt = (700000.0, 30.0, 0.0, 3395100.0, 0.0, -30.0)
-    with pytest.raises((ValueError, KeyError)):
-        warp_to_grid(path, tile_gt, 'EPSG:32615', 64, 64,
-                     resample_algorithm='average')
+class TestAverageResampler:
+    """GDAL GRA_Average semantics: area-weighted mean over the target
+    pixel's source-space footprint bbox, nodata renormalized."""
+
+    def _brute_force(self, fdata, valid, uc, vc, fill, wraps, width):
+        h, w = fdata.shape
+        rows, cols = uc.shape[0] - 1, uc.shape[1] - 1
+        out = np.full((rows, cols), fill, np.float64)
+        for i in range(rows):
+            for j in range(cols):
+                xs = [uc[i, j], uc[i, j + 1], uc[i + 1, j],
+                      uc[i + 1, j + 1]]
+                ys = [vc[i, j], vc[i, j + 1], vc[i + 1, j],
+                      vc[i + 1, j + 1]]
+                if wraps:
+                    x0 = xs[0]
+                    xs = [x - width * round((x - x0) / width)
+                          for x in xs]
+                if not all(np.isfinite(xs + ys)):
+                    continue
+                xmin, xmax = min(xs), max(xs)
+                ymin, ymax = min(ys), max(ys)
+                acc = wacc = 0.0
+                for cy in range(int(np.floor(ymin)),
+                                int(np.ceil(ymax)) + 1):
+                    wy = max(0.0, min(cy + 1, ymax) - max(cy, ymin))
+                    if wy <= 0 or cy < 0 or cy >= h:
+                        continue
+                    for cx in range(int(np.floor(xmin)),
+                                    int(np.ceil(xmax)) + 1):
+                        wx = max(0.0, min(cx + 1, xmax) - max(cx, xmin))
+                        if wx <= 0:
+                            continue
+                        cxx = cx % width if wraps else cx
+                        if cxx < 0 or cxx >= w:
+                            continue
+                        if valid is not None and not valid[cy, cxx]:
+                            continue
+                        acc += fdata[cy, cxx] * wx * wy
+                        wacc += wx * wy
+                if wacc > 0:
+                    out[i, j] = acc / wacc
+        return out
+
+    @pytest.mark.parametrize('wraps', [False, True])
+    def test_block_matches_brute_force(self, wraps):
+        from proteus_tpu.geo.warp import _resample_block_average
+        rng = np.random.default_rng(21)
+        h, w = 40, 60
+        fdata = rng.normal(0, 100, (h, w))
+        valid = rng.random((h, w)) > 0.1
+        rows, cols = 12, 15
+        # random smooth footprints, 0.5..4 source cells across
+        base_u = np.cumsum(rng.uniform(0.5, 4.0, cols + 1)) + \
+            (w - 10 if wraps else 3)
+        base_v = np.cumsum(rng.uniform(0.5, 4.0, rows + 1)) + 2
+        uc = base_u[None, :] + rng.normal(0, 0.2, (rows + 1, cols + 1))
+        vc = base_v[:, None] + rng.normal(0, 0.2, (rows + 1, cols + 1))
+        if wraps:
+            uc = uc % w
+        got = _resample_block_average(fdata, valid, uc, vc, -999.0,
+                                      wraps, w)
+        want = self._brute_force(fdata, valid, uc, vc, -999.0, wraps, w)
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-9)
+
+    def test_warp_average_constant_and_blockmean(self, tmp_path):
+        """An aligned 3x downsample must reproduce exact block means."""
+        rng = np.random.default_rng(5)
+        h = w = 90
+        arr = rng.integers(0, 1000, (h, w)).astype(np.float32)
+        # source: 10 m UTM grid; target: 30 m grid on the same origin
+        gt = (500000.0, 10.0, 0.0, 4000000.0, 0.0, -10.0)
+        path = str(tmp_path / 'avg_src.tif')
+        write_cog(path, arr, geotransform=gt, epsg=32615,
+                  overview_levels=())
+        tile_gt = (500000.0, 30.0, 0.0, 4000000.0, 0.0, -30.0)
+        out = warp_to_grid(path, tile_gt, 'EPSG:32615', 30, 30,
+                           resample_algorithm='average',
+                           dtype=np.float64)
+        want = arr.astype(np.float64).reshape(30, 3, 30, 3).mean((1, 3))
+        np.testing.assert_allclose(out, want, rtol=1e-7)
+
+    def test_warp_average_nodata_and_device_route(self, latlon_source):
+        path, gt, arr = latlon_source
+        tile_gt = (700000.0, 90.0, 0.0, 3395100.0, 0.0, -90.0)
+        host = warp_to_grid(path, tile_gt, 'EPSG:32615', 40, 40,
+                            resample_algorithm='average')
+        dev = np.asarray(warp_to_grid_device(
+            path, tile_gt, 'EPSG:32615', 40, 40,
+            resample_algorithm='average'))
+        nn = (host != host) & (dev != dev)
+        assert ((host == dev) | nn).all()
 
 
 class TestRasterizer:
