@@ -75,6 +75,7 @@ def run_pass(files, extra, out_root, n_tiles, tag):
         os.makedirs(j.output_dir, exist_ok=True)
     runner = CampaignRunner(
         config=DswxChainConfig(), save_browse=True,
+        scaled_inputs=os.environ.get('PROTEUS_TPU_BENCH_SCALED') == '1',
         tiles_per_device=int(os.environ.get(
             'PROTEUS_TPU_TILES_PER_DEVICE', '1')))
     from proteus_tpu.parallel.campaign import STAGE_TIMES
@@ -119,9 +120,12 @@ def main():
     times.sort()
     med = times[len(times) // 2]
     tpm = args.tiles / med * 60.0
+    scaled_tag = '_scaled' \
+        if os.environ.get('PROTEUS_TPU_BENCH_SCALED') == '1' else ''
     print(json.dumps({
         'metric': f'e2e_campaign_tiles_per_min_{args.size}x{args.size}'
-                  + ('' if args.no_ancillaries else '_all_ancillaries'),
+                  + ('' if args.no_ancillaries else '_all_ancillaries')
+                  + scaled_tag,
         'value': round(tpm, 2),
         'unit': 'tiles/min',
         'vs_baseline': round(tpm / ROUND1_TILES_PER_MIN, 2),

@@ -41,8 +41,10 @@ def get_parser():
                              '<output-dir>/campaign_manifest.json')
     parser.add_argument('--product-version', type=str, default='1.0')
     parser.add_argument('--max-retries', type=int, default=2)
-    parser.add_argument('--reader-threads', type=int, default=8)
-    parser.add_argument('--writer-threads', type=int, default=8)
+    parser.add_argument('--reader-threads', type=int, default=None,
+                        help='default: scaled to the host core count')
+    parser.add_argument('--writer-threads', type=int, default=None,
+                        help='default: scaled to the host core count')
     parser.add_argument('--mask-adjacent-to-cloud-mode', type=str,
                         choices=['mask', 'ignore', 'cover'],
                         default='mask')
@@ -62,6 +64,11 @@ def get_parser():
     parser.add_argument('--browse', dest='save_browse',
                         action='store_true', default=False,
                         help='Also produce browse GeoTIFF + PNG per tile')
+    parser.add_argument('--scaled', dest='scaled_inputs',
+                        action='store_true', default=False,
+                        help='Apply per-band scale/offset at ingest and '
+                             'run the float32 science chain (reference '
+                             'flag_offset_and_scale_inputs)')
     parser.add_argument("--tiles-per-device", type=int, default=1,
                         help="Tiles per device per batch (amortizes "
                              "dispatch overhead on high-latency links)")
@@ -146,7 +153,8 @@ def main(argv=None):
                             flag_debug=args.flag_debug,
                             save_browse=args.save_browse,
                             spatial_shards=args.spatial_shards,
-                            tiles_per_device=args.tiles_per_device)
+                            tiles_per_device=args.tiles_per_device,
+                            scaled_inputs=args.scaled_inputs)
     stats = runner.run(jobs)
     logger.info(f'campaign complete: {stats}')
     if stats['tiles_failed']:

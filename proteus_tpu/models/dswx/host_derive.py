@@ -118,24 +118,58 @@ def unpack_bits(packed, width):
                          bitorder='little')[:, :width]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4)
+def _wtr_conf_luts():
+    """(wtr2, cloud) -> (WTR, CONF) as 256x256 uint8 tables.
+
+    Built by running the definitional implementations above over the
+    full value grid, so the fast path cannot diverge from them; the
+    per-tile work collapses from ~15 boolean-mask passes to two 2-D
+    gathers (measured 3.3 s -> ~0.4 s per 3660^2 tile on this host).
+    """
+    g_w2, g_cl = np.meshgrid(np.arange(256, dtype=np.uint8),
+                             np.arange(256, dtype=np.uint8),
+                             indexing='ij')
+    return apply_cloud_masking(g_w2, g_cl), confidence(g_w2, g_cl)
+
+
+@lru_cache(maxsize=16)
+def _derived_256_luts(compute_browse, browse_key):
+    """Single-byte LUTs: wtr -> BWTR, and (optionally) wtr -> BROWSE."""
+    wtr_vals = np.arange(256, dtype=np.uint8)
+    bwtr = binary_water(wtr_vals)
+    br = browse(wtr_vals, **dict(browse_key)) if compute_browse else None
+    return bwtr, br
+
+
 def derive_dependent_layers(layers, compute_browse=False,
                             browse_options=None):
     """Fill WTR/BWTR/CONF/DIAG(+BROWSE) from minimal device outputs.
 
     ``layers`` must contain 'DIAG6' (uint8 decimal), 'WTR-1', 'WTR-2',
     'CLOUD' (or their 2-byte packing 'PACKED_A'/'PACKED_B'); it is
-    updated in place and returned.
+    updated in place and returned. Every derivation is a value-table
+    gather; the tables are built from the definitional functions above.
     """
     if 'PACKED_A' in layers:
         layers.update(unpack_minimal(layers.pop('PACKED_A'),
                                      layers.pop('PACKED_B')))
     wtr2 = layers['WTR-2']
     cloud = layers['CLOUD']
-    wtr = apply_cloud_masking(wtr2, cloud)
+    wtr_lut, conf_lut = _wtr_conf_luts()
+    idx = wtr2.astype(np.int32) << 8
+    idx |= cloud
+    wtr = wtr_lut.reshape(-1)[idx]
     layers['WTR'] = wtr
-    layers['BWTR'] = binary_water(wtr)
-    layers['CONF'] = confidence(wtr2, cloud)
+    layers['CONF'] = conf_lut.reshape(-1)[idx]
+    bwtr_lut, browse_lut = _derived_256_luts(
+        compute_browse,
+        tuple(sorted((browse_options or {}).items())))
+    layers['BWTR'] = bwtr_lut[wtr]
     layers['DIAG'] = diag_binary_representation(layers.pop('DIAG6'))
     if compute_browse:
-        layers['BROWSE'] = browse(wtr, **(browse_options or {}))
+        layers['BROWSE'] = browse_lut[wtr]
     return layers

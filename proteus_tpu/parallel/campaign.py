@@ -84,23 +84,24 @@ class StageTimes:
 STAGE_TIMES = StageTimes()
 
 
-def _campaign_uses_pallas(config):
+def _campaign_uses_pallas(config, float_inputs=False):
     """The fused Pallas kernel runs the per-tile science on TPU (49x the
     XLA chain on-device; see tools/pallas_tpu_parity.py for the committed
     bit-identity evidence). Opt out with PROTEUS_TPU_USE_PALLAS=0; falls
-    back automatically off-TPU or for non-rational thresholds."""
+    back automatically off-TPU or for thresholds the kernel cannot
+    express (probe the builder — it owns the rules)."""
     if os.environ.get('PROTEUS_TPU_USE_PALLAS', '1') in ('0', 'off',
                                                          'false'):
         return False
     import jax as _jax
     if _jax.devices()[0].platform != 'tpu':
         return False
-    from proteus_tpu.core.thresholds import ExactThresholds
-    et = ExactThresholds.from_thresholds(config.thresholds)
-    return all(getattr(et, f)[2] for f in (
-        'wigt', 'awgt', 'pswt_1_mndwi', 'pswt_1_nir', 'pswt_1_swir1',
-        'pswt_1_ndvi', 'pswt_2_mndwi', 'pswt_2_blue', 'pswt_2_nir',
-        'pswt_2_swir1', 'pswt_2_swir2', 'lcmask_nir'))
+    from proteus_tpu.ops.pallas.wtr_kernel import make_wtr_kernel
+    try:
+        make_wtr_kernel(config, float_inputs=float_inputs)
+    except ValueError:
+        return False
+    return True
 
 
 def _pack_minimal_device(out):
@@ -149,17 +150,21 @@ def make_campaign_step(config: DswxChainConfig, mesh,
                        compute_browse=False, with_ocean=False,
                        with_shadow=False, with_landcover=False,
                        use_pallas=None, pallas_interpret=False,
-                       pallas_block_rows=None):
+                       pallas_block_rows=None, float_inputs=False):
     """Build the sharded multi-tile step.
 
     The returned function maps batched [B, H, W] band/fmask/invalid arrays
     (plus optional ocean/shadow/landcover mask batches, B sharded over the
     mesh's tile axis) to per-tile output layers (same sharding) plus
     replicated campaign totals (psum over ICI).
+
+    ``float_inputs=True`` is the scaled-reflectance campaign: bands are
+    float32 (ingest applied scale/offset) and the kernel runs its
+    float-input variant (reference dswx_hls.py:2298-2302 semantics).
     """
     n_extra = int(with_ocean) + int(with_shadow) + int(with_landcover)
     if use_pallas is None:
-        use_pallas = _campaign_uses_pallas(config)
+        use_pallas = _campaign_uses_pallas(config, float_inputs)
     # minimal-transfer mode: the kernel emits only the independent layers
     # (DIAG6/WTR-1/WTR-2/CLOUD), which a device epilogue packs into
     # 2 bytes/px (~27 MB/tile instead of ~107); the writer pool unpacks
@@ -173,7 +178,7 @@ def make_campaign_step(config: DswxChainConfig, mesh,
             config, with_ocean=with_ocean, with_shadow=with_shadow,
             with_landcover=with_landcover, compute_browse=compute_browse,
             minimal_outputs=minimal, interpret=pallas_interpret,
-            block_rows=pallas_block_rows)
+            block_rows=pallas_block_rows, float_inputs=float_inputs)
 
     def per_tile(b, g, r, n, s1, s2, fm, inv, *extras):
         it = iter(extras)
@@ -517,15 +522,48 @@ class TileJob:
             ocean_masking_shoreline_distance_km
 
 
-def _read_tile(job, flag_debug=False, config=None):
+_FAULT_LOCK = threading.Lock()
+_FAULT_ATTEMPTS = {}
+
+
+def _maybe_inject_fault(tile_id):
+    """Test-only fault injection (SURVEY.md section 5: the reference has
+    no fault-injection facility; campaigns need one to prove the
+    retry/resume machinery on real runs).
+
+    PROTEUS_TPU_FAULT_INJECT="tileA:2,tileB" makes the reader raise an
+    IOError for tileA on its first 2 attempts and for tileB on its
+    first attempt — a transient failure the retry path must absorb.
+    """
+    spec = os.environ.get('PROTEUS_TPU_FAULT_INJECT')
+    if not spec:
+        return
+    for item in spec.split(','):
+        parts = item.strip().split(':')
+        if not parts or parts[0] != tile_id:
+            continue
+        n = int(parts[1]) if len(parts) > 1 else 1
+        with _FAULT_LOCK:
+            k = _FAULT_ATTEMPTS.get(tile_id, 0)
+            _FAULT_ATTEMPTS[tile_id] = k + 1
+        if k < n:
+            raise IOError(
+                f'injected fault for {tile_id} (attempt {k + 1}/{n})')
+
+
+def _read_tile(job, flag_debug=False, config=None, scaled=False):
     """Decode one tile's bands + prepare its ancillary masks (runs in the
-    reader pool, overlapping the device step of the previous batch)."""
+    reader pool, overlapping the device step of the previous batch).
+
+    ``scaled=True`` applies the per-band scale/offset at ingest
+    (float32 reflectance, reference dswx_hls.py:2298-2302)."""
+    _maybe_inject_fault(job.tile_id)
     from proteus_tpu.io import hls as hls_io
     image_dict = {}
     metadata = {}
     with STAGE_TIMES.stage('read_ingest_decode'):
         ok = hls_io.load_hls_product_v2(job.input_files, image_dict, {},
-                                        {}, metadata, False,
+                                        {}, metadata, scaled,
                                         flag_debug=flag_debug)
     if not ok:
         raise IOError(f'could not read tile {job.tile_id}')
@@ -752,11 +790,22 @@ class CampaignRunner:
     """
 
     def __init__(self, config: DswxChainConfig = None, mesh=None,
-                 manifest_path=None, max_retries=2, reader_threads=8,
-                 writer_threads=8, flag_debug=False, save_browse=False,
-                 processing_params=None, spatial_shards=1,
-                 tiles_per_device=1):
+                 manifest_path=None, max_retries=2, reader_threads=None,
+                 writer_threads=None, flag_debug=False,
+                 save_browse=False, processing_params=None,
+                 spatial_shards=1, tiles_per_device=1,
+                 scaled_inputs=False):
+        # pool sizing: enough threads to overlap device/link waits with
+        # host work, but not so many that they thrash a small host — on
+        # a 1-core box 8+8 threads time-slice the NumPy/codec work and
+        # inflate every stage (measured, BENCH_NOTES.md round 3)
+        ncpu = os.cpu_count() or 1
+        if reader_threads is None:
+            reader_threads = max(2, min(8, ncpu))
+        if writer_threads is None:
+            writer_threads = max(2, min(8, ncpu))
         self.config = config or DswxChainConfig()
+        self.scaled_inputs = bool(scaled_inputs)
         self.tiles_per_device = max(1, int(tiles_per_device))
         self.spatial_shards = max(1, int(spatial_shards))
         if mesh is not None:
@@ -791,6 +840,10 @@ class CampaignRunner:
         key = (with_ocean, with_shadow, with_landcover)
         if key not in self._steps:
             if self.spatial_shards > 1:
+                if self.scaled_inputs:
+                    raise NotImplementedError(
+                        'scaled_inputs with spatial_shards is not '
+                        'wired; use the data-parallel runner')
                 self._steps[key] = make_spatial_campaign_step(
                     self.config, self.mesh,
                     compute_browse=self.save_browse,
@@ -801,7 +854,8 @@ class CampaignRunner:
                     self.config, self.mesh,
                     compute_browse=self.save_browse,
                     with_ocean=with_ocean, with_shadow=with_shadow,
-                    with_landcover=with_landcover)
+                    with_landcover=with_landcover,
+                    float_inputs=self.scaled_inputs)
         return self._steps[key]
 
     def _tile_metadata(self, job, image_dict):
@@ -856,8 +910,33 @@ class CampaignRunner:
         def submit(batch):
             return [(j, self._readers.submit(_read_tile, j,
                                              self.flag_debug,
-                                             self.config))
+                                             self.config,
+                                             self.scaled_inputs))
                     for j in batch]
+
+        marked = set()
+
+        def drain_writes(block):
+            """Mark finished writes in the manifest NOW (not at campaign
+            end) so a killed campaign resumes from every tile whose
+            outputs actually landed — the soak harness
+            (tools/campaign_soak.py) kills mid-run and depends on it."""
+            for job, fut in write_futures:
+                if job.tile_id in marked:
+                    continue
+                if not block and not fut.done():
+                    continue
+                marked.add(job.tile_id)
+                try:
+                    saved = fut.result()
+                    self.manifest.mark(job.tile_id, 'done',
+                                       outputs=saved)
+                    stats['tiles_done'] += 1
+                except Exception as e:  # noqa: BLE001
+                    logger.error(f'tile {job.tile_id} write failed: {e}')
+                    self.manifest.mark(job.tile_id, 'failed',
+                                       error=str(e))
+                    stats['tiles_failed'] += 1
 
         # prefetch the first batch; retries may append batches mid-flight
         prefetch = submit(batch_list[0]) if batch_list else None
@@ -910,16 +989,9 @@ class CampaignRunner:
                     (job, self._writers.submit(
                         _write_tile, job, layers, image_dict, md,
                         self._derive_opts())))
+            drain_writes(block=False)
 
-        for job, fut in write_futures:
-            try:
-                saved = fut.result()
-                self.manifest.mark(job.tile_id, 'done', outputs=saved)
-                stats['tiles_done'] += 1
-            except Exception as e:  # noqa: BLE001
-                logger.error(f'tile {job.tile_id} write failed: {e}')
-                self.manifest.mark(job.tile_id, 'failed', error=str(e))
-                stats['tiles_failed'] += 1
+        drain_writes(block=True)
         if STAGE_TIMES.enabled:
             stats['stage_seconds'] = STAGE_TIMES.table()
         return stats
@@ -950,8 +1022,10 @@ class CampaignRunner:
         else:
             sharding = NamedSharding(self.mesh, P(TILE_AXIS))
         args = []
+        band_dtype = np.float32 if self.scaled_inputs else np.int16
         for key in ('blue', 'green', 'red', 'nir', 'swir1', 'swir2'):
-            args.append(jax.device_put(stack(key, np.int16), sharding))
+            args.append(jax.device_put(stack(key, band_dtype),
+                                       sharding))
         args.append(jax.device_put(stack('fmask', np.uint8), sharding))
         # pad tiles are fully invalid so they contribute nothing to the
         # campaign statistics

@@ -1,0 +1,58 @@
+"""CI assertions on the committed on-hardware parity artifacts.
+
+PALLAS_TPU_PARITY.json and SCALED_TPU_PARITY.json are produced on the
+real TPU (tools/pallas_tpu_parity.py, tools/scaled_tpu_parity.py) and
+committed; interpret-mode equivalents of the same checks run in this
+suite. These tests pin the artifacts' presence and schema so they cannot
+silently rot or be regenerated with regressions (VERDICT r2 item 9).
+"""
+
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name):
+    path = os.path.join(REPO, name)
+    assert os.path.isfile(path), f'{name} missing at repo root'
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def test_pallas_parity_artifact():
+    d = _load('PALLAS_TPU_PARITY.json')
+    assert d['platform'] == 'tpu'
+    assert d['size'] >= 3660
+    cases = d['cases']
+    modes = {(c['mode'], bool(c['ancillaries'])) for c in cases}
+    # every adjacent-to-cloud mode x ancillary combination
+    assert modes >= {(m, a) for m in ('mask', 'ignore', 'cover')
+                     for a in (False, True)}, modes
+    for c in cases:
+        assert c['bit_identical'] is True, c
+        assert all(v == 0 for v in c['mismatched_pixels'].values()), c
+        assert set(c['mismatched_pixels']) >= {
+            'WTR', 'BWTR', 'CONF', 'DIAG', 'WTR-1', 'WTR-2', 'CLOUD'}
+
+
+def test_scaled_parity_artifact():
+    d = _load('SCALED_TPU_PARITY.json')
+    assert d['platform'] == 'tpu'
+    ratio = d['ratio_cmp']
+    assert len(ratio) >= 8
+    for rec in ratio:
+        assert rec['mismatches'] == 0, rec
+        assert rec['n'] >= 1_000_000  # boundary-adjacent quotients
+    # full-tile diag + kernel sections must exist and be clean
+    for key in [k for k in d if k not in ('platform', 'ratio_cmp')]:
+        val = d[key]
+        if isinstance(val, dict) and 'mismatches' in val:
+            assert val['mismatches'] == 0, (key, val)
+
+
+def test_multichip_artifact():
+    d = _load('MULTICHIP_r02.json')
+    assert d.get('ok') is True
+    assert not d.get('skipped')
+    assert d.get('n_devices', 0) >= 8

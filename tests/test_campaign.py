@@ -338,6 +338,60 @@ def test_campaign_full_product_with_ancillaries(tmp_path):
         assert (east == 254).mean() > 0.9, east
 
 
+def test_campaign_runner_scaled_inputs(tmp_path):
+    """Scaled-reflectance campaign (float32 science chain): products
+    must match the orchestrator's scaled mode on the same granule."""
+    from proteus_tpu.runtime.orchestrator import generate_dswx_layers
+    d = str(tmp_path / 'in')
+    files, _bands = synthetic.make_hls_v2_dataset(d, size=96, seed=321)
+    out = str(tmp_path / 'camp')
+    jobs = [TileJob('S0', files, out, product_id='sc')]
+    runner = CampaignRunner(config=DswxChainConfig(),
+                            scaled_inputs=True)
+    stats = runner.run(jobs)
+    assert stats['tiles_failed'] == 0
+    ref_out = str(tmp_path / 'orch_wtr.tif')
+    ok = generate_dswx_layers(files, output_interpreted_band=ref_out,
+                              flag_offset_and_scale_inputs=True,
+                              check_ancillary_inputs_coverage=False,
+                              apply_ocean_masking=False)
+    assert ok
+    got_f = glob.glob(os.path.join(out, '*_B01_WTR.tif'))[0]
+    with TiffReader(got_f) as rg, TiffReader(ref_out) as rr:
+        np.testing.assert_array_equal(rg.read(), rr.read())
+
+
+def test_campaign_step_pallas_minimal_float(tmp_path):
+    """The float-input Pallas kernel through the packed campaign step
+    (interpret mode) matches the float jnp chain bit-for-bit."""
+    from proteus_tpu.models.dswx import host_derive
+    from proteus_tpu.models.dswx.chain import dswx_chain
+    mesh = make_tile_mesh()
+    cfg = DswxChainConfig()
+    step = make_campaign_step(cfg, mesh, use_pallas=True,
+                              pallas_interpret=True, pallas_block_rows=8,
+                              float_inputs=True)
+    rng = np.random.default_rng(9)
+    B, H, W = 8, 64, 64
+    bands = [(np.float32(0.0001)
+              * np.clip(rng.integers(-2000, 15000, (B, H, W)), 1,
+                        None).astype(np.float32)) for _ in range(6)]
+    fmask = rng.integers(0, 256, (B, H, W)).astype(np.uint8)
+    invalid = rng.random((B, H, W)) < 0.05
+    out, totals = step(*bands, fmask, invalid)
+    for k in range(B):
+        minimal = {key: np.asarray(out[key][k])
+                   for key in ('PACKED_A', 'PACKED_B')}
+        derived = host_derive.derive_dependent_layers(dict(minimal))
+        want = dswx_chain(*[b[k] for b in bands], fmask[k], invalid[k],
+                          cfg)
+        for layer in ('DIAG', 'WTR-1', 'WTR-2', 'WTR', 'BWTR', 'CONF',
+                      'CLOUD'):
+            np.testing.assert_array_equal(
+                derived[layer], np.asarray(want[layer]),
+                err_msg=f'tile {k} {layer}')
+
+
 class TestAncillaryCache:
     def test_single_flight(self):
         import threading

@@ -1,0 +1,197 @@
+"""Campaign soak + fault injection on real hardware (VERDICT r2 item 4).
+
+One recorded run proving the campaign's failure-handling machinery at
+scale on the actual device:
+
+  1. build 32 distinct synthetic HLS granules sharing one MGRS grid and
+     one ancillary set (the production time-series pattern);
+  2. phase A: launch `dswx_campaign` as a subprocess with a TRANSIENT
+     injected reader fault on one tile (PROTEUS_TPU_FAULT_INJECT) and
+     SIGKILL the process mid-campaign once the manifest shows progress;
+  3. phase B: relaunch the identical command — the manifest resume must
+     skip every completed tile and finish exactly the remainder;
+  4. verify: all 32 tiles 'done', the faulted tile retried and
+     succeeded, phase-A outputs untouched by phase B (mtime check), and
+     every product is a structurally valid COG.
+
+Writes SOAK_CAMPAIGN.json at the repo root — commit it as the artifact.
+
+    python tools/campaign_soak.py [--tiles 32] [--size 3660]
+                                  [--kill-after-done 6]
+
+Small sizes (--size 512) rehearse the harness quickly on CPU.
+"""
+
+import argparse
+import glob
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, 'tests'))
+
+
+def build_dataset(root, n_tiles, size):
+    import synthetic
+    dirs = []
+    for t in range(n_tiles):
+        d = os.path.join(root, f'tile_{t:02d}')
+        if not os.path.isdir(d):
+            synthetic.make_hls_v2_dataset(d, size=size, seed=9000 + t)
+        dirs.append(d)
+    anc = os.path.join(root, 'anc')
+    os.makedirs(anc, exist_ok=True)
+    dem = synthetic.make_dem(anc, size=size)
+    lc = synthetic.make_landcover(anc, size=size)
+    wc = synthetic.make_worldcover(anc, size=size)
+    shore = synthetic.make_shoreline(anc, size=size)
+    return dirs, dem, lc, wc, shore
+
+
+def manifest_counts(path):
+    if not os.path.isfile(path):
+        return {}
+    try:
+        with open(path) as fh:
+            state = json.load(fh)
+    except ValueError:
+        return {}
+    counts = {}
+    for entry in state.values():
+        s = entry.get('status', '?')
+        counts[s] = counts.get(s, 0) + 1
+    return counts
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--tiles', type=int, default=32)
+    ap.add_argument('--size', type=int, default=3660)
+    ap.add_argument('--kill-after-done', type=int, default=6,
+                    help='SIGKILL phase A once this many tiles are done')
+    ap.add_argument('--root', default='/tmp/proteus_soak')
+    ap.add_argument('--fault-tile', default='tile_03')
+    ap.add_argument('--out', default=os.path.join(REPO,
+                                                  'SOAK_CAMPAIGN.json'))
+    ap.add_argument('--timeout', type=int, default=3600)
+    args = ap.parse_args()
+
+    report = {'generated': time.strftime('%Y-%m-%dT%H:%M:%SZ',
+                                         time.gmtime()),
+              'tiles': args.tiles, 'size': args.size}
+
+    dirs, dem, lc, wc, shore = build_dataset(args.root, args.tiles,
+                                             args.size)
+    out_dir = os.path.join(args.root, 'out')
+    manifest = os.path.join(out_dir, 'campaign_manifest.json')
+    for stale in (manifest, manifest + '.tmp'):
+        if os.path.isfile(stale):
+            os.remove(stale)
+    for d in glob.glob(os.path.join(out_dir, 'tile_*')):
+        import shutil
+        shutil.rmtree(d, ignore_errors=True)
+
+    cmd = [sys.executable, '-m', 'proteus_tpu.cli.dswx_campaign',
+           *dirs, '-o', out_dir, '--dem', dem, '--landcover', lc,
+           '--worldcover', wc, '--shoreline', shore, '--browse',
+           '--manifest', manifest]
+    env = dict(os.environ)
+    env['PROTEUS_TPU_FAULT_INJECT'] = f'{args.fault_tile}:1'
+
+    # ---- phase A: run + injected fault + SIGKILL mid-campaign ----
+    t0 = time.time()
+    proc = subprocess.Popen(cmd, env=env, cwd=REPO,
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    killed = False
+    while time.time() - t0 < args.timeout:
+        time.sleep(3)
+        if proc.poll() is not None:
+            break  # finished before we killed it (tiny sizes)
+        done = manifest_counts(manifest).get('done', 0)
+        if done >= args.kill_after_done:
+            proc.send_signal(signal.SIGKILL)
+            proc.wait()
+            killed = True
+            break
+    phase_a_s = time.time() - t0
+    counts_a = manifest_counts(manifest)
+    # record mtimes only for tiles the manifest marks done — files of
+    # tiles that were mid-write at the kill are legitimately rewritten
+    with open(manifest) as fh:
+        state_a = json.load(fh)
+    done_tiles = {t for t, e in state_a.items()
+                  if e.get('status') == 'done'}
+    mtimes_a = {f: os.path.getmtime(f)
+                for t in done_tiles
+                for f in glob.glob(os.path.join(out_dir, t, '*.tif'))}
+    report['phase_a'] = {
+        'seconds': round(phase_a_s, 1), 'killed_mid_campaign': killed,
+        'manifest_counts': counts_a,
+        'files_written': len(mtimes_a),
+    }
+    print(f'phase A: {counts_a} in {phase_a_s:.0f} s '
+          f'(killed={killed})', flush=True)
+
+    # ---- phase B: resume (no fault this time) ----
+    t0 = time.time()
+    env.pop('PROTEUS_TPU_FAULT_INJECT')
+    rc = subprocess.run(cmd, env=env, cwd=REPO,
+                        stdout=subprocess.DEVNULL,
+                        stderr=subprocess.DEVNULL,
+                        timeout=args.timeout).returncode
+    phase_b_s = time.time() - t0
+    counts_b = manifest_counts(manifest)
+    report['phase_b'] = {'seconds': round(phase_b_s, 1),
+                         'returncode': rc,
+                         'manifest_counts': counts_b}
+    print(f'phase B: {counts_b} in {phase_b_s:.0f} s rc={rc}',
+          flush=True)
+
+    # ---- verification ----
+    checks = {}
+    checks['all_done'] = counts_b.get('done', 0) == args.tiles
+    # phase-A outputs must be untouched by phase B (resume really
+    # skipped them, byte-identity implied by the manifest contract)
+    untouched = all(abs(os.path.getmtime(f) - t) < 1e-6
+                    for f, t in mtimes_a.items() if os.path.isfile(f))
+    checks['phase_a_outputs_untouched'] = untouched
+    # the faulted tile completed despite its injected transient failure
+    with open(manifest) as fh:
+        state = json.load(fh)
+    checks['fault_tile_done'] = \
+        state.get(args.fault_tile, {}).get('status') == 'done'
+    # every product layer is a structurally valid COG
+    from proteus_tpu.io.validate_cog import validate_cog
+    n_valid = n_bad = 0
+    for f in glob.glob(os.path.join(out_dir, 'tile_*', '*.tif')):
+        if validate_cog(f, full_check=False):
+            n_bad += 1
+        else:
+            n_valid += 1
+    checks['cogs_valid'] = n_bad == 0
+    checks['n_products_validated'] = n_valid
+    # tile count completeness: 11 layer tifs + browse tif per tile
+    per_tile = [len(glob.glob(os.path.join(out_dir, f'tile_{t:02d}',
+                                           '*.tif')))
+                for t in range(args.tiles)]
+    checks['per_tile_tif_count'] = sorted(set(per_tile))
+    report['checks'] = checks
+    report['status'] = 'pass' if (
+        checks['all_done'] and checks['phase_a_outputs_untouched']
+        and checks['fault_tile_done'] and checks['cogs_valid']) \
+        else 'FAIL'
+    with open(args.out, 'w') as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps({'soak': report['status'], 'artifact': args.out}))
+    return 0 if report['status'] == 'pass' else 1
+
+
+if __name__ == '__main__':
+    sys.exit(main())
