@@ -2,13 +2,22 @@
 
 One pass over HBM computes every elementwise product layer — DIAG (pseudo-
 binary), WTR-1, WTR-2, WTR, BWTR, CONF, CLOUD, BROWSE — from the six
-reflectance bands + fmask + masks. The XLA-fused jnp chain
-(proteus_tpu.models.dswx.chain) is already bandwidth-bound; this kernel
-pins the roofline: it reads each int16 band exactly once per tile
-(187 MB in, ~107 MB out for a 3660^2 tile) with no intermediate HBM
-round-trips, using 256-row full-width VMEM blocks. Verified bit-identical
-to the jnp chain on the TPU backend (tests + product path under
-PROTEUS_TPU_USE_PALLAS=1).
+reflectance bands + fmask + masks. It reads each int16 band exactly once
+per tile with no intermediate HBM round-trips, using full-width VMEM
+blocks. Verified bit-identical to the jnp chain on the TPU backend
+(tests + product path under PROTEUS_TPU_USE_PALLAS=1).
+
+Measured attribution (tools/kernel_profile.py, KERNEL_PROFILE.json, on
+the dev TPU): a zero-compute kernel with the same input footprint costs
+~7.0 ms/tile — the same whether the bands are int16 or float32 — so on
+THIS device the kernel sits on a per-dispatch/grid overhead floor, not
+an HBM-bandwidth or VPU roofline. The int kernel runs within 13% of
+that floor (8.0 ms; 51x the XLA chain's 413 ms, which materializes
+intermediates); the 'cover' halo dilation adds ~1.3 ms and the
+scaled-float EFT boundary tests add ~5.2 ms of genuine VPU work. On
+direct-attached v5e silicon the same traffic is ~0.4 ms of HBM time, so
+the int kernel would be bandwidth-dominated and the scaled kernel
+EFT-compute-dominated there.
 
 Two TPU-native rewrites relative to the reference algorithms:
 

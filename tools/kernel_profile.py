@@ -172,17 +172,31 @@ def main():
          dev_float, f32_in_mb, 2 * H * W / 1e6),
     ]
     for name, c, kw, dev, in_mb, out_mb in variants:
-        kern = make_wtr_kernel(c, interpret=interp, **kw)
-        m, ts = _timed_loop(kern, dev, args.iters, args.passes)
-        record(name, m, ts, in_mb, out_mb)
+        try:
+            kern = make_wtr_kernel(c, interpret=interp, **kw)
+            m, ts = _timed_loop(kern, dev, args.iters, args.passes)
+            record(name, m, ts, in_mb, out_mb)
+        except Exception as e:  # noqa: BLE001 - e.g. VMEM overflow
+            results['variants'][name] = {
+                'error': f'{type(e).__name__}: {str(e)[:200]}'}
+            print(f'{name}: ERROR {type(e).__name__}', flush=True)
 
-    # 3. block_rows sweep (minimal int)
-    for br in (128, 256, 512, 915):
-        kern = make_wtr_kernel(cfg, minimal_outputs=True,
-                               block_rows=br, interpret=interp)
-        m, ts = _timed_loop(kern, dev_int, args.iters, args.passes)
-        record(f'int_minimal_block{br}', m, ts, int16_in_mb,
-               2 * H * W / 1e6)
+    # 3. block_rows sweep (minimal int + full int)
+    for variant_kw, tag in ((dict(minimal_outputs=True), 'int_minimal'),
+                            (dict(compute_browse=True), 'int_full')):
+        for br in (64, 128, 256, 512):
+            name = f'{tag}_block{br}'
+            try:
+                kern = make_wtr_kernel(cfg, block_rows=br,
+                                       interpret=interp, **variant_kw)
+                m, ts = _timed_loop(kern, dev_int, args.iters,
+                                    args.passes)
+                out_mb = (2 if 'minimal' in tag else 9.7) * H * W / 1e6
+                record(name, m, ts, int16_in_mb, out_mb)
+            except Exception as e:  # noqa: BLE001
+                results['variants'][name] = {
+                    'error': f'{type(e).__name__}: {str(e)[:200]}'}
+                print(f'{name}: ERROR {type(e).__name__}', flush=True)
 
     # 4. XLA chain for scale
     m, ts = _timed_loop(
