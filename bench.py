@@ -3,13 +3,18 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Methodology: K distinct full-chain evaluations (3660 x 3660 int16 bands ->
-all product layers) run inside ONE jit-compiled on-device fori_loop with a
-data dependency between iterations and a final scalar fetch — so the
-measurement cannot be fooled by async dispatch or relay acknowledgment
-(block_until_ready on tunneled devices can return before execution
-finishes; see BENCH_NOTES.md). The median of PROTEUS_TPU_BENCH_PASSES
-timing passes is reported (this environment's speed varies run-to-run).
+Methodology: K iterations x B distinct full-chain evaluations (3660 x
+3660 int16 bands -> all product layers) run inside ONE jit-compiled
+on-device fori_loop with a data dependency between iterations and a
+final scalar fetch — so the measurement cannot be fooled by async
+dispatch or relay acknowledgment (block_until_ready on tunneled devices
+can return before execution finishes; see BENCH_NOTES.md). B defaults
+to the campaign's production tiles_per_device=4 on TPU
+(PROTEUS_TPU_BENCH_TILES_PER_DISPATCH overrides; BENCH_BATCH.json has
+the measured B-scaling curve — batching amortizes the ~7 ms
+per-dispatch overhead that bounds this device, KERNEL_PROFILE.json).
+The median of PROTEUS_TPU_BENCH_PASSES timing passes is reported (this
+environment's speed varies run-to-run).
 On TPU the measured path is the hand-fused Pallas kernel (the default
 product path); PROTEUS_TPU_BENCH_PATH=xla benches the jnp chain instead.
 The baseline is the reference-equivalent NumPy float64 implementation of
@@ -68,7 +73,15 @@ def main():
     if bench_float:
         bands = [np.float32(0.0001) * b.astype(np.float32)
                  for b in bands]
-    dev = [jax.device_put(a) for a in bands + [fmask, invalid]]
+    # B distinct tiles per dispatch (the campaign's tiles_per_device
+    # execution pattern). Derived tiles: band-rolled copies so each
+    # tile is distinct without holding B full host copies.
+    B = int(os.environ.get('PROTEUS_TPU_BENCH_TILES_PER_DISPATCH',
+                           '4' if on_tpu else '1'))
+    host = bands + [fmask, invalid]
+    dev = [jax.device_put(np.stack([np.roll(a, i, axis=0)
+                                    for i in range(B)]))
+           for a in host]
     jax.block_until_ready(dev)
     K = int(os.environ.get('PROTEUS_TPU_BENCH_ITERS', '4'))
     N_PASSES = int(os.environ.get('PROTEUS_TPU_BENCH_PASSES', '3'))
@@ -85,15 +98,20 @@ def main():
         def chain_out(b, g, r, n, s1, s2, fm, inv):
             return dswx_chain(b, g, r, n, s1, s2, fm, inv, config)
 
-    def one(k, b, g, r, n, s1, s2, fm, inv):
-        out = chain_out(b + k.astype(b.dtype), g, r, n, s1, s2, fm, inv)
-        return sum(jnp.sum(v.astype(jnp.int32)) for v in out.values()
-                   if hasattr(v, 'ndim') and v.ndim == 2)
+    def one(k, arrays):
+        acc = jnp.int32(0)
+        for i in range(B):
+            b = arrays[0][i] + k.astype(arrays[0].dtype)
+            out = chain_out(b, *[a[i] for a in arrays[1:]])
+            acc = acc + sum(jnp.sum(v.astype(jnp.int32))
+                            for v in out.values()
+                            if hasattr(v, 'ndim') and v.ndim == 2)
+        return acc
 
     @jax.jit
     def loop(*a):
         def body(k, acc):
-            return acc + one(k, *a)
+            return acc + one(k, a)
         return jax.lax.fori_loop(0, K, body, jnp.int32(0))
 
     s = loop(*dev)
@@ -103,7 +121,7 @@ def main():
         t0 = time.time()
         s = loop(*dev)
         _ = int(s)
-        per_tile.append((time.time() - t0) / K)
+        per_tile.append((time.time() - t0) / K / B)
     per_tile.sort()
     device_s = per_tile[len(per_tile) // 2]  # median of N passes
     tiles_per_min = 60.0 / device_s
@@ -114,8 +132,9 @@ def main():
         'unit': 'tiles/min',
         'vs_baseline': round(tiles_per_min / baseline_tiles_per_min, 2),
         'path': path,
+        'tiles_per_dispatch': B,
         'n_passes': N_PASSES,
-        'pass_s_per_tile': [round(t, 3) for t in per_tile],
+        'pass_s_per_tile': [round(t, 4) for t in per_tile],
     }
     if bench_float:
         record['scaled_float_inputs'] = True

@@ -175,8 +175,11 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
         # cover mode holds (block + 2*halo) rows of every input in
         # VMEM; a smaller block keeps the residency comfortable. The
         # float path doubles the band bytes and keeps EFT distillation
-        # temporaries live, so it uses smaller blocks again
-        block_rows = 128 if cover else 256
+        # temporaries live, so it uses smaller blocks again.
+        # Minimal-outputs (the campaign's production mode) measured
+        # ~8% faster at 64 rows than 256 on hardware
+        # (KERNEL_PROFILE.json block sweep); full outputs prefer 256.
+        block_rows = 128 if cover else (64 if minimal_outputs else 256)
         if float_inputs:
             block_rows = 64 if cover else 128
     et = None

@@ -508,8 +508,14 @@ class TestReferenceEndToEnd:
         COG pyramid (overviews 4/16/64/128), partial edge tiles, big
         browse resize — everything the 720-px run cannot exercise.
         PROTEUS_TPU_FULL_E2E=2 adds the DEM/landcover ancillaries (LAND,
-        SHAD, float32 DEM layer over the full 10980^2 WorldCover warp)."""
-        with_anc = os.environ.get('PROTEUS_TPU_FULL_E2E') == '2'
+        SHAD, float32 DEM layer over the full 10980^2 WorldCover warp).
+        PROTEUS_TPU_FULL_E2E=3 additionally runs the whole chain in
+        scaled-float32 mode (flag_offset_and_scale_inputs, the
+        reference's --offset-and-scale-inputs, dswx_hls.py:2298-2302) —
+        the full-size gate for the exact-boundary float path."""
+        level = os.environ.get('PROTEUS_TPU_FULL_E2E')
+        with_anc = level in ('2', '3')
+        scaled = level == '3'
         input_dir = str(tmp_path / 'input')
         files, _bands = synthetic.make_hls_v2_dataset(input_dir,
                                                       size=3660)
@@ -542,6 +548,8 @@ class TestReferenceEndToEnd:
                     output_dem_layer=os.path.join(out_dir, 'dem.tif'))
             return out
 
+        if scaled:
+            common = dict(common, flag_offset_and_scale_inputs=True)
         ret = ref_with_shims.generate_dswx_layers(
             list(files), hls_thresholds=ref_t,
             scratch_dir=ref_scratch, **outs(ref_dir), **anc, **common)
