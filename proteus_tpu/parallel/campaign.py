@@ -150,7 +150,8 @@ def make_campaign_step(config: DswxChainConfig, mesh,
                        compute_browse=False, with_ocean=False,
                        with_shadow=False, with_landcover=False,
                        use_pallas=None, pallas_interpret=False,
-                       pallas_block_rows=None, float_inputs=False):
+                       pallas_block_rows=None, float_inputs=False,
+                       device_scale=False):
     """Build the sharded multi-tile step.
 
     The returned function maps batched [B, H, W] band/fmask/invalid arrays
@@ -161,7 +162,20 @@ def make_campaign_step(config: DswxChainConfig, mesh,
     ``float_inputs=True`` is the scaled-reflectance campaign: bands are
     float32 (ingest applied scale/offset) and the kernel runs its
     float-input variant (reference dswx_hls.py:2298-2302 semantics).
+
+    ``device_scale=True`` (requires float_inputs): bands arrive as RAW
+    int16 plus two extra [B, 6] float32 inputs (per-band scale, offset,
+    inserted after ``invalid``) and the cast
+    ``scale * (float32(band) - offset)`` runs on device. float32
+    subtract/multiply are bit-exact IEEE on TPU, so the result is
+    bit-identical to the reference's host-side NumPy cast
+    (dswx_hls.py:2298-2302) — while the host ships half the band bytes
+    and does no full-tile float math (see BENCH_NOTES.md round 3 for
+    the measured scaled-campaign effect).
     """
+    if device_scale and not float_inputs:
+        raise ValueError('device_scale requires float_inputs=True '
+                         '(it feeds the float32 science chain)')
     n_extra = int(with_ocean) + int(with_shadow) + int(with_landcover)
     if use_pallas is None:
         use_pallas = _campaign_uses_pallas(config, float_inputs)
@@ -209,7 +223,15 @@ def make_campaign_step(config: DswxChainConfig, mesh,
             ((prelim != 0) & valid).astype(jnp.int32))
         return out
 
-    def local_step(b, g, r, n, s1, s2, fm, inv, *extras):
+    def local_step(b, g, r, n, s1, s2, fm, inv, *rest):
+        if device_scale:
+            scales, offsets, *extras = rest
+            b, g, r, n, s1, s2 = (
+                scales[:, j, None, None]
+                * (x.astype(jnp.float32) - offsets[:, j, None, None])
+                for j, x in enumerate((b, g, r, n, s1, s2)))
+        else:
+            extras = rest
         if use_pallas:
             # static per-device batch loop (pallas_call + vmap do not mix
             # with element-indexed halo block specs)
@@ -249,8 +271,9 @@ def make_campaign_step(config: DswxChainConfig, mesh,
 
     # check_vma off for the pallas path: pallas_call outputs carry no
     # varying-mesh-axes annotation, which the checker would require
+    n_in = 8 + (2 if device_scale else 0) + n_extra
     sharded = shard_map(local_step, mesh=mesh,
-                        in_specs=(spec,) * (8 + n_extra),
+                        in_specs=(spec,) * n_in,
                         out_specs=(layer_specs, totals_specs),
                         check_vma=not use_pallas)
     return jax.jit(sharded)
@@ -551,22 +574,35 @@ def _maybe_inject_fault(tile_id):
                 f'injected fault for {tile_id} (attempt {k + 1}/{n})')
 
 
-def _read_tile(job, flag_debug=False, config=None, scaled=False):
+def _read_tile(job, flag_debug=False, config=None, scaled=False,
+               device_scale=False):
     """Decode one tile's bands + prepare its ancillary masks (runs in the
     reader pool, overlapping the device step of the previous batch).
 
     ``scaled=True`` applies the per-band scale/offset at ingest
-    (float32 reflectance, reference dswx_hls.py:2298-2302)."""
+    (float32 reflectance, reference dswx_hls.py:2298-2302).
+    ``device_scale=True`` keeps the bands RAW int16 and records the
+    per-band scale/offset vectors instead — the sharded step applies the
+    cast on device (half the h2d bytes, no host float pass)."""
     _maybe_inject_fault(job.tile_id)
     from proteus_tpu.io import hls as hls_io
     image_dict = {}
     metadata = {}
+    offset_dict, scale_dict = {}, {}
     with STAGE_TIMES.stage('read_ingest_decode'):
-        ok = hls_io.load_hls_product_v2(job.input_files, image_dict, {},
-                                        {}, metadata, scaled,
+        ok = hls_io.load_hls_product_v2(job.input_files, image_dict,
+                                        offset_dict, scale_dict,
+                                        metadata,
+                                        scaled and not device_scale,
                                         flag_debug=flag_debug)
     if not ok:
         raise IOError(f'could not read tile {job.tile_id}')
+    if device_scale:
+        bands = ('blue', 'green', 'red', 'nir', 'swir1', 'swir2')
+        image_dict['band_scales'] = np.asarray(
+            [scale_dict.get(bn, 1.0) for bn in bands], np.float32)
+        image_dict['band_offsets'] = np.asarray(
+            [offset_dict.get(bn, 0.0) for bn in bands], np.float32)
     image_dict['hls_metadata'] = metadata
 
     gt = image_dict['geotransform']
@@ -794,7 +830,7 @@ class CampaignRunner:
                  writer_threads=None, flag_debug=False,
                  save_browse=False, processing_params=None,
                  spatial_shards=1, tiles_per_device=1,
-                 scaled_inputs=False):
+                 scaled_inputs=False, device_scale=None):
         # pool sizing: enough threads to overlap device/link waits with
         # host work, but not so many that they thrash a small host — on
         # a 1-core box 8+8 threads time-slice the NumPy/codec work and
@@ -806,6 +842,17 @@ class CampaignRunner:
             writer_threads = max(2, min(8, ncpu))
         self.config = config or DswxChainConfig()
         self.scaled_inputs = bool(scaled_inputs)
+        if device_scale is None:
+            # default: move the scale/offset cast on-device wherever the
+            # h2d link is the TPU tunnel — it is bit-identical to the
+            # host cast (float32 sub/mul are exact IEEE on TPU) and
+            # halves the band bytes. PROTEUS_TPU_DEVICE_SCALE=0 opts out.
+            device_scale = (
+                self.scaled_inputs
+                and os.environ.get('PROTEUS_TPU_DEVICE_SCALE', '1')
+                not in ('0', 'off', 'false')
+                and jax.devices()[0].platform == 'tpu')
+        self.device_scale = bool(device_scale) and self.scaled_inputs
         self.tiles_per_device = max(1, int(tiles_per_device))
         self.spatial_shards = max(1, int(spatial_shards))
         if mesh is not None:
@@ -855,7 +902,8 @@ class CampaignRunner:
                     compute_browse=self.save_browse,
                     with_ocean=with_ocean, with_shadow=with_shadow,
                     with_landcover=with_landcover,
-                    float_inputs=self.scaled_inputs)
+                    float_inputs=self.scaled_inputs,
+                    device_scale=self.device_scale)
         return self._steps[key]
 
     def _tile_metadata(self, job, image_dict):
@@ -911,7 +959,8 @@ class CampaignRunner:
             return [(j, self._readers.submit(_read_tile, j,
                                              self.flag_debug,
                                              self.config,
-                                             self.scaled_inputs))
+                                             self.scaled_inputs,
+                                             self.device_scale))
                     for j in batch]
 
         marked = set()
@@ -1022,7 +1071,8 @@ class CampaignRunner:
         else:
             sharding = NamedSharding(self.mesh, P(TILE_AXIS))
         args = []
-        band_dtype = np.float32 if self.scaled_inputs else np.int16
+        band_dtype = np.float32 \
+            if (self.scaled_inputs and not self.device_scale) else np.int16
         for key in ('blue', 'green', 'red', 'nir', 'swir1', 'swir2'):
             args.append(jax.device_put(stack(key, band_dtype),
                                        sharding))
@@ -1031,6 +1081,20 @@ class CampaignRunner:
         # campaign statistics
         args.append(jax.device_put(
             stack('invalid_ind_array', bool, pad_value=True), sharding))
+        if self.device_scale:
+            # [B, 6] per-band scale/offset vectors; pad tiles get the
+            # identity cast (they are fully invalid anyway)
+            def stack_vec(key, pad_value):
+                vecs = [np.asarray(d[key], np.float32)
+                        for _, d in loaded]
+                while len(vecs) < b:
+                    vecs.append(np.full(6, pad_value, np.float32))
+                return np.stack(vecs)
+
+            args.append(jax.device_put(stack_vec('band_scales', 1.0),
+                                       sharding))
+            args.append(jax.device_put(stack_vec('band_offsets', 0.0),
+                                       sharding))
         d0 = loaded[0][1]
         with_ocean = 'ocean_mask' in d0
         with_shadow = 'shadow_layer' in d0

@@ -361,6 +361,68 @@ def test_campaign_runner_scaled_inputs(tmp_path):
         np.testing.assert_array_equal(rg.read(), rr.read())
 
 
+@pytest.mark.parametrize('use_pallas', [False, True])
+def test_campaign_step_device_scale_matches_host_cast(use_pallas):
+    """device_scale=True (raw int16 bands + on-device
+    scale*(f32(band)-offset)) must be bit-identical to feeding the
+    host-cast float32 bands through the same float-input step — for
+    both the jnp chain and the fused Pallas kernel (interpret)."""
+    mesh = make_tile_mesh()
+    cfg = DswxChainConfig()
+    kw = dict(use_pallas=use_pallas, float_inputs=True)
+    if use_pallas:
+        kw.update(pallas_interpret=True, pallas_block_rows=8)
+    step_dev = make_campaign_step(cfg, mesh, device_scale=True, **kw)
+    step_host = make_campaign_step(cfg, mesh, **kw)
+    rng = np.random.default_rng(77)
+    B, H, W = 8, 64, 64
+    raw = [rng.integers(-2000, 15000, (B, H, W)).astype(np.int16)
+           for _ in range(6)]
+    # per-tile, per-band scale/offset (HLS granules carry per-band
+    # values; exercise non-default offsets too)
+    scales = (np.float32(0.0001)
+              * rng.uniform(0.5, 2.0, (B, 6))).astype(np.float32)
+    offsets = rng.choice(
+        np.asarray([0.0, -0.1, 0.25], np.float32), (B, 6))
+    fmask = rng.integers(0, 256, (B, H, W)).astype(np.uint8)
+    invalid = rng.random((B, H, W)) < 0.05
+    out_dev, tot_dev = step_dev(*raw, fmask, invalid, scales, offsets)
+    cast = [scales[:, j, None, None]
+            * (raw[j].astype(np.float32) - offsets[:, j, None, None])
+            for j in range(6)]
+    out_host, tot_host = step_host(*cast, fmask, invalid)
+    assert set(out_dev) == set(out_host)
+    for k in out_dev:
+        np.testing.assert_array_equal(np.asarray(out_dev[k]),
+                                      np.asarray(out_host[k]),
+                                      err_msg=k)
+    assert int(tot_dev['n_valid_total']) == int(tot_host['n_valid_total'])
+
+
+def test_campaign_runner_device_scale(tmp_path):
+    """End-to-end: the device-scale campaign writes byte-identical
+    products to the host-scaled campaign on the same granule."""
+    d = str(tmp_path / 'in')
+    files, _bands = synthetic.make_hls_v2_dataset(d, size=96, seed=654)
+    outs = {}
+    for tag, dev in (('host', False), ('dev', True)):
+        out = str(tmp_path / f'camp_{tag}')
+        runner = CampaignRunner(config=DswxChainConfig(),
+                                scaled_inputs=True, device_scale=dev)
+        assert runner.device_scale is dev
+        stats = runner.run([TileJob('S0', files, out, product_id='sc')])
+        assert stats['tiles_failed'] == 0
+        outs[tag] = out
+    host_tifs = sorted(glob.glob(os.path.join(outs['host'], '*.tif')))
+    assert host_tifs
+    for hf in host_tifs:
+        df = os.path.join(outs['dev'], os.path.basename(hf))
+        with TiffReader(hf) as rh, TiffReader(df) as rd:
+            np.testing.assert_array_equal(
+                rh.read(), rd.read(),
+                err_msg=os.path.basename(hf))
+
+
 def test_campaign_step_pallas_minimal_float(tmp_path):
     """The float-input Pallas kernel through the packed campaign step
     (interpret mode) matches the float jnp chain bit-for-bit."""
