@@ -139,7 +139,8 @@ def main(argv=None):
                 writer_threads=args.writer_threads,
                 flag_debug=args.flag_debug,
                 spatial_shards=args.spatial_shards,
-                tiles_per_device=args.tiles_per_device))
+                tiles_per_device=args.tiles_per_device,
+                scaled_inputs=args.scaled_inputs))
         logger.info(f'campaign complete: {stats}')
         sys.exit(1 if stats['tiles_failed'] else 0)
 

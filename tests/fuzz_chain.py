@@ -177,6 +177,62 @@ def one_scaled_iteration(seed, ref):
         raise AssertionError(f'scaled landcover seed={seed}: mismatch')
 
 
+_DEVICE_SCALE_SHAPE = (2, 48, 64)
+
+
+def make_device_scale_steps():
+    """One (device-scale step, host-cast step) pair, compiled once —
+    scales/offsets are traced inputs, so all fuzz iterations share it."""
+    from proteus_tpu.parallel.campaign import make_campaign_step
+    from proteus_tpu.parallel.mesh import make_tile_mesh
+    mesh = make_tile_mesh()
+    cfg = DswxChainConfig()
+    return (make_campaign_step(cfg, mesh, float_inputs=True,
+                               device_scale=True),
+            make_campaign_step(cfg, mesh, float_inputs=True))
+
+
+def one_device_scale_iteration(seed, steps):
+    """Campaign device_scale cast (raw int16 + on-device
+    scale*(f32-offset)) vs the host NumPy cast through the same float
+    step — bit-identical layers, with green pushed to the MNDWI
+    rounding boundary in POST-CAST space so the cast rounding itself is
+    what decides the comparisons."""
+    step_dev, step_host = steps
+    rng = np.random.default_rng(seed)
+    B, H, W = _DEVICE_SCALE_SHAPE
+    raw = [rng.integers(-2000, 18000, (B, H, W)).astype(np.int16)
+           for _ in range(6)]
+    scales = np.where(rng.random((B, 6)) < 0.7, 0.0001,
+                      rng.uniform(1e-5, 1e-3, (B, 6))).astype(np.float32)
+    offsets = np.where(rng.random((B, 6)) < 0.7, 0.0,
+                       rng.uniform(-100, 100, (B, 6))).astype(np.float32)
+    cast = [scales[:, j, None, None]
+            * (raw[j].astype(np.float32) - offsets[:, j, None, None])
+            for j in range(6)]
+    # adversarial green: invert the boundary float back to raw space so
+    # the cast result lands within an ULP or two of the MNDWI boundary
+    g_target = _boundary_green(cast[4], HlsThresholds().wigt, rng)
+    raw[1] = np.clip(
+        np.rint(g_target.astype(np.float64) / scales[:, 1, None, None]
+                + offsets[:, 1, None, None]),
+        -32768, 32767).astype(np.int16)
+    cast[1] = (scales[:, 1, None, None]
+               * (raw[1].astype(np.float32) - offsets[:, 1, None, None]))
+    fmask = rng.integers(0, 256, (B, H, W)).astype(np.uint8)
+    invalid = rng.random((B, H, W)) < 0.05
+    out_d, tot_d = step_dev(*raw, fmask, invalid, scales, offsets)
+    out_h, tot_h = step_host(*cast, fmask, invalid)
+    for k in out_h:
+        got, want = np.asarray(out_d[k]), np.asarray(out_h[k])
+        if not (got == want).all():
+            raise AssertionError(
+                f'device_scale seed={seed}: {(got != want).sum()} '
+                f'{k} mismatches')
+    if int(tot_d['n_valid_total']) != int(tot_h['n_valid_total']):
+        raise AssertionError(f'device_scale seed={seed}: totals differ')
+
+
 def one_nondecimal_iteration(seed, ref):
     """Integer-path diag parity with raw (non-decimal) float64 thresholds
     — exercises the boundary-exact float64 comparisons."""
@@ -346,6 +402,15 @@ def main():
             print(f'{i + 1}/{n} warp iterations bit-exact', flush=True)
     print(f'warp fuzz complete: {n} iterations, device == host float64 '
           'for nearest/bilinear/cubic')
+
+    steps = make_device_scale_steps()
+    for i in range(n):
+        one_device_scale_iteration(8000 + i, steps)
+        if (i + 1) % 25 == 0:
+            print(f'{i + 1}/{n} device-scale iterations bit-exact',
+                  flush=True)
+    print(f'device-scale fuzz complete: {n} iterations, on-device cast '
+          '== host cast through the float step')
 
     import refbridge
     ref = refbridge.load_reference_dswx()

@@ -241,6 +241,28 @@ def test_campaign_cli(tmp_path):
     assert os.path.isfile(os.path.join(out, 'campaign_manifest.json'))
 
 
+def test_campaign_cli_dispatch_forwards_scaled(tmp_path, monkeypatch):
+    """Regression: the --hosts>1 dispatch branch must forward --scaled
+    into every worker's runner_kwargs (it used to drop it, silently
+    running the integer chain on worker hosts)."""
+    from proteus_tpu.cli import dswx_campaign
+    from proteus_tpu.parallel import dispatch
+    d = str(tmp_path / 'tile_0')
+    synthetic.make_hls_v2_dataset(d, size=96, seed=42)
+    seen = {}
+
+    def fake_dispatch(jobs, **kw):
+        seen.update(kw)
+        return {}, {'tiles_done': len(jobs), 'tiles_failed': 0}
+
+    monkeypatch.setattr(dispatch, 'dispatch_campaign', fake_dispatch)
+    out = str(tmp_path / 'o')
+    with pytest.raises(SystemExit) as ex:
+        dswx_campaign.main([d, '-o', out, '--hosts', '2', '--scaled'])
+    assert ex.value.code == 0
+    assert seen['runner_kwargs']['scaled_inputs'] is True
+
+
 def test_campaign_tiles_per_device(tmp_path):
     """tiles_per_device > 1: each device's local step loops over several
     tiles per dispatch; products identical to the per-tile path."""
