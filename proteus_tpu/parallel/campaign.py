@@ -291,7 +291,8 @@ def make_spatial_campaign_step(config: DswxChainConfig, mesh,
                                with_ocean=False, with_shadow=False,
                                with_landcover=False, use_pallas=None,
                                pallas_interpret=False,
-                               pallas_block_rows=None):
+                               pallas_block_rows=None,
+                               float_inputs=False, device_scale=False):
     """Sharded step over a 2-D ('tile', 'space') mesh: tile batches are
     data-parallel on the tile axis AND each tile's rows are sharded over
     the space axis (the SP/CP analogue from SURVEY.md section 2).
@@ -303,7 +304,17 @@ def make_spatial_campaign_step(config: DswxChainConfig, mesh,
     shards receive zero halos, which matches SciPy's border_value=0
     dilation semantics, so results are bit-identical to single-device
     execution.
+
+    ``float_inputs`` / ``device_scale`` mirror make_campaign_step: the
+    scaled-reflectance chain, optionally with the bit-identical
+    on-device scale*(f32(band)-offset) cast. The [B, 6] scale/offset
+    vectors are per-TILE, so they are sharded on the tile axis only
+    (replicated across space shards); the cast is elementwise and runs
+    before the halo exchange, so seam semantics are unchanged.
     """
+    if device_scale and not float_inputs:
+        raise ValueError('device_scale requires float_inputs=True '
+                         '(it feeds the float32 science chain)')
     n_space = mesh.shape[SPACE_AXIS]
 
     def with_halo(x, edge_fill=0):
@@ -327,14 +338,15 @@ def make_spatial_campaign_step(config: DswxChainConfig, mesh,
 
     n_extra = int(with_ocean) + int(with_shadow) + int(with_landcover)
     if use_pallas is None:
-        use_pallas = _campaign_uses_pallas(config)
+        use_pallas = _campaign_uses_pallas(config, float_inputs)
     pallas_kernel = None
     if use_pallas:
         from proteus_tpu.ops.pallas.wtr_kernel import make_wtr_kernel
         pallas_kernel = make_wtr_kernel(
             config, with_ocean=with_ocean, with_shadow=with_shadow,
             with_landcover=with_landcover, compute_browse=compute_browse,
-            interpret=pallas_interpret, block_rows=pallas_block_rows)
+            interpret=pallas_interpret, block_rows=pallas_block_rows,
+            float_inputs=float_inputs)
 
     def per_tile(b, g, r, n, s1, s2, fm, inv, *extras):
         it = iter(extras)
@@ -356,7 +368,15 @@ def make_spatial_campaign_step(config: DswxChainConfig, mesh,
                     for k in tiles[0]}
         return jax.vmap(per_tile)(*padded)
 
-    def local_step(b, g, r, n, s1, s2, fm, inv, *extras):
+    def local_step(b, g, r, n, s1, s2, fm, inv, *rest):
+        if device_scale:
+            scales, offsets, *extras = rest
+            b, g, r, n, s1, s2 = (
+                scales[:, j, None, None]
+                * (x.astype(jnp.float32) - offsets[:, j, None, None])
+                for j, x in enumerate((b, g, r, n, s1, s2)))
+        else:
+            extras = rest
         if halo > b.shape[1]:
             raise ValueError(
                 f'spatial halo ({halo}) exceeds the per-shard tile height'
@@ -402,8 +422,13 @@ def make_spatial_campaign_step(config: DswxChainConfig, mesh,
     layer_specs = {k: spec for k in layer_names}
     totals_specs = {'n_valid_total': P(), 'n_cloud_and_valid_total': P(),
                     'n_tiles_total': P()}
+    in_specs = (spec,) * 8
+    if device_scale:
+        # [B, 6] vectors: per-tile, replicated across space shards
+        in_specs = in_specs + (P(TILE_AXIS), P(TILE_AXIS))
+    in_specs = in_specs + (spec,) * n_extra
     sharded = shard_map(local_step, mesh=mesh,
-                        in_specs=(spec,) * (8 + n_extra),
+                        in_specs=in_specs,
                         out_specs=(layer_specs, totals_specs),
                         check_vma=not use_pallas)
     return jax.jit(sharded)
@@ -887,15 +912,13 @@ class CampaignRunner:
         key = (with_ocean, with_shadow, with_landcover)
         if key not in self._steps:
             if self.spatial_shards > 1:
-                if self.scaled_inputs:
-                    raise NotImplementedError(
-                        'scaled_inputs with spatial_shards is not '
-                        'wired; use the data-parallel runner')
                 self._steps[key] = make_spatial_campaign_step(
                     self.config, self.mesh,
                     compute_browse=self.save_browse,
                     with_ocean=with_ocean, with_shadow=with_shadow,
-                    with_landcover=with_landcover)
+                    with_landcover=with_landcover,
+                    float_inputs=self.scaled_inputs,
+                    device_scale=self.device_scale)
             else:
                 self._steps[key] = make_campaign_step(
                     self.config, self.mesh,
@@ -1083,7 +1106,10 @@ class CampaignRunner:
             stack('invalid_ind_array', bool, pad_value=True), sharding))
         if self.device_scale:
             # [B, 6] per-band scale/offset vectors; pad tiles get the
-            # identity cast (they are fully invalid anyway)
+            # identity cast (they are fully invalid anyway). Sharded on
+            # the tile axis only (replicated across space shards)
+            vec_sharding = NamedSharding(self.mesh, P(TILE_AXIS))
+
             def stack_vec(key, pad_value):
                 vecs = [np.asarray(d[key], np.float32)
                         for _, d in loaded]
@@ -1092,9 +1118,9 @@ class CampaignRunner:
                 return np.stack(vecs)
 
             args.append(jax.device_put(stack_vec('band_scales', 1.0),
-                                       sharding))
+                                       vec_sharding))
             args.append(jax.device_put(stack_vec('band_offsets', 0.0),
-                                       sharding))
+                                       vec_sharding))
         d0 = loaded[0][1]
         with_ocean = 'ocean_mask' in d0
         with_shadow = 'shadow_layer' in d0

@@ -225,6 +225,67 @@ class TestSpatialSharding:
         assert int(totals['n_valid_total']) == int((~invalid).sum())
 
 
+def test_spatial_step_scaled_device_scale_matches_chain():
+    """dp x sp sharding in scaled mode with the device-side cast: must
+    match the single-device float chain on the host-cast bands
+    bit-for-bit (per-tile scale/offset vectors replicated across the
+    space shards; cast runs before the halo exchange)."""
+    from proteus_tpu.models.dswx.chain import dswx_chain
+    from proteus_tpu.parallel.campaign import make_spatial_campaign_step
+    from proteus_tpu.parallel.mesh import make_tile_space_mesh
+
+    mesh = make_tile_space_mesh(2, 4)
+    cfg = DswxChainConfig(mask_adjacent_to_cloud_mode='cover')
+    step = make_spatial_campaign_step(cfg, mesh, float_inputs=True,
+                                      device_scale=True)
+    rng = np.random.default_rng(11)
+    B, H, W = 2, 128, 64
+    raw = [rng.integers(-2000, 15000, (B, H, W)).astype(np.int16)
+           for _ in range(6)]
+    scales = (np.float32(0.0001)
+              * rng.uniform(0.5, 2.0, (B, 6))).astype(np.float32)
+    offsets = rng.choice(
+        np.asarray([0.0, -0.1, 0.25], np.float32), (B, 6))
+    fmask = rng.integers(0, 256, (B, H, W)).astype(np.uint8)
+    invalid = rng.random((B, H, W)) < 0.05
+    out, totals = step(*raw, fmask, invalid, scales, offsets)
+    cast = [scales[:, j, None, None]
+            * (raw[j].astype(np.float32) - offsets[:, j, None, None])
+            for j in range(6)]
+    for k in range(B):
+        want = dswx_chain(*[c[k] for c in cast], fmask[k], invalid[k],
+                          cfg)
+        for layer in ('DIAG', 'WTR-1', 'WTR-2', 'WTR', 'BWTR', 'CONF',
+                      'CLOUD'):
+            np.testing.assert_array_equal(
+                np.asarray(out[layer][k]), np.asarray(want[layer]),
+                err_msg=f'tile {k} {layer}')
+    assert int(totals['n_valid_total']) == int((~invalid).sum())
+
+
+def test_campaign_runner_spatial_scaled(tmp_path):
+    """Spatial-sharded scaled campaign through the runner: products
+    byte-identical to the data-parallel scaled campaign."""
+    d = str(tmp_path / 'in')
+    files, _bands = synthetic.make_hls_v2_dataset(d, size=96, seed=777)
+    outs = {}
+    for tag, spatial in (('dp', 1), ('sp', 4)):
+        out = str(tmp_path / f'camp_{tag}')
+        runner = CampaignRunner(config=DswxChainConfig(),
+                                scaled_inputs=True, device_scale=True,
+                                spatial_shards=spatial)
+        stats = runner.run([TileJob('S0', files, out, product_id='sc')])
+        assert stats['tiles_failed'] == 0
+        outs[tag] = out
+    dp_tifs = sorted(glob.glob(os.path.join(outs['dp'], '*.tif')))
+    assert dp_tifs
+    for hf in dp_tifs:
+        sf = os.path.join(outs['sp'], os.path.basename(hf))
+        with TiffReader(hf) as ra, TiffReader(sf) as rb:
+            np.testing.assert_array_equal(
+                ra.read(), rb.read(), err_msg=os.path.basename(hf))
+
+
 def test_campaign_cli(tmp_path):
     """Drive the dswx_campaign CLI end-to-end on two synthetic tiles."""
     from proteus_tpu.cli.dswx_campaign import main as campaign_main
