@@ -458,7 +458,9 @@ def test_campaign_step_device_scale_matches_host_cast(use_pallas):
     step_dev = make_campaign_step(cfg, mesh, device_scale=True, **kw)
     step_host = make_campaign_step(cfg, mesh, **kw)
     rng = np.random.default_rng(77)
-    B, H, W = 8, 64, 64
+    # B = 2 x mesh size: each device holds TWO tiles, covering the
+    # per-local-batch [local_B, 6] scale/offset indexing
+    B, H, W = 16, 64, 64
     raw = [rng.integers(-2000, 15000, (B, H, W)).astype(np.int16)
            for _ in range(6)]
     # per-tile, per-band scale/offset (HLS granules carry per-band

@@ -181,18 +181,23 @@ def main():
                 'error': f'{type(e).__name__}: {str(e)[:200]}'}
             print(f'{name}: ERROR {type(e).__name__}', flush=True)
 
-    # 3. block_rows sweep (minimal int + full int)
-    for variant_kw, tag in ((dict(minimal_outputs=True), 'int_minimal'),
-                            (dict(compute_browse=True), 'int_full')):
-        for br in (64, 128, 256, 512):
+    # 3. block_rows sweep (minimal int + full int + minimal scaled-float)
+    for variant_kw, tag, dev, in_mb in (
+            (dict(minimal_outputs=True), 'int_minimal', dev_int,
+             int16_in_mb),
+            (dict(compute_browse=True), 'int_full', dev_int,
+             int16_in_mb),
+            (dict(minimal_outputs=True, float_inputs=True),
+             'scaled_minimal', dev_float, f32_in_mb)):
+        for br in (32, 64, 128, 256, 512):
             name = f'{tag}_block{br}'
             try:
                 kern = make_wtr_kernel(cfg, block_rows=br,
                                        interpret=interp, **variant_kw)
-                m, ts = _timed_loop(kern, dev_int, args.iters,
+                m, ts = _timed_loop(kern, dev, args.iters,
                                     args.passes)
                 out_mb = (2 if 'minimal' in tag else 9.7) * H * W / 1e6
-                record(name, m, ts, int16_in_mb, out_mb)
+                record(name, m, ts, in_mb, out_mb)
             except Exception as e:  # noqa: BLE001
                 results['variants'][name] = {
                     'error': f'{type(e).__name__}: {str(e)[:200]}'}
