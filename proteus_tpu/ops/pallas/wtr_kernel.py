@@ -181,7 +181,11 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
         # (KERNEL_PROFILE.json block sweep); full outputs prefer 256.
         block_rows = 128 if cover else (64 if minimal_outputs else 256)
         if float_inputs:
-            block_rows = 64 if cover else 128
+            # hardware sweep (KERNEL_PROFILE.json): scaled minimal is
+            # fastest at 32 rows (11.45 ms vs 11.86 at 128; 256
+            # overflows VMEM under the EFT temporaries)
+            block_rows = 64 if cover else (32 if minimal_outputs
+                                           else 128)
     et = None
     f32_bounds = f32_consts = None
     if float_inputs:
