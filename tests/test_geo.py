@@ -373,6 +373,119 @@ class TestPolarStereographic:
                                    'EPSG:32615', size, size, {})
 
 
+class TestWidenedCrs:
+    """NAD83/ETRS89 UTM (GRS80) + UPS variant A (round-3 widening;
+    reference accepts any OSR SRS, dswx_hls.py:3385-3461)."""
+
+    def test_nad83_utm_agrees_with_wgs84_utm(self):
+        from proteus_tpu.geo.crs import transform_points
+        lon = np.linspace(-95.9, -90.1, 200)
+        lat = np.linspace(25.0, 49.0, 200)
+        x83, y83 = transform_points(4269, 26915, lon, lat)
+        x84, y84 = transform_points(4326, 32615, lon, lat)
+        # GRS80 and WGS84 differ only in 1/f at the 1e-9 level: the
+        # projected difference is micrometers (null datum shift)
+        assert np.abs(x83 - x84).max() < 1e-3
+        assert np.abs(y83 - y84).max() < 1e-3
+
+    @pytest.mark.parametrize('epsg,lon_range,lat_range', [
+        (26915, (-96, -90), (25, 60)),    # NAD83 / UTM 15N
+        (25832, (6, 12), (36, 70)),       # ETRS89 / UTM 32N
+    ])
+    def test_grs80_utm_roundtrip(self, epsg, lon_range, lat_range):
+        from proteus_tpu.geo.crs import CRS, utm_forward, utm_inverse
+        crs = CRS.from_epsg(epsg)
+        assert crs.supported and crs.ellipsoid == 'GRS80'
+        rng = np.random.default_rng(epsg)
+        lat = rng.uniform(*lat_range, 5000)
+        lon = rng.uniform(*lon_range, 5000)
+        x, y = utm_forward(lat, lon, *crs.utm, ell='GRS80')
+        la2, lo2 = utm_inverse(x, y, *crs.utm, ell='GRS80')
+        assert np.abs(la2 - lat).max() < 1e-11
+        assert np.abs(lo2 - lon).max() < 1e-11
+
+    def test_ups_epsg_guidance_note_example(self):
+        """EPSG Guidance Note 7-2 worked example for Polar Stereographic
+        variant A (WGS 84 / UPS North, EPSG:5041):
+        73N 44E -> E 3320416.75 N 632668.43."""
+        from proteus_tpu.geo.crs import (CRS, polar_stereo_forward,
+                                         polar_stereo_inverse)
+        ps = CRS.from_epsg(5041).polar_stereo
+        E, N = polar_stereo_forward(73.0, 44.0, *ps)
+        assert abs(E - 3320416.75) < 0.01
+        assert abs(N - 632668.43) < 0.01
+        lat, lon = polar_stereo_inverse(3320416.75, 632668.43, *ps)
+        assert abs(lat - 73.0) < 1e-7 and abs(lon - 44.0) < 1e-7
+
+    @pytest.mark.parametrize('epsg', [5041, 5042])
+    def test_ups_roundtrip_and_scale(self, epsg):
+        from proteus_tpu.geo.crs import (CRS, polar_stereo_forward,
+                                         polar_stereo_inverse)
+        ps = CRS.from_epsg(epsg).polar_stereo
+        assert len(ps) == 6 and ps[5] == 0.994
+        rng = np.random.default_rng(epsg)
+        sign = 1 if ps[4] else -1
+        lat = sign * rng.uniform(60, 89.99, 5000)
+        lon = rng.uniform(-180, 180, 5000)
+        x, y = polar_stereo_forward(lat, lon, *ps)
+        la2, lo2 = polar_stereo_inverse(x, y, *ps)
+        assert np.abs(la2 - lat).max() < 1e-11
+        assert np.abs((lo2 - lon + 180) % 360 - 180).max() < 1e-11
+        # variant A: unit scale at the implied standard parallel
+        # 81 deg 06 min 52.3 sec (the published UPS equivalence for
+        # k0 = 0.994)
+        lat_ts = sign * (81 + 6 / 60 + 52.3 / 3600)
+        x1, y1 = polar_stereo_forward(lat_ts, 0.0, *ps)
+        x2, y2 = polar_stereo_forward(lat_ts, 1e-3, *ps)
+        latr = np.radians(abs(lat_ts))
+        nu = 6378137.0 / np.sqrt(
+            1 - 0.00669437999014132 * np.sin(latr) ** 2)
+        d_true = np.radians(1e-3) * nu * np.cos(latr)
+        k = np.hypot(x2 - x1, y2 - y1) / d_true
+        assert abs(k - 1.0) < 1e-6
+
+    @pytest.mark.parametrize('epsg', [26915, 25832, 5041, 5042, 4269,
+                                      4258])
+    def test_wkt_proj4_roundtrip(self, epsg):
+        from proteus_tpu.geo.crs import CRS
+        crs = CRS.from_epsg(epsg)
+        assert CRS.from_wkt(crs.to_wkt()).epsg == epsg
+        assert CRS.from_proj4(crs.to_proj4()).epsg == epsg
+        # authority-free WKT falls back to name/datum parsing
+        import re as _re
+        no_auth = _re.sub(r',?AUTHORITY\[[^\]]*\]', '', crs.to_wkt())
+        assert CRS.from_wkt(no_auth).epsg == epsg
+
+    def test_nad83_dem_warp_device_matches_host(self, tmp_path):
+        """A DEM delivered in NAD83 UTM (EPSG:26915) warped onto a
+        WGS84 UTM 15N tile: accepted by the coverage check, and device
+        warp bit-identical to host."""
+        from proteus_tpu.geo.coverage import check_ancillary_inputs
+        rng = np.random.default_rng(9)
+        h = w = 300
+        gt = (580000.0, 60.0, 0.0, 3310000.0, 0.0, -60.0)
+        arr = (500 + 100 * rng.normal(size=(h, w))).astype(np.float32)
+        arr[rng.random((h, w)) < 0.03] = np.nan
+        path = str(tmp_path / 'nad83_dem.tif')
+        write_cog(path, arr, geotransform=gt, epsg=26915,
+                  nodata=float('nan'), overview_levels=())
+        tile_gt = (584000.0, 30.0, 0.0, 3306000.0, 0.0, -30.0)
+        proj = 'EPSG:32615'
+        check_ancillary_inputs(True, False, path, path, path, None,
+                               tile_gt, proj, 100, 120, {})
+        for alg in ('nearest', 'bilinear', 'cubic'):
+            host = warp_to_grid(path, tile_gt, proj, 100, 120,
+                                resample_algorithm=alg,
+                                margin_in_pixels=10)
+            nn = np.isnan(host)
+            assert (~nn).any(), 'tile missed the NAD83 source'
+            dev = np.asarray(warp_to_grid_device(
+                path, tile_gt, proj, 100, 120, resample_algorithm=alg,
+                margin_in_pixels=10))
+            bad = (host != dev) & ~(nn & np.isnan(dev))
+            assert not bad.any(), f'{alg}: {bad.sum()} mismatches'
+
+
 class TestAverageResampler:
     """GDAL GRA_Average semantics: area-weighted mean over the target
     pixel's source-space footprint bbox, nodata renormalized."""
