@@ -77,14 +77,23 @@ def main():
                     help='SIGKILL phase A once this many tiles are done')
     ap.add_argument('--root', default='/tmp/proteus_soak')
     ap.add_argument('--fault-tile', default='tile_03')
-    ap.add_argument('--out', default=os.path.join(REPO,
-                                                  'SOAK_CAMPAIGN.json'))
+    ap.add_argument('--out', default=None,
+                    help='default: SOAK_CAMPAIGN.json at the repo root'
+                         ' (SOAK_CAMPAIGN_SCALED.json with --scaled)')
+    ap.add_argument('--scaled', action='store_true', default=False,
+                    help='soak the scaled-reflectance campaign (float32'
+                         ' chain; on TPU the device-side cast path)')
     ap.add_argument('--timeout', type=int, default=3600)
     args = ap.parse_args()
+    if args.out is None:
+        args.out = os.path.join(
+            REPO, 'SOAK_CAMPAIGN_SCALED.json' if args.scaled
+            else 'SOAK_CAMPAIGN.json')
 
     report = {'generated': time.strftime('%Y-%m-%dT%H:%M:%SZ',
                                          time.gmtime()),
-              'tiles': args.tiles, 'size': args.size}
+              'tiles': args.tiles, 'size': args.size,
+              'scaled': args.scaled}
 
     dirs, dem, lc, wc, shore = build_dataset(args.root, args.tiles,
                                              args.size)
@@ -101,6 +110,8 @@ def main():
            *dirs, '-o', out_dir, '--dem', dem, '--landcover', lc,
            '--worldcover', wc, '--shoreline', shore, '--browse',
            '--manifest', manifest]
+    if args.scaled:
+        cmd.append('--scaled')
     env = dict(os.environ)
     env['PROTEUS_TPU_FAULT_INJECT'] = f'{args.fault_tile}:1'
 
