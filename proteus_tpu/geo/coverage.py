@@ -129,8 +129,10 @@ def check_ancillary_inputs(check_ancillary_inputs_coverage,
                    ' geographic (EPSG:4326), WGS84 UTM (EPSG:326xx/'
                    '327xx), NAD83/ETRS89 geographic+UTM (EPSG:4269/'
                    '4258, 269xx/258xx), WGS84 polar stereographic'
-                   ' (EPSG:3031/3032/3413/3976), and UPS (EPSG:5041/'
-                   f'5042). File: {file_name}')
+                   ' (EPSG:3031/3032/3413/3976), UPS (EPSG:5041/'
+                   '5042), Albers equal-area (EPSG:5070/3577), and'
+                   ' LAEA (EPSG:3035/6931/6932).'
+                   f' File: {file_name}')
             logger.error(msg)
             raise ValueError(msg)
         min_x, f_dx, _, max_y, _, f_dy = f_gt

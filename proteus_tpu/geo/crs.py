@@ -19,7 +19,13 @@ engine on the GRS80 ellipsoid, with the null NAD83/ETRS89<->WGS84 datum
 transformation (what OSR applies without datum grids; true offsets are
 ~1-2 m, far below the 30 m pixel grid) — and UPS (EPSG:5041/5042, polar
 stereographic variant A, verified against the EPSG Guidance Note 7-2
-worked example). Anything else is rejected up front by the ancillary
+worked example). Round-3 widening: the national equal-area land-product
+grids — NAD83 Conus Albers (EPSG:5070, NLCD/LANDFIRE), GDA94 Australian
+Albers (EPSG:3577), ETRS89-LAEA Europe (EPSG:3035, EU-DEM/Corine), and
+NSIDC EASE-Grid 2.0 (EPSG:6931/6932) — ellipsoidal Albers Conic and
+Lambert Azimuthal Equal Area per Snyder 1987 ch. 14/24 and EPSG Guidance
+Note 7-2 (verified against its LAEA worked example and Snyder's Albers
+numerical example). Anything else is rejected up front by the ancillary
 coverage check (geo/coverage.py) with a clear error.
 """
 
@@ -241,6 +247,186 @@ def polar_stereo_inverse(x, y, lat_ts, lon0, fe, fn, north, k0=None):
     return lat_deg, lon_deg
 
 
+# ---------------------------------------------------------------------------
+# Equal-area projections (Albers Conic, Lambert Azimuthal) — the national
+# land-product grids a delivered DEM/landcover ancillary plausibly arrives
+# in: NLCD/LANDFIRE ship in NAD83 Conus Albers, Geoscience Australia in
+# GDA94 Australian Albers, EU-DEM/Corine in ETRS89-LAEA, NSIDC snow/ice
+# products in EASE-Grid 2.0. The reference accepts them implicitly through
+# OSR (dswx_hls.py:3385-3461). Ellipsoidal forms per Snyder 1987 ch. 14/24
+# and EPSG Guidance Note 7-2; datum shifts NAD83/GDA94/ETRS89 <-> WGS84 are
+# the null transformation (as OSR applies without datum grids, ~1-2 m).
+# ---------------------------------------------------------------------------
+
+# EPSG code -> (ellipsoid, lat0, lon0, std parallel 1, std parallel 2,
+#               false easting, false northing)
+_ALBERS = {
+    5070: ('GRS80', 23.0, -96.0, 29.5, 45.5, 0.0, 0.0),
+    3577: ('GRS80', 0.0, 132.0, -18.0, -36.0, 0.0, 0.0),
+}
+
+# EPSG code -> (ellipsoid, lat0, lon0, false easting, false northing)
+_LAEA = {
+    3035: ('GRS80', 52.0, 10.0, 4321000.0, 3210000.0),
+    6931: ('WGS84', 90.0, 0.0, 0.0, 0.0),
+    6932: ('WGS84', -90.0, 0.0, 0.0, 0.0),
+}
+
+
+@lru_cache(maxsize=None)
+def _ell_consts(ell):
+    """(a, e2, e) for a named ellipsoid."""
+    a, invf = _ELLIPSOIDS[ell]
+    f = 1.0 / invf
+    e2 = f * (2.0 - f)
+    return a, e2, np.sqrt(e2)
+
+
+def _q_authalic(lat, e, e2):
+    """Snyder (3-12): q(phi), so that q/qp = sin(authalic latitude)."""
+    s = np.sin(lat)
+    return (1.0 - e2) * (s / (1.0 - e2 * s * s)
+                         - np.log((1.0 - e * s) / (1.0 + e * s))
+                         / (2.0 * e))
+
+
+def _phi_from_q(q, e, e2, qp):
+    """Latitude from authalic q: series seed (Snyder 3-18) + Newton
+    polish to full float64 (dq/dphi = 2(1-e2)cos phi/(1-e2 sin^2)^2)."""
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    lat = (beta
+           + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * np.sin(2 * beta)
+           + (23 * e4 / 360 + 251 * e6 / 3780) * np.sin(4 * beta)
+           + (761 * e6 / 45360) * np.sin(6 * beta))
+    for _ in range(3):
+        s = np.sin(lat)
+        f = _q_authalic(lat, e, e2) - q
+        df = 2.0 * (1.0 - e2) * np.cos(lat) / (1.0 - e2 * s * s) ** 2
+        step = f / np.maximum(df, 1e-12)
+        lat = np.clip(lat - np.clip(step, -0.1, 0.1),
+                      -np.pi / 2, np.pi / 2)
+    return lat
+
+
+def _wrap_pi(x):
+    return (x + np.pi) % (2.0 * np.pi) - np.pi
+
+
+def albers_forward(lat_deg, lon_deg, ell, lat0, lon0, sp1, sp2, fe, fn):
+    """Geographic -> Albers Equal Area Conic E/N, float64 (Snyder
+    14-1..14-5 ellipsoidal; null datum shift to the grid's datum)."""
+    a, e2, e = _ell_consts(ell)
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    p0, p1, p2 = (np.radians(v) for v in (lat0, sp1, sp2))
+    s1, s2 = np.sin(p1), np.sin(p2)
+    m1 = np.cos(p1) / np.sqrt(1.0 - e2 * s1 * s1)
+    m2 = np.cos(p2) / np.sqrt(1.0 - e2 * s2 * s2)
+    q0, q1, q2 = (_q_authalic(p, e, e2) for p in (p0, p1, p2))
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * np.sqrt(C - n * q0) / n
+    q = _q_authalic(lat, e, e2)
+    rho = a * np.sqrt(np.maximum(C - n * q, 0.0)) / n
+    theta = n * _wrap_pi(lon - np.radians(lon0))
+    return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+
+def albers_inverse(x, y, ell, lat0, lon0, sp1, sp2, fe, fn):
+    """Albers Equal Area Conic E/N -> geographic lat/lon degrees."""
+    a, e2, e = _ell_consts(ell)
+    x = np.asarray(x, dtype=np.float64) - fe
+    y = np.asarray(y, dtype=np.float64) - fn
+    p0, p1, p2 = (np.radians(v) for v in (lat0, sp1, sp2))
+    s1, s2 = np.sin(p1), np.sin(p2)
+    m1 = np.cos(p1) / np.sqrt(1.0 - e2 * s1 * s1)
+    m2 = np.cos(p2) / np.sqrt(1.0 - e2 * s2 * s2)
+    q0, q1, q2 = (_q_authalic(p, e, e2) for p in (p0, p1, p2))
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * np.sqrt(C - n * q0) / n
+    sgn = 1.0 if n >= 0 else -1.0   # Snyder: flip signs when n < 0
+    rho = np.hypot(x, rho0 - y)
+    theta = np.arctan2(sgn * x, sgn * (rho0 - y))
+    q = (C - (rho * n / a) ** 2) / n
+    qp = _q_authalic(np.float64(np.pi / 2), e, e2)
+    lat = _phi_from_q(q, e, e2, qp)
+    lon = np.radians(lon0) + theta / n
+    return np.degrees(lat), np.degrees(_wrap_pi(lon))
+
+
+def laea_forward(lat_deg, lon_deg, ell, lat0, lon0, fe, fn):
+    """Geographic -> Lambert Azimuthal Equal Area E/N, float64 (EPSG
+    Guidance Note 7-2 oblique form; Snyder 24-23/24 polar aspects)."""
+    a, e2, e = _ell_consts(ell)
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    dlon = _wrap_pi(np.radians(np.asarray(lon_deg, dtype=np.float64))
+                    - np.radians(lon0))
+    q = _q_authalic(lat, e, e2)
+    qp = _q_authalic(np.float64(np.pi / 2), e, e2)
+    if lat0 >= 90.0:     # north polar aspect
+        rho = a * np.sqrt(np.maximum(qp - q, 0.0))
+        return fe + rho * np.sin(dlon), fn - rho * np.cos(dlon)
+    if lat0 <= -90.0:    # south polar aspect
+        rho = a * np.sqrt(np.maximum(qp + q, 0.0))
+        return fe + rho * np.sin(dlon), fn + rho * np.cos(dlon)
+    p0 = np.radians(lat0)
+    s0 = np.sin(p0)
+    m0 = np.cos(p0) / np.sqrt(1.0 - e2 * s0 * s0)
+    b0 = np.arcsin(np.clip(_q_authalic(p0, e, e2) / qp, -1.0, 1.0))
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    rq = a * np.sqrt(qp / 2.0)
+    d = a * m0 / (rq * np.cos(b0))
+    denom = (1.0 + np.sin(b0) * np.sin(beta)
+             + np.cos(b0) * np.cos(beta) * np.cos(dlon))
+    b = rq * np.sqrt(2.0 / np.maximum(denom, 1e-12))
+    x = b * d * np.cos(beta) * np.sin(dlon)
+    y = (b / d) * (np.cos(b0) * np.sin(beta)
+                   - np.sin(b0) * np.cos(beta) * np.cos(dlon))
+    return fe + x, fn + y
+
+
+def laea_inverse(x, y, ell, lat0, lon0, fe, fn):
+    """Lambert Azimuthal Equal Area E/N -> geographic lat/lon degrees."""
+    a, e2, e = _ell_consts(ell)
+    x = np.asarray(x, dtype=np.float64) - fe
+    y = np.asarray(y, dtype=np.float64) - fn
+    qp = _q_authalic(np.float64(np.pi / 2), e, e2)
+    lam0 = np.radians(lon0)
+    if lat0 >= 90.0 or lat0 <= -90.0:
+        rho = np.hypot(x, y)
+        if lat0 >= 90.0:
+            q = qp - (rho / a) ** 2
+            lon = lam0 + np.arctan2(x, -y)
+        else:
+            q = (rho / a) ** 2 - qp
+            lon = lam0 + np.arctan2(x, y)
+        lat = _phi_from_q(q, e, e2, qp)
+        return np.degrees(lat), np.degrees(_wrap_pi(lon))
+    p0 = np.radians(lat0)
+    s0 = np.sin(p0)
+    m0 = np.cos(p0) / np.sqrt(1.0 - e2 * s0 * s0)
+    b0 = np.arcsin(np.clip(_q_authalic(p0, e, e2) / qp, -1.0, 1.0))
+    rq = a * np.sqrt(qp / 2.0)
+    d = a * m0 / (rq * np.cos(b0))
+    rho = np.hypot(x / d, d * y)
+    safe_rho = np.maximum(rho, 1e-12)
+    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+    beta = np.arcsin(np.clip(
+        np.cos(ce) * np.sin(b0)
+        + d * y * np.sin(ce) * np.cos(b0) / safe_rho, -1.0, 1.0))
+    lon = lam0 + np.arctan2(
+        x * np.sin(ce),
+        d * safe_rho * np.cos(b0) * np.cos(ce)
+        - d * d * y * np.sin(b0) * np.sin(ce))
+    lat = _phi_from_q(qp * np.sin(beta), e, e2, qp)
+    # at the projection center rho=0: the trig degenerates -> (lat0,lon0)
+    lat = np.where(rho < 1e-12, p0, lat)
+    lon = np.where(rho < 1e-12, lam0, lon)
+    return np.degrees(lat), np.degrees(_wrap_pi(lon))
+
+
 _WKT_PS_TEMPLATE = (
     'PROJCS["{name}",GEOGCS["WGS 84",'
     'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563,'
@@ -311,6 +497,63 @@ _WKT_UTM_GRS80_TEMPLATE = (
     'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
     'AUTHORITY["EPSG","{epsg}"]]')
 
+_GEOGCS_WGS84_FRAG = (
+    'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+    '298.257223563,AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
+    'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
+    'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
+    'AUTHORITY["EPSG","4326"]]')
+
+_GEOGCS_GDA94_FRAG = (
+    'GEOGCS["GDA94",DATUM["Geocentric_Datum_of_Australia_1994",'
+    'SPHEROID["GRS 1980",6378137,298.257222101,'
+    'AUTHORITY["EPSG","7019"]],AUTHORITY["EPSG","6283"]],'
+    'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
+    'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
+    'AUTHORITY["EPSG","4283"]]')
+
+# equal-area grids: epsg -> (PROJCS name, GEOGCS fragment)
+_EQUAL_AREA_GEOGCS = {
+    5070: ('NAD83 / Conus Albers',
+           _GEOGCS_GRS80.format(
+               datum_name='NAD83',
+               datum_wkt='North_American_Datum_1983', datum_auth=6269)
+           + ',AUTHORITY["EPSG","4269"]]'),
+    3577: ('GDA94 / Australian Albers', _GEOGCS_GDA94_FRAG),
+    3035: ('ETRS89-extended / LAEA Europe',
+           _GEOGCS_GRS80.format(
+               datum_name='ETRS89',
+               datum_wkt='European_Terrestrial_Reference_System_1989',
+               datum_auth=6258)
+           + ',AUTHORITY["EPSG","4258"]]'),
+    6931: ('WGS 84 / NSIDC EASE-Grid 2.0 North', _GEOGCS_WGS84_FRAG),
+    6932: ('WGS 84 / NSIDC EASE-Grid 2.0 South', _GEOGCS_WGS84_FRAG),
+}
+
+_WKT_ALBERS_TEMPLATE = (
+    'PROJCS["{name}",{geogcs},'
+    'PROJECTION["Albers_Conic_Equal_Area"],'
+    'PARAMETER["latitude_of_center",{lat0}],'
+    'PARAMETER["longitude_of_center",{lon0}],'
+    'PARAMETER["standard_parallel_1",{sp1}],'
+    'PARAMETER["standard_parallel_2",{sp2}],'
+    'PARAMETER["false_easting",{fe}],'
+    'PARAMETER["false_northing",{fn}],'
+    'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+    'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
+    'AUTHORITY["EPSG","{epsg}"]]')
+
+_WKT_LAEA_TEMPLATE = (
+    'PROJCS["{name}",{geogcs},'
+    'PROJECTION["Lambert_Azimuthal_Equal_Area"],'
+    'PARAMETER["latitude_of_center",{lat0}],'
+    'PARAMETER["longitude_of_center",{lon0}],'
+    'PARAMETER["false_easting",{fe}],'
+    'PARAMETER["false_northing",{fn}],'
+    'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+    'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
+    'AUTHORITY["EPSG","{epsg}"]]')
+
 _WKT_UPS_TEMPLATE = (
     'PROJCS["WGS 84 / UPS {ns} (E,N)",GEOGCS["WGS 84",'
     'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563,'
@@ -375,10 +618,23 @@ class CRS:
         return _POLAR_STEREO.get(self.epsg)
 
     @property
+    def albers(self):
+        """(ell, lat0, lon0, sp1, sp2, fe, fn) for Albers Equal Area
+        Conic grids."""
+        return _ALBERS.get(self.epsg)
+
+    @property
+    def laea(self):
+        """(ell, lat0, lon0, fe, fn) for Lambert Azimuthal Equal Area
+        grids."""
+        return _LAEA.get(self.epsg)
+
+    @property
     def supported(self):
         """True if this CRS can be transformed by this engine."""
         return (self.is_geographic or self.utm is not None
-                or self.polar_stereo is not None)
+                or self.polar_stereo is not None
+                or self.albers is not None or self.laea is not None)
 
     def to_wkt(self):
         utm = self.utm
@@ -408,6 +664,20 @@ class CRS:
                     epsg=self.epsg)
             return _WKT_PS_TEMPLATE.format(
                 name=_PS_NAMES[self.epsg], lat_ts=lat_ts, lon0=lon0,
+                fe=fe, fn=fn, epsg=self.epsg)
+        aea = self.albers
+        if aea is not None:
+            _, lat0, lon0, sp1, sp2, fe, fn = aea
+            name, geogcs = _EQUAL_AREA_GEOGCS[self.epsg]
+            return _WKT_ALBERS_TEMPLATE.format(
+                name=name, geogcs=geogcs, lat0=lat0, lon0=lon0,
+                sp1=sp1, sp2=sp2, fe=fe, fn=fn, epsg=self.epsg)
+        laea = self.laea
+        if laea is not None:
+            _, lat0, lon0, fe, fn = laea
+            name, geogcs = _EQUAL_AREA_GEOGCS[self.epsg]
+            return _WKT_LAEA_TEMPLATE.format(
+                name=name, geogcs=geogcs, lat0=lat0, lon0=lon0,
                 fe=fe, fn=fn, epsg=self.epsg)
         if self.epsg == 4326:
             return _WKT_WGS84
@@ -443,6 +713,22 @@ class CRS:
             return (f'+proj=stere +lat_0={"90" if north else "-90"} '
                     f'+lat_ts={lat_ts:g} +lon_0={lon0:g} +x_0={fe:g} '
                     f'+y_0={fn:g} +datum=WGS84 +units=m +no_defs')
+        aea = self.albers
+        if aea is not None:
+            _, lat0, lon0, sp1, sp2, fe, fn = aea
+            datum = ('+datum=NAD83' if self.epsg == 5070
+                     else '+ellps=GRS80 +towgs84=0,0,0,0,0,0,0')
+            return (f'+proj=aea +lat_0={lat0:g} +lon_0={lon0:g} '
+                    f'+lat_1={sp1:g} +lat_2={sp2:g} +x_0={fe:g} '
+                    f'+y_0={fn:g} {datum} +units=m +no_defs')
+        laea = self.laea
+        if laea is not None:
+            ell, lat0, lon0, fe, fn = laea
+            datum = ('+datum=WGS84' if ell == 'WGS84'
+                     else '+ellps=GRS80 +towgs84=0,0,0,0,0,0,0')
+            return (f'+proj=laea +lat_0={lat0:g} +lon_0={lon0:g} '
+                    f'+x_0={fe:g} +y_0={fn:g} {datum} +units=m '
+                    '+no_defs')
         if self.epsg == 4326:
             return '+proj=longlat +datum=WGS84 +no_defs'
         if self.is_geographic:
@@ -470,6 +756,32 @@ class CRS:
         m = re.search(r'UPS\s+(North|South)', wkt)
         if m:
             return cls(5041 if m.group(1) == 'North' else 5042)
+
+        def _param(key, default=0.0):
+            pm = re.search(
+                rf'PARAMETER\[\s*"{key}"\s*,\s*(-?[\d.eE+]+)\s*\]', wkt)
+            return float(pm.group(1)) if pm else default
+
+        if 'Albers' in wkt:
+            cand = (_param('latitude_of_center'),
+                    _param('longitude_of_center'),
+                    _param('standard_parallel_1'),
+                    _param('standard_parallel_2'),
+                    _param('false_easting'), _param('false_northing'))
+            for epsg, params in _ALBERS.items():
+                if params[1:] == cand:
+                    return cls(epsg)
+            raise ValueError(
+                f'Albers WKT matches no supported grid: {wkt[:120]}...')
+        if 'Lambert_Azimuthal_Equal_Area' in wkt or 'LAEA' in wkt:
+            cand = (_param('latitude_of_center'),
+                    _param('longitude_of_center'),
+                    _param('false_easting'), _param('false_northing'))
+            for epsg, params in _LAEA.items():
+                if params[1:] == cand:
+                    return cls(epsg)
+            raise ValueError(
+                f'LAEA WKT matches no supported grid: {wkt[:120]}...')
         if 'WGS 84' in wkt or 'WGS_1984' in wkt:
             return cls(4326)
         if 'NAD83' in wkt or 'North_American_Datum_1983' in wkt:
@@ -496,6 +808,23 @@ class CRS:
             if '+datum=ETRS89' in proj4:
                 return cls(4258)
             return cls(4326)
+        if '+proj=aea' in proj4 or '+proj=laea' in proj4:
+            def _p(key, default=0.0):
+                m = re.search(rf'\+{key}=(-?[\d.eE+]+)', proj4)
+                return float(m.group(1)) if m else default
+            if '+proj=aea' in proj4:
+                cand = (_p('lat_0'), _p('lon_0'), _p('lat_1'),
+                        _p('lat_2'), _p('x_0'), _p('y_0'))
+                for epsg, params in _ALBERS.items():
+                    if params[1:] == cand:
+                        return cls(epsg)
+            else:
+                cand = (_p('lat_0'), _p('lon_0'), _p('x_0'), _p('y_0'))
+                for epsg, params in _LAEA.items():
+                    if params[1:] == cand:
+                        return cls(epsg)
+            raise ValueError(
+                f'equal-area proj4 matches no supported grid: {proj4}')
         if '+proj=stere' in proj4:
             def _p(key, default=0.0):
                 m = re.search(rf'\+{key}=(-?[\d.eE+]+)', proj4)
@@ -554,6 +883,10 @@ def transform_points(src, dst, x, y):
         lat, lon = utm_inverse(x, y, *src.utm, ell=src.ellipsoid)
     elif src.polar_stereo is not None:
         lat, lon = polar_stereo_inverse(x, y, *src.polar_stereo)
+    elif src.albers is not None:
+        lat, lon = albers_inverse(x, y, *src.albers)
+    elif src.laea is not None:
+        lat, lon = laea_inverse(x, y, *src.laea)
     elif src.is_geographic:
         lon, lat = x, y
     else:
@@ -564,4 +897,8 @@ def transform_points(src, dst, x, y):
         return utm_forward(lat, lon, *dst.utm, ell=dst.ellipsoid)
     if dst.polar_stereo is not None:
         return polar_stereo_forward(lat, lon, *dst.polar_stereo)
+    if dst.albers is not None:
+        return albers_forward(lat, lon, *dst.albers)
+    if dst.laea is not None:
+        return laea_forward(lat, lon, *dst.laea)
     raise ValueError(f'unsupported destination CRS: EPSG:{dst.epsg}')

@@ -486,6 +486,152 @@ class TestWidenedCrs:
             assert not bad.any(), f'{alg}: {bad.sum()} mismatches'
 
 
+class TestEqualAreaCrs:
+    """Albers Conic + Lambert Azimuthal Equal Area grids (round-3
+    widening): the national land-product CRSs an ancillary DEM or
+    landcover plausibly ships in (NLCD 5070, Australian Albers 3577,
+    ETRS89-LAEA 3035, EASE-Grid 2.0 6931/6932). Reference accepts them
+    through OSR, dswx_hls.py:3385-3461."""
+
+    def test_laea_epsg_guidance_note_example(self):
+        """EPSG Guidance Note 7-2 worked example (ETRS89 / LAEA Europe):
+        50N 5E -> E 3962799.45, N 2999718.85."""
+        from proteus_tpu.geo.crs import (CRS, laea_forward, laea_inverse)
+        p = CRS.from_epsg(3035).laea
+        E, N = laea_forward(50.0, 5.0, *p)
+        assert abs(E - 3962799.45) < 0.01
+        assert abs(N - 2999718.85) < 0.01
+        lat, lon = laea_inverse(3962799.45, 2999718.85, *p)
+        assert abs(lat - 50.0) < 1e-7 and abs(lon - 5.0) < 1e-7
+
+    def test_albers_snyder_numerical_example(self):
+        """Snyder 1987 Appendix numerical example for the ellipsoidal
+        Albers (Clarke 1866, sp 29.5/45.5, origin 23N 96W): 35N 75W ->
+        x 1885472.7, y 1535925.0 (published to 0.1 m)."""
+        from proteus_tpu.geo import crs
+        crs._ELLIPSOIDS.setdefault(
+            'CLARKE1866', (6378206.4, 294.9786982139006))
+        x, y = crs.albers_forward(35.0, -75.0, 'CLARKE1866',
+                                  23.0, -96.0, 29.5, 45.5, 0.0, 0.0)
+        assert abs(x - 1885472.7) < 0.5
+        assert abs(y - 1535925.0) < 0.5
+
+    _DOMAINS = {5070: (25, 49, -124, -66), 3577: (-44, -10, 112, 154),
+                3035: (35, 70, -10, 30), 6931: (30, 89.9, -180, 180),
+                6932: (-89.9, -30, -180, 180)}
+
+    @pytest.mark.parametrize('epsg', [5070, 3577, 3035, 6931, 6932])
+    def test_roundtrip_via_transform_points(self, epsg):
+        rng = np.random.default_rng(epsg)
+        la, lb, lo, hi = self._DOMAINS[epsg]
+        lat = rng.uniform(la, lb, 500)
+        lon = rng.uniform(lo, hi, 500)
+        x, y = transform_points('EPSG:4326', f'EPSG:{epsg}', lon, lat)
+        lon2, lat2 = transform_points(f'EPSG:{epsg}', 'EPSG:4326', x, y)
+        assert np.abs(lat2 - lat).max() < 1e-8
+        dlon = (np.abs(lon2 - lon) + 180.0) % 360.0 - 180.0
+        assert np.abs(dlon).max() < 1e-8
+
+    def test_albers_unit_scale_at_standard_parallels(self):
+        """k = 1 along both standard parallels (the defining property
+        of the secant conic; pins n and C)."""
+        from proteus_tpu.geo.crs import CRS, albers_forward
+        for epsg in (5070, 3577):
+            p = CRS.from_epsg(epsg).albers
+            ell, lat0, lon0, sp1, sp2 = p[:5]
+            from proteus_tpu.geo.crs import _ell_consts
+            a, e2, _ = _ell_consts(ell)
+            for sp in (sp1, sp2):
+                x1, y1 = albers_forward(sp, lon0, *p)
+                x2, y2 = albers_forward(sp, lon0 + 1e-3, *p)
+                latr = np.radians(sp)
+                d_true = (np.radians(1e-3) * a * np.cos(latr)
+                          / np.sqrt(1 - e2 * np.sin(latr) ** 2))
+                k = np.hypot(x2 - x1, y2 - y1) / d_true
+                assert abs(k - 1.0) < 1e-6, (epsg, sp)
+
+    @pytest.mark.parametrize('epsg', [5070, 3577, 3035, 6931, 6932])
+    def test_equal_area_jacobian(self, epsg):
+        """|det d(x,y)/d(lon,lat)| == a^2 (1-e2) cos(lat) /
+        (1-e2 sin^2 lat)^2 everywhere — the equal-area property, an
+        implementation check independent of any published vector."""
+        from proteus_tpu.geo.crs import CRS, _ell_consts, transform_points
+        rng = np.random.default_rng(7 * epsg)
+        la, lb, lo, hi = self._DOMAINS[epsg]
+        lat = rng.uniform(la + 0.1, lb - 0.1, 200)
+        lon = rng.uniform(lo + 0.1, hi - 0.1, 200)
+        crs = CRS.from_epsg(epsg)
+        ell = (crs.albers or crs.laea)[0]
+        a, e2, _ = _ell_consts(ell)
+        h = 1e-5
+
+        def fwd(lon_, lat_):
+            return transform_points('EPSG:4326', f'EPSG:{epsg}',
+                                    lon_, lat_)
+        xpl, ypl = fwd(lon + h, lat)
+        xml, yml = fwd(lon - h, lat)
+        xpp, ypp = fwd(lon, lat + h)
+        xmp, ymp = fwd(lon, lat - h)
+        dxdlon = (xpl - xml) / (2 * h)
+        dydlon = (ypl - yml) / (2 * h)
+        dxdlat = (xpp - xmp) / (2 * h)
+        dydlat = (ypp - ymp) / (2 * h)
+        det = np.abs(dxdlon * dydlat - dxdlat * dydlon)
+        latr = np.radians(lat)
+        s = np.sin(latr)
+        true = (a * a * (1 - e2) * np.cos(latr)
+                / (1 - e2 * s * s) ** 2) * np.radians(1.0) ** 2
+        assert np.abs(det / true - 1.0).max() < 1e-5
+
+    @pytest.mark.parametrize('epsg', [5070, 3577, 3035, 6931, 6932])
+    def test_wkt_proj4_roundtrip(self, epsg):
+        from proteus_tpu.geo.crs import CRS
+        crs = CRS.from_epsg(epsg)
+        assert CRS.from_wkt(crs.to_wkt()).epsg == epsg
+        assert CRS.from_proj4(crs.to_proj4()).epsg == epsg
+        # authority-free WKT falls back to parameter matching
+        import re as _re
+        no_auth = _re.sub(r',?AUTHORITY\[[^\]]*\]', '', crs.to_wkt())
+        assert CRS.from_wkt(no_auth).epsg == epsg
+
+    @pytest.mark.parametrize('epsg,tile_proj,tile_xy', [
+        (5070, 'EPSG:32615', (500000.0, 4983000.0)),   # Minnesota
+        (3035, 'EPSG:32632', (500000.0, 5540000.0)),   # Germany
+    ])
+    def test_equal_area_dem_warp_device_matches_host(
+            self, tmp_path, epsg, tile_proj, tile_xy):
+        """A DEM delivered in an equal-area grid warped onto a UTM
+        tile: accepted by the coverage check, and device warp
+        bit-identical to host."""
+        from proteus_tpu.geo.coverage import check_ancillary_inputs
+        rng = np.random.default_rng(epsg)
+        h = w = 300
+        cx, cy = transform_points(tile_proj, f'EPSG:{epsg}',
+                                  np.array([tile_xy[0] + 1800.0]),
+                                  np.array([tile_xy[1] - 1500.0]))
+        gt = (float(cx[0]) - 150 * 60.0, 60.0, 0.0,
+              float(cy[0]) + 150 * 60.0, 0.0, -60.0)
+        arr = (500 + 100 * rng.normal(size=(h, w))).astype(np.float32)
+        arr[rng.random((h, w)) < 0.03] = np.nan
+        path = str(tmp_path / f'ea_{epsg}_dem.tif')
+        write_cog(path, arr, geotransform=gt, epsg=epsg,
+                  nodata=float('nan'), overview_levels=())
+        tile_gt = (tile_xy[0], 30.0, 0.0, tile_xy[1], 0.0, -30.0)
+        check_ancillary_inputs(True, False, path, path, path, None,
+                               tile_gt, tile_proj, 100, 120, {})
+        for alg in ('nearest', 'bilinear', 'cubic'):
+            host = warp_to_grid(path, tile_gt, tile_proj, 100, 120,
+                                resample_algorithm=alg,
+                                margin_in_pixels=10)
+            nn = np.isnan(host)
+            assert (~nn).any(), f'tile missed the EPSG:{epsg} source'
+            dev = np.asarray(warp_to_grid_device(
+                path, tile_gt, tile_proj, 100, 120,
+                resample_algorithm=alg, margin_in_pixels=10))
+            bad = (host != dev) & ~(nn & np.isnan(dev))
+            assert not bad.any(), f'{alg}: {bad.sum()} mismatches'
+
+
 class TestAverageResampler:
     """GDAL GRA_Average semantics: area-weighted mean over the target
     pixel's source-space footprint bbox, nodata renormalized."""
