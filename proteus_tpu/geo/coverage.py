@@ -130,8 +130,9 @@ def check_ancillary_inputs(check_ancillary_inputs_coverage,
                    '327xx), NAD83/ETRS89 geographic+UTM (EPSG:4269/'
                    '4258, 269xx/258xx), WGS84 polar stereographic'
                    ' (EPSG:3031/3032/3413/3976), UPS (EPSG:5041/'
-                   '5042), Albers equal-area (EPSG:5070/3577), and'
-                   ' LAEA (EPSG:3035/6931/6932).'
+                   '5042), Albers equal-area (EPSG:5070/3577), LAEA'
+                   ' (EPSG:3035/6931/6932), and Lambert conformal'
+                   ' conic (EPSG:3978/2154).'
                    f' File: {file_name}')
             logger.error(msg)
             raise ValueError(msg)

@@ -25,8 +25,12 @@ Albers (EPSG:3577), ETRS89-LAEA Europe (EPSG:3035, EU-DEM/Corine), and
 NSIDC EASE-Grid 2.0 (EPSG:6931/6932) — ellipsoidal Albers Conic and
 Lambert Azimuthal Equal Area per Snyder 1987 ch. 14/24 and EPSG Guidance
 Note 7-2 (verified against its LAEA worked example and Snyder's Albers
-numerical example). Anything else is rejected up front by the ancillary
-coverage check (geo/coverage.py) with a clear error.
+numerical example) — plus the Lambert Conformal Conic 2SP national
+grids: Canada Atlas Lambert (EPSG:3978, CDEM/HRDEM) and Lambert-93
+(EPSG:2154, IGN France), Snyder ch. 15, verified against his numerical
+example and conformality/standard-parallel invariants. Anything else is
+rejected up front by the ancillary coverage check (geo/coverage.py)
+with a clear error.
 """
 
 import dataclasses
@@ -272,6 +276,14 @@ _LAEA = {
     6932: ('WGS84', -90.0, 0.0, 0.0, 0.0),
 }
 
+# Lambert Conformal Conic (2SP): the national grids of Canada (Canada
+# Atlas Lambert — CDEM/HRDEM deliveries) and France (Lambert-93 — IGN
+# products). EPSG code -> (ellipsoid, lat0, lon0, sp1, sp2, fe, fn)
+_LCC = {
+    3978: ('GRS80', 49.0, -95.0, 49.0, 77.0, 0.0, 0.0),
+    2154: ('GRS80', 46.5, 3.0, 49.0, 44.0, 700000.0, 6600000.0),
+}
+
 
 @lru_cache(maxsize=None)
 def _ell_consts(ell):
@@ -427,6 +439,66 @@ def laea_inverse(x, y, ell, lat0, lon0, fe, fn):
     return np.degrees(lat), np.degrees(_wrap_pi(lon))
 
 
+def _lcc_t(lat, e):
+    """Snyder (15-9): t(phi) for the conformal conic."""
+    s = np.sin(lat)
+    return (np.tan(np.pi / 4 - lat / 2)
+            / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2))
+
+
+def lcc_forward(lat_deg, lon_deg, ell, lat0, lon0, sp1, sp2, fe, fn):
+    """Geographic -> Lambert Conformal Conic (2SP) E/N, float64
+    (Snyder 15-1..15-5 ellipsoidal)."""
+    a, e2, e = _ell_consts(ell)
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    p0, p1, p2 = (np.radians(v) for v in (lat0, sp1, sp2))
+    s1, s2 = np.sin(p1), np.sin(p2)
+    m1 = np.cos(p1) / np.sqrt(1.0 - e2 * s1 * s1)
+    m2 = np.cos(p2) / np.sqrt(1.0 - e2 * s2 * s2)
+    t0, t1, t2 = (_lcc_t(p, e) for p in (p0, p1, p2))
+    if sp1 == sp2:
+        n = np.sin(p1)
+    else:
+        n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    F = m1 / (n * t1 ** n)
+    rho0 = a * F * t0 ** n
+    rho = a * F * _lcc_t(lat, e) ** n
+    theta = n * _wrap_pi(lon - np.radians(lon0))
+    return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+
+def lcc_inverse(x, y, ell, lat0, lon0, sp1, sp2, fe, fn):
+    """Lambert Conformal Conic (2SP) E/N -> geographic lat/lon
+    degrees."""
+    a, e2, e = _ell_consts(ell)
+    x = np.asarray(x, dtype=np.float64) - fe
+    y = np.asarray(y, dtype=np.float64) - fn
+    p0, p1, p2 = (np.radians(v) for v in (lat0, sp1, sp2))
+    s1, s2 = np.sin(p1), np.sin(p2)
+    m1 = np.cos(p1) / np.sqrt(1.0 - e2 * s1 * s1)
+    m2 = np.cos(p2) / np.sqrt(1.0 - e2 * s2 * s2)
+    t0, t1, t2 = (_lcc_t(p, e) for p in (p0, p1, p2))
+    if sp1 == sp2:
+        n = np.sin(p1)
+    else:
+        n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    F = m1 / (n * t1 ** n)
+    rho0 = a * F * t0 ** n
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = sgn * np.hypot(x, rho0 - y)
+    theta = np.arctan2(sgn * x, sgn * (rho0 - y))
+    t = (rho / (a * F)) ** (1.0 / n)
+    # same conformal-latitude iteration as polar stereographic
+    lat = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        s = np.sin(lat)
+        lat = np.pi / 2 - 2 * np.arctan(
+            t * ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2))
+    lon = np.radians(lon0) + theta / n
+    return np.degrees(lat), np.degrees(_wrap_pi(lon))
+
+
 _WKT_PS_TEMPLATE = (
     'PROJCS["{name}",GEOGCS["WGS 84",'
     'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563,'
@@ -513,7 +585,7 @@ _GEOGCS_GDA94_FRAG = (
     'AUTHORITY["EPSG","4283"]]')
 
 # equal-area grids: epsg -> (PROJCS name, GEOGCS fragment)
-_EQUAL_AREA_GEOGCS = {
+_GRID_NAME_GEOGCS = {
     5070: ('NAD83 / Conus Albers',
            _GEOGCS_GRS80.format(
                datum_name='NAD83',
@@ -528,7 +600,31 @@ _EQUAL_AREA_GEOGCS = {
            + ',AUTHORITY["EPSG","4258"]]'),
     6931: ('WGS 84 / NSIDC EASE-Grid 2.0 North', _GEOGCS_WGS84_FRAG),
     6932: ('WGS 84 / NSIDC EASE-Grid 2.0 South', _GEOGCS_WGS84_FRAG),
+    3978: ('NAD83 / Canada Atlas Lambert',
+           _GEOGCS_GRS80.format(
+               datum_name='NAD83',
+               datum_wkt='North_American_Datum_1983', datum_auth=6269)
+           + ',AUTHORITY["EPSG","4269"]]'),
+    2154: ('RGF93 v1 / Lambert-93',
+           _GEOGCS_GRS80.format(
+               datum_name='RGF93 v1',
+               datum_wkt='Reseau_Geodesique_Francais_1993_v1',
+               datum_auth=6171)
+           + ',AUTHORITY["EPSG","4171"]]'),
 }
+
+_WKT_LCC_TEMPLATE = (
+    'PROJCS["{name}",{geogcs},'
+    'PROJECTION["Lambert_Conformal_Conic_2SP"],'
+    'PARAMETER["latitude_of_origin",{lat0}],'
+    'PARAMETER["central_meridian",{lon0}],'
+    'PARAMETER["standard_parallel_1",{sp1}],'
+    'PARAMETER["standard_parallel_2",{sp2}],'
+    'PARAMETER["false_easting",{fe}],'
+    'PARAMETER["false_northing",{fn}],'
+    'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+    'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
+    'AUTHORITY["EPSG","{epsg}"]]')
 
 _WKT_ALBERS_TEMPLATE = (
     'PROJCS["{name}",{geogcs},'
@@ -630,11 +726,18 @@ class CRS:
         return _LAEA.get(self.epsg)
 
     @property
+    def lcc(self):
+        """(ell, lat0, lon0, sp1, sp2, fe, fn) for Lambert Conformal
+        Conic (2SP) grids."""
+        return _LCC.get(self.epsg)
+
+    @property
     def supported(self):
         """True if this CRS can be transformed by this engine."""
         return (self.is_geographic or self.utm is not None
                 or self.polar_stereo is not None
-                or self.albers is not None or self.laea is not None)
+                or self.albers is not None or self.laea is not None
+                or self.lcc is not None)
 
     def to_wkt(self):
         utm = self.utm
@@ -668,17 +771,24 @@ class CRS:
         aea = self.albers
         if aea is not None:
             _, lat0, lon0, sp1, sp2, fe, fn = aea
-            name, geogcs = _EQUAL_AREA_GEOGCS[self.epsg]
+            name, geogcs = _GRID_NAME_GEOGCS[self.epsg]
             return _WKT_ALBERS_TEMPLATE.format(
                 name=name, geogcs=geogcs, lat0=lat0, lon0=lon0,
                 sp1=sp1, sp2=sp2, fe=fe, fn=fn, epsg=self.epsg)
         laea = self.laea
         if laea is not None:
             _, lat0, lon0, fe, fn = laea
-            name, geogcs = _EQUAL_AREA_GEOGCS[self.epsg]
+            name, geogcs = _GRID_NAME_GEOGCS[self.epsg]
             return _WKT_LAEA_TEMPLATE.format(
                 name=name, geogcs=geogcs, lat0=lat0, lon0=lon0,
                 fe=fe, fn=fn, epsg=self.epsg)
+        lcc = self.lcc
+        if lcc is not None:
+            _, lat0, lon0, sp1, sp2, fe, fn = lcc
+            name, geogcs = _GRID_NAME_GEOGCS[self.epsg]
+            return _WKT_LCC_TEMPLATE.format(
+                name=name, geogcs=geogcs, lat0=lat0, lon0=lon0,
+                sp1=sp1, sp2=sp2, fe=fe, fn=fn, epsg=self.epsg)
         if self.epsg == 4326:
             return _WKT_WGS84
         if self.is_geographic:
@@ -729,6 +839,14 @@ class CRS:
             return (f'+proj=laea +lat_0={lat0:g} +lon_0={lon0:g} '
                     f'+x_0={fe:g} +y_0={fn:g} {datum} +units=m '
                     '+no_defs')
+        lcc = self.lcc
+        if lcc is not None:
+            _, lat0, lon0, sp1, sp2, fe, fn = lcc
+            datum = ('+datum=NAD83' if self.epsg == 3978
+                     else '+ellps=GRS80 +towgs84=0,0,0,0,0,0,0')
+            return (f'+proj=lcc +lat_0={lat0:g} +lon_0={lon0:g} '
+                    f'+lat_1={sp1:g} +lat_2={sp2:g} +x_0={fe:g} '
+                    f'+y_0={fn:g} {datum} +units=m +no_defs')
         if self.epsg == 4326:
             return '+proj=longlat +datum=WGS84 +no_defs'
         if self.is_geographic:
@@ -782,6 +900,17 @@ class CRS:
                     return cls(epsg)
             raise ValueError(
                 f'LAEA WKT matches no supported grid: {wkt[:120]}...')
+        if 'Lambert_Conformal_Conic' in wkt:
+            cand = (_param('latitude_of_origin'),
+                    _param('central_meridian'),
+                    _param('standard_parallel_1'),
+                    _param('standard_parallel_2'),
+                    _param('false_easting'), _param('false_northing'))
+            for epsg, params in _LCC.items():
+                if params[1:] == cand:
+                    return cls(epsg)
+            raise ValueError(
+                f'LCC WKT matches no supported grid: {wkt[:120]}...')
         if 'WGS 84' in wkt or 'WGS_1984' in wkt:
             return cls(4326)
         if 'NAD83' in wkt or 'North_American_Datum_1983' in wkt:
@@ -808,14 +937,16 @@ class CRS:
             if '+datum=ETRS89' in proj4:
                 return cls(4258)
             return cls(4326)
-        if '+proj=aea' in proj4 or '+proj=laea' in proj4:
+        if ('+proj=aea' in proj4 or '+proj=laea' in proj4
+                or '+proj=lcc' in proj4):
             def _p(key, default=0.0):
                 m = re.search(rf'\+{key}=(-?[\d.eE+]+)', proj4)
                 return float(m.group(1)) if m else default
-            if '+proj=aea' in proj4:
+            if '+proj=aea' in proj4 or '+proj=lcc' in proj4:
                 cand = (_p('lat_0'), _p('lon_0'), _p('lat_1'),
                         _p('lat_2'), _p('x_0'), _p('y_0'))
-                for epsg, params in _ALBERS.items():
+                registry = (_ALBERS if '+proj=aea' in proj4 else _LCC)
+                for epsg, params in registry.items():
                     if params[1:] == cand:
                         return cls(epsg)
             else:
@@ -824,7 +955,8 @@ class CRS:
                     if params[1:] == cand:
                         return cls(epsg)
             raise ValueError(
-                f'equal-area proj4 matches no supported grid: {proj4}')
+                f'conic/azimuthal proj4 matches no supported grid: '
+                f'{proj4}')
         if '+proj=stere' in proj4:
             def _p(key, default=0.0):
                 m = re.search(rf'\+{key}=(-?[\d.eE+]+)', proj4)
@@ -887,6 +1019,8 @@ def transform_points(src, dst, x, y):
         lat, lon = albers_inverse(x, y, *src.albers)
     elif src.laea is not None:
         lat, lon = laea_inverse(x, y, *src.laea)
+    elif src.lcc is not None:
+        lat, lon = lcc_inverse(x, y, *src.lcc)
     elif src.is_geographic:
         lon, lat = x, y
     else:
@@ -901,4 +1035,6 @@ def transform_points(src, dst, x, y):
         return albers_forward(lat, lon, *dst.albers)
     if dst.laea is not None:
         return laea_forward(lat, lon, *dst.laea)
+    if dst.lcc is not None:
+        return lcc_forward(lat, lon, *dst.lcc)
     raise ValueError(f'unsupported destination CRS: EPSG:{dst.epsg}')

@@ -155,6 +155,33 @@ def make_dem(out_dir, size=360, seed=5, resolution_arcsec=3.0):
     return path
 
 
+def make_dem_in_crs(out_dir, epsg, size=360, seed=5, resolution_m=60.0,
+                    margin_m=3200.0):
+    """DEM delivered natively in a projected CRS (e.g. Conus Albers
+    5070, Canada Atlas Lambert 3978) covering the UTM tile + margin."""
+    from proteus_tpu.geo.crs import transform_points
+    xs = np.array([X0 - margin_m, X0 + size * 30 + margin_m,
+                   X0 - margin_m, X0 + size * 30 + margin_m])
+    ys = np.array([Y0 + margin_m, Y0 + margin_m,
+                   Y0 - size * 30 - margin_m, Y0 - size * 30 - margin_m])
+    px, py = transform_points(f'EPSG:{EPSG}', f'EPSG:{epsg}', xs, ys)
+    x0, x1 = px.min() - 2 * resolution_m, px.max() + 2 * resolution_m
+    y0, y1 = py.min() - 2 * resolution_m, py.max() + 2 * resolution_m
+    w = int(np.ceil((x1 - x0) / resolution_m))
+    h = int(np.ceil((y1 - y0) / resolution_m))
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    dem = (120 * np.sin(xx / 37.0) * np.cos(yy / 29.0)
+           + 0.08 * xx + 25 * rng.standard_normal((h, w))).astype(
+               np.float32)
+    gt = (x0, resolution_m, 0.0, y1, 0.0, -resolution_m)
+    path = os.path.join(out_dir, f'dem_{epsg}.tif')
+    write_cog(path, dem, geotransform=gt, epsg=epsg,
+              nodata=float('nan'),
+              metadata={'AREA_OR_POINT': 'Point'}, overview_levels=())
+    return path
+
+
 def make_landcover(out_dir, size=360, seed=6, resolution_arcsec=10.0):
     """CGLS-style uint8 classification (EPSG:4326)."""
     lat_min, lat_max, lon_min, lon_max = _tile_latlon_bounds(size)

@@ -632,6 +632,112 @@ class TestEqualAreaCrs:
             assert not bad.any(), f'{alg}: {bad.sum()} mismatches'
 
 
+class TestLambertConformalConic:
+    """LCC 2SP grids (round-3 widening): Canada Atlas Lambert
+    (EPSG:3978, CDEM/HRDEM deliveries) and Lambert-93 (EPSG:2154, IGN
+    France). Reference accepts them through OSR,
+    dswx_hls.py:3385-3461."""
+
+    _DOMAINS = {3978: (42, 83, -141, -52), 2154: (41, 51, -5, 10)}
+
+    def test_lcc_snyder_numerical_example(self):
+        """Snyder 1987 Appendix numerical example for the ellipsoidal
+        LCC 2SP (Clarke 1866, sp 33/45, origin 23N 96W): 35N 75W ->
+        x 1894410.9, y 1564649.5 (published to 0.1 m)."""
+        from proteus_tpu.geo import crs
+        crs._ELLIPSOIDS.setdefault(
+            'CLARKE1866', (6378206.4, 294.9786982139006))
+        x, y = crs.lcc_forward(35.0, -75.0, 'CLARKE1866',
+                               23.0, -96.0, 33.0, 45.0, 0.0, 0.0)
+        assert abs(x - 1894410.9) < 0.5
+        assert abs(y - 1564649.5) < 0.5
+
+    def test_origin_anchors(self):
+        from proteus_tpu.geo.crs import CRS, lcc_forward
+        x, y = lcc_forward(46.5, 3.0, *CRS.from_epsg(2154).lcc)
+        assert abs(x - 700000.0) < 1e-6 and abs(y - 6600000.0) < 1e-6
+        x, y = lcc_forward(49.0, -95.0, *CRS.from_epsg(3978).lcc)
+        assert abs(x) < 1e-6 and abs(y) < 1e-6
+
+    @pytest.mark.parametrize('epsg', [3978, 2154])
+    def test_roundtrip_conformality_and_sp_scale(self, epsg):
+        """Forward/inverse closure; meridian scale == parallel scale
+        everywhere (conformality); k = 1 along both standard parallels
+        — together these pin the 2SP constants without pyproj."""
+        from proteus_tpu.geo.crs import CRS, _ell_consts, lcc_forward, \
+            lcc_inverse
+        p = CRS.from_epsg(epsg).lcc
+        rng = np.random.default_rng(epsg)
+        la, lb, lo, hi = self._DOMAINS[epsg]
+        lat = rng.uniform(la, lb, 500)
+        lon = rng.uniform(lo, hi, 500)
+        x, y = lcc_forward(lat, lon, *p)
+        la2, lo2 = lcc_inverse(x, y, *p)
+        assert np.abs(la2 - lat).max() < 1e-10
+        assert np.abs(lo2 - lon).max() < 1e-10
+        a, e2, _ = _ell_consts(p[0])
+        h = 1e-6
+        x1, y1 = lcc_forward(lat + h, lon, *p)
+        x2, y2 = lcc_forward(lat, lon + h, *p)
+        latr = np.radians(lat)
+        W = np.sqrt(1 - e2 * np.sin(latr) ** 2)
+        k_m = np.hypot(x1 - x, y1 - y) / (np.radians(h)
+                                          * a * (1 - e2) / W ** 3)
+        k_p = np.hypot(x2 - x, y2 - y) / (np.radians(h)
+                                          * a * np.cos(latr) / W)
+        assert np.abs(k_m / k_p - 1).max() < 1e-6
+        for sp in (p[3], p[4]):
+            xa, ya = lcc_forward(sp, p[2], *p)
+            xb, yb = lcc_forward(sp, p[2] + 1e-3, *p)
+            latr = np.radians(sp)
+            d_true = (np.radians(1e-3) * a * np.cos(latr)
+                      / np.sqrt(1 - e2 * np.sin(latr) ** 2))
+            assert abs(np.hypot(xb - xa, yb - ya) / d_true - 1) < 1e-9
+
+    @pytest.mark.parametrize('epsg', [3978, 2154])
+    def test_wkt_proj4_roundtrip(self, epsg):
+        from proteus_tpu.geo.crs import CRS
+        crs = CRS.from_epsg(epsg)
+        assert CRS.from_wkt(crs.to_wkt()).epsg == epsg
+        assert CRS.from_proj4(crs.to_proj4()).epsg == epsg
+        import re as _re
+        no_auth = _re.sub(r',?AUTHORITY\[[^\]]*\]', '', crs.to_wkt())
+        assert CRS.from_wkt(no_auth).epsg == epsg
+
+    def test_lcc_dem_warp_device_matches_host(self, tmp_path):
+        """A DEM delivered in Canada Atlas Lambert (EPSG:3978) warped
+        onto a UTM 14N tile: accepted by the coverage check, device
+        warp bit-identical to host."""
+        from proteus_tpu.geo.coverage import check_ancillary_inputs
+        rng = np.random.default_rng(3978)
+        h = w = 300
+        tile_xy = (500000.0, 6094000.0)   # ~55N, 99W (Manitoba)
+        cx, cy = transform_points('EPSG:32614', 'EPSG:3978',
+                                  np.array([tile_xy[0] + 1800.0]),
+                                  np.array([tile_xy[1] - 1500.0]))
+        gt = (float(cx[0]) - 150 * 60.0, 60.0, 0.0,
+              float(cy[0]) + 150 * 60.0, 0.0, -60.0)
+        arr = (300 + 80 * rng.normal(size=(h, w))).astype(np.float32)
+        arr[rng.random((h, w)) < 0.03] = np.nan
+        path = str(tmp_path / 'lcc_dem.tif')
+        write_cog(path, arr, geotransform=gt, epsg=3978,
+                  nodata=float('nan'), overview_levels=())
+        tile_gt = (tile_xy[0], 30.0, 0.0, tile_xy[1], 0.0, -30.0)
+        check_ancillary_inputs(True, False, path, path, path, None,
+                               tile_gt, 'EPSG:32614', 100, 120, {})
+        for alg in ('nearest', 'bilinear', 'cubic'):
+            host = warp_to_grid(path, tile_gt, 'EPSG:32614', 100, 120,
+                                resample_algorithm=alg,
+                                margin_in_pixels=10)
+            nn = np.isnan(host)
+            assert (~nn).any(), 'tile missed the LCC source'
+            dev = np.asarray(warp_to_grid_device(
+                path, tile_gt, 'EPSG:32614', 100, 120,
+                resample_algorithm=alg, margin_in_pixels=10))
+            bad = (host != dev) & ~(nn & np.isnan(dev))
+            assert not bad.any(), f'{alg}: {bad.sum()} mismatches'
+
+
 class TestAverageResampler:
     """GDAL GRA_Average semantics: area-weighted mean over the target
     pixel's source-space footprint bbox, nodata renormalized."""

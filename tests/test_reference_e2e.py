@@ -252,6 +252,46 @@ class TestReferenceEndToEnd:
 
         _compare_trees(ref_dir, our_dir)
 
+    def test_layers_with_equal_area_dem(self, ref_with_shims, tmp_path):
+        """A DEM delivered in NAD83 Conus Albers (EPSG:5070, the NLCD/
+        LANDFIRE grid — round-3 CRS widening): the REFERENCE's own
+        orchestrator executes its gdal.Warp call over our Albers engine
+        and must agree layer-for-layer with our production device-warp
+        path (reference accepts any OSR SRS, dswx_hls.py:3385-3461)."""
+        input_dir = str(tmp_path / 'input')
+        files, _bands = synthetic.make_hls_v2_dataset(input_dir, size=360)
+        os.makedirs(str(tmp_path / 'dem'))
+        dem_file = synthetic.make_dem_in_crs(
+            str(tmp_path / 'dem'), epsg=5070, size=360)
+        ref_dir = str(tmp_path / 'ref_out')
+        our_dir = str(tmp_path / 'our_out')
+        ref_scratch = str(tmp_path / 'ref_scratch')
+        our_scratch = str(tmp_path / 'our_scratch')
+        for d in (ref_dir, our_dir, ref_scratch, our_scratch):
+            os.makedirs(d)
+        common, ref_t, our_t = _common_kwargs('dswx_e2e_ea')
+
+        def extra_outputs(out_dir):
+            out = _per_layer_outputs(out_dir)
+            out.update(
+                output_shadow_layer=os.path.join(out_dir, 'shad.tif'),
+                output_dem_layer=os.path.join(out_dir, 'dem.tif'))
+            return out
+
+        ret = ref_with_shims.generate_dswx_layers(
+            list(files), hls_thresholds=ref_t, dem_file=dem_file,
+            scratch_dir=ref_scratch, **extra_outputs(ref_dir),
+            **common)
+        assert ret, 'reference generate_dswx_layers reported failure'
+
+        ret = orchestrator.generate_dswx_layers(
+            list(files), hls_thresholds=our_t, dem_file=dem_file,
+            scratch_dir=our_scratch, **extra_outputs(our_dir),
+            **common)
+        assert ret
+
+        _compare_trees(ref_dir, our_dir)
+
     def test_otsu_shadow_branch(self, ref_with_shims, tmp_path):
         """The reference's 'otsu' shadow algorithm — gdal.DEMProcessing
         hillshade (shimmed onto our Horn kernel) + its Otsu threshold +
