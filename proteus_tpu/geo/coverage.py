@@ -117,9 +117,16 @@ def check_ancillary_inputs(check_ancillary_inputs_coverage,
 
         with TiffReader(file_name) as r:
             f_gt = r.geotransform()
-            f_epsg = r.epsg()
+            try:
+                file_crs = r.crs() or CRS.from_epsg(4326)
+            except ValueError as exc:
+                # user-defined geokeys outside the supported projection
+                # families -> same coverage-check-time error contract
+                msg = (f'ERROR {desc} has an unsupported user-defined'
+                       f' CRS ({exc}). File: {file_name}')
+                logger.error(msg)
+                raise ValueError(msg) from exc
             f_w, f_l = r.width, r.length
-        file_crs = CRS.from_epsg(f_epsg) if f_epsg else CRS.from_epsg(4326)
         if not file_crs.supported:
             # fail here — the reference's error contract puts ancillary
             # input problems in this check (dswx_hls.py:4428-4436) — not

@@ -28,9 +28,19 @@ Note 7-2 (verified against its LAEA worked example and Snyder's Albers
 numerical example) — plus the Lambert Conformal Conic 2SP national
 grids: Canada Atlas Lambert (EPSG:3978, CDEM/HRDEM) and Lambert-93
 (EPSG:2154, IGN France), Snyder ch. 15, verified against his numerical
-example and conformality/standard-parallel invariants. Anything else is
-rejected up front by the ancillary coverage check (geo/coverage.py)
-with a clear error.
+example and conformality/standard-parallel invariants.
+
+Beyond the registry codes, USER-DEFINED CRS are accepted with arbitrary
+parameters and ellipsoids within the implemented families (Transverse
+Mercator, polar stereographic A/B, Albers, LAEA, LCC 1SP/2SP) — parsed
+from GeoTIFF projection geokeys (PCS 32767, the GDAL encoding of a
+non-EPSG SRS), authority-free WKT, or proj4 (general-TM path verified
+against the Ordnance Survey British National Grid worked example, LCC
+1SP against EPSG GN7-2's Jamaica example). This closes the reference's
+'any OSR-resolvable SRS' contract for every projected CRS family a
+raster ancillary realistically ships in. Anything else is rejected up
+front by the ancillary coverage check (geo/coverage.py) with a clear
+error.
 """
 
 import dataclasses
@@ -165,6 +175,80 @@ def utm_inverse(x, y, zone, north, ell='WGS84'):
     return lat, lon
 
 
+def _tm_xi0(lat0_deg, ell):
+    """Scaled meridian arc xi(lat0) of the Krueger series (the
+    latitude-of-origin northing offset for general TM grids)."""
+    _e, _e2, _a_hat, alpha, _beta = _tm_series(ell)
+    lat0 = np.radians(np.float64(lat0_deg))
+    s = np.sin(lat0)
+    e = _e
+    t = np.sinh(np.arctanh(s) - e * np.arctanh(e * s))
+    xi_p = np.arctan(t)
+    xi = xi_p
+    for j in range(6):
+        xi = xi + alpha[j] * np.sin(2.0 * (j + 1) * xi_p)
+    return xi
+
+
+def tm_forward_general(lat_deg, lon_deg, ell, lat0, lon0, k0, fe, fn):
+    """Geographic -> Transverse Mercator E/N with arbitrary parameters
+    (latitude/longitude of origin, scale, false easting/northing) on a
+    named ellipsoid — the general form behind user-defined TM grids
+    (British National Grid, NZTM, Gauss-Krueger zones, ...). Same
+    6th-order Krueger series as the UTM engine."""
+    e, e2, a_hat, alpha, _beta = _tm_series(ell)
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lam0 = np.radians(lon0)
+    dlon = np.arctan2(np.sin(lon - lam0), np.cos(lon - lam0))
+    sphi = np.sin(lat)
+    t = np.sinh(np.arctanh(sphi) - e * np.arctanh(e * sphi))
+    xi_p = np.arctan2(t, np.cos(dlon))
+    eta_p = np.arctanh(np.sin(dlon) / np.sqrt(1.0 + t * t))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j in range(6):
+        k = 2.0 * (j + 1)
+        xi = xi + alpha[j] * np.sin(k * xi_p) * np.cosh(k * eta_p)
+        eta = eta + alpha[j] * np.cos(k * xi_p) * np.sinh(k * eta_p)
+    x = fe + k0 * a_hat * eta
+    y = fn + k0 * a_hat * (xi - _tm_xi0(lat0, ell))
+    return x, y
+
+
+def tm_inverse_general(x, y, ell, lat0, lon0, k0, fe, fn):
+    """Transverse Mercator E/N with arbitrary parameters ->
+    geographic lat/lon degrees."""
+    e, e2, a_hat, _alpha, beta = _tm_series(ell)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    xi = (y - fn) / (k0 * a_hat) + _tm_xi0(lat0, ell)
+    eta = (x - fe) / (k0 * a_hat)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j in range(6):
+        k = 2.0 * (j + 1)
+        xi_p = xi_p - beta[j] * np.sin(k * xi) * np.cosh(k * eta)
+        eta_p = eta_p - beta[j] * np.cos(k * xi) * np.sinh(k * eta)
+    sinh_eta = np.sinh(eta_p)
+    cos_xi = np.cos(xi_p)
+    dlon = np.arctan2(sinh_eta, cos_xi)
+    tau_p = np.sin(xi_p) / np.sqrt(sinh_eta ** 2 + cos_xi ** 2)
+    tau = tau_p / (1.0 - e2)
+    for _ in range(5):
+        sigma = np.sinh(e * np.arctanh(e * tau / np.sqrt(1.0 + tau ** 2)))
+        tau_p_i = tau * np.sqrt(1.0 + sigma ** 2) \
+            - sigma * np.sqrt(1.0 + tau ** 2)
+        dtau = ((tau_p - tau_p_i) * (1.0 + (1.0 - e2) * tau ** 2)
+                / ((1.0 - e2)
+                   * np.sqrt((1.0 + tau_p_i ** 2) * (1.0 + tau ** 2))))
+        tau = tau + dtau
+    lat = np.degrees(np.arctan(tau))
+    lon = lon0 + np.degrees(dlon)
+    lon = (lon + 180.0) % 360.0 - 180.0
+    return lat, lon
+
+
 # ---------------------------------------------------------------------------
 # Polar Stereographic (variant B) on WGS84 — the one plausible real-world
 # DEM/ancillary CRS outside 4326/UTM (reference accepts any OSR SRS at
@@ -185,29 +269,33 @@ _POLAR_STEREO = {
 }
 
 
-def _ps_t(lat):
+def _ps_t(lat, e=None):
     """Snyder (15-9): isometric colatitude function t(phi), north aspect."""
+    if e is None:
+        e = _E
     s = np.sin(lat)
     return np.tan(np.pi / 4 - lat / 2) \
-        * ((1 + _E * s) / (1 - _E * s)) ** (_E / 2)
+        * ((1 + e * s) / (1 - e * s)) ** (e / 2)
 
 
-def _ps_rho_per_t(lat_ts_abs, k0=None):
+def _ps_rho_per_t(lat_ts_abs, k0=None, ell='WGS84'):
     """rho/t: variant B (k=1 at the standard parallel lat_ts) when
     ``k0`` is None, else variant A (scale k0 at the pole — UPS; EPSG
     Guidance Note 7-2 eq. for rho)."""
+    a, e2, e = _ell_consts(ell)
     if k0 is not None:
-        return (2.0 * _A * k0
-                / np.sqrt((1 + _E) ** (1 + _E) * (1 - _E) ** (1 - _E)))
+        return (2.0 * a * k0
+                / np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e)))
     lat_f = np.radians(lat_ts_abs)
-    m_f = np.cos(lat_f) / np.sqrt(1 - _E2 * np.sin(lat_f) ** 2)
-    return _A * m_f / _ps_t(np.float64(lat_f))
+    m_f = np.cos(lat_f) / np.sqrt(1 - e2 * np.sin(lat_f) ** 2)
+    return a * m_f / _ps_t(np.float64(lat_f), e)
 
 
 def polar_stereo_forward(lat_deg, lon_deg, lat_ts, lon0, fe, fn, north,
-                         k0=None):
-    """WGS84 geographic -> polar stereographic E/N, float64 (variant B,
+                         k0=None, ell='WGS84'):
+    """Geographic -> polar stereographic E/N, float64 (variant B,
     or variant A / UPS when ``k0`` is given)."""
+    _a, _e2, e = _ell_consts(ell)
     lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
     lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
     lam0 = np.radians(lon0)
@@ -215,8 +303,8 @@ def polar_stereo_forward(lat_deg, lon_deg, lat_ts, lon0, fe, fn, north,
         lat = -lat
         lon = -lon
         lam0 = -lam0
-    rho = _ps_rho_per_t(None if lat_ts is None else abs(lat_ts), k0) \
-        * _ps_t(lat)
+    rho = _ps_rho_per_t(None if lat_ts is None else abs(lat_ts), k0,
+                        ell) * _ps_t(lat, e)
     theta = np.arctan2(np.sin(lon - lam0), np.cos(lon - lam0))
     x = rho * np.sin(theta)
     y = -rho * np.cos(theta)
@@ -225,22 +313,25 @@ def polar_stereo_forward(lat_deg, lon_deg, lat_ts, lon0, fe, fn, north,
     return fe + x, fn + y
 
 
-def polar_stereo_inverse(x, y, lat_ts, lon0, fe, fn, north, k0=None):
-    """Polar stereographic E/N -> WGS84 lat/lon degrees (variant B, or
-    variant A / UPS when ``k0`` is given)."""
+def polar_stereo_inverse(x, y, lat_ts, lon0, fe, fn, north, k0=None,
+                         ell='WGS84'):
+    """Polar stereographic E/N -> geographic lat/lon degrees (variant
+    B, or variant A / UPS when ``k0`` is given)."""
+    _a, _e2, e = _ell_consts(ell)
     x = np.asarray(x, dtype=np.float64) - fe
     y = np.asarray(y, dtype=np.float64) - fn
     lam0 = np.radians(lon0)
     if not north:
         x, y, lam0 = -x, -y, -lam0
     rho = np.hypot(x, y)
-    t = rho / _ps_rho_per_t(None if lat_ts is None else abs(lat_ts), k0)
+    t = rho / _ps_rho_per_t(None if lat_ts is None else abs(lat_ts), k0,
+                            ell)
     # iterate phi = pi/2 - 2 atan(t ((1-e sin phi)/(1+e sin phi))^(e/2))
     lat = np.pi / 2 - 2 * np.arctan(t)
     for _ in range(8):
         s = np.sin(lat)
         lat = np.pi / 2 - 2 * np.arctan(
-            t * ((1 - _E * s) / (1 + _E * s)) ** (_E / 2))
+            t * ((1 - e * s) / (1 + e * s)) ** (e / 2))
     lon = lam0 + np.arctan2(x, -y)
     lat_deg = np.degrees(lat)
     lon_deg = np.degrees(lon)
@@ -292,6 +383,28 @@ def _ell_consts(ell):
     f = 1.0 / invf
     e2 = f * (2.0 - f)
     return a, e2, np.sqrt(e2)
+
+
+def _ensure_ellipsoid(a, invf):
+    """Registry name for ellipsoid (a, 1/f); registers an ad-hoc entry
+    for non-standard ellipsoids found in user-defined CRS (e.g. Airy
+    1830, Clarke 1866, International 1924)."""
+    a, invf = float(a), float(invf)
+    for name, (ra, rf) in _ELLIPSOIDS.items():
+        if abs(ra - a) < 1e-3 and abs(rf - invf) < 1e-8:
+            return name
+    name = f'E_{a:.4f}_{invf:.9f}'
+    _ELLIPSOIDS[name] = (a, invf)
+    return name
+
+
+# known geographic CS geokey codes -> ellipsoid of their datum (the
+# datum shift itself is the null transformation, like the named CRS)
+_GEOGCS_ELL = {
+    4326: 'WGS84', 4322: 'WGS84',
+    4269: 'GRS80', 4258: 'GRS80', 4283: 'GRS80', 4171: 'GRS80',
+    4617: 'GRS80', 4759: 'GRS80', 4167: 'GRS80',
+}
 
 
 def _q_authalic(lat, e, e2):
@@ -446,9 +559,11 @@ def _lcc_t(lat, e):
             / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2))
 
 
-def lcc_forward(lat_deg, lon_deg, ell, lat0, lon0, sp1, sp2, fe, fn):
-    """Geographic -> Lambert Conformal Conic (2SP) E/N, float64
-    (Snyder 15-1..15-5 ellipsoidal)."""
+def lcc_forward(lat_deg, lon_deg, ell, lat0, lon0, sp1, sp2, fe, fn,
+                k0=1.0):
+    """Geographic -> Lambert Conformal Conic E/N, float64 (Snyder
+    15-1..15-5 ellipsoidal, 2SP; the 1SP variant is sp1 == sp2 == lat0
+    with scale ``k0`` at the origin)."""
     a, e2, e = _ell_consts(ell)
     lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
     lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
@@ -461,16 +576,16 @@ def lcc_forward(lat_deg, lon_deg, ell, lat0, lon0, sp1, sp2, fe, fn):
         n = np.sin(p1)
     else:
         n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
-    F = m1 / (n * t1 ** n)
+    F = k0 * m1 / (n * t1 ** n)
     rho0 = a * F * t0 ** n
     rho = a * F * _lcc_t(lat, e) ** n
     theta = n * _wrap_pi(lon - np.radians(lon0))
     return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
 
 
-def lcc_inverse(x, y, ell, lat0, lon0, sp1, sp2, fe, fn):
-    """Lambert Conformal Conic (2SP) E/N -> geographic lat/lon
-    degrees."""
+def lcc_inverse(x, y, ell, lat0, lon0, sp1, sp2, fe, fn, k0=1.0):
+    """Lambert Conformal Conic E/N -> geographic lat/lon degrees
+    (2SP, or 1SP via sp1 == sp2 == lat0 + ``k0``)."""
     a, e2, e = _ell_consts(ell)
     x = np.asarray(x, dtype=np.float64) - fe
     y = np.asarray(y, dtype=np.float64) - fn
@@ -483,7 +598,7 @@ def lcc_inverse(x, y, ell, lat0, lon0, sp1, sp2, fe, fn):
         n = np.sin(p1)
     else:
         n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
-    F = m1 / (n * t1 ** n)
+    F = k0 * m1 / (n * t1 ** n)
     rho0 = a * F * t0 ** n
     sgn = 1.0 if n >= 0 else -1.0
     rho = sgn * np.hypot(x, rho0 - y)
@@ -666,9 +781,169 @@ _WKT_UPS_TEMPLATE = (
     'AUTHORITY["EPSG","{epsg}"]]')
 
 
+def _custom_geogcs_wkt(ell):
+    a, invf = _ELLIPSOIDS[ell]
+    return ('GEOGCS["unknown",DATUM["unknown",'
+            f'SPHEROID["unknown",{a:.10g},{invf:.12g}]],'
+            'PRIMEM["Greenwich",0],'
+            'UNIT["degree",0.0174532925199433]]')
+
+
+def _custom_to_wkt(custom):
+    fam = custom[0]
+    if fam == 'ps':
+        lat_ts, lon0, fe, fn, north, k0, ell = custom[1:]
+        params = [('latitude_of_origin',
+                   lat_ts if lat_ts is not None
+                   else (90.0 if north else -90.0)),
+                  ('central_meridian', lon0)]
+        if k0 is not None:
+            params.append(('scale_factor', k0))
+        params += [('false_easting', fe), ('false_northing', fn)]
+        proj = 'Polar_Stereographic'
+    else:
+        ell = custom[1]
+        if fam == 'tm':
+            lat0, lon0, k0, fe, fn = custom[2:]
+            proj = 'Transverse_Mercator'
+            params = [('latitude_of_origin', lat0),
+                      ('central_meridian', lon0),
+                      ('scale_factor', k0),
+                      ('false_easting', fe), ('false_northing', fn)]
+        elif fam == 'aea':
+            lat0, lon0, sp1, sp2, fe, fn = custom[2:]
+            proj = 'Albers_Conic_Equal_Area'
+            params = [('latitude_of_center', lat0),
+                      ('longitude_of_center', lon0),
+                      ('standard_parallel_1', sp1),
+                      ('standard_parallel_2', sp2),
+                      ('false_easting', fe), ('false_northing', fn)]
+        elif fam == 'laea':
+            lat0, lon0, fe, fn = custom[2:]
+            proj = 'Lambert_Azimuthal_Equal_Area'
+            params = [('latitude_of_center', lat0),
+                      ('longitude_of_center', lon0),
+                      ('false_easting', fe), ('false_northing', fn)]
+        else:   # lcc
+            lat0, lon0, sp1, sp2, fe, fn = custom[2:8]
+            k0 = custom[8] if len(custom) > 8 else 1.0
+            proj = 'Lambert_Conformal_Conic_2SP'
+            params = [('latitude_of_origin', lat0),
+                      ('central_meridian', lon0),
+                      ('standard_parallel_1', sp1),
+                      ('standard_parallel_2', sp2),
+                      ('false_easting', fe), ('false_northing', fn)]
+            if k0 != 1.0:
+                params.insert(2, ('scale_factor', k0))
+    body = ','.join(f'PARAMETER["{k}",{v:.12g}]' for k, v in params)
+    return (f'PROJCS["unnamed",{_custom_geogcs_wkt(ell)},'
+            f'PROJECTION["{proj}"],{body},UNIT["metre",1]]')
+
+
+def _custom_to_proj4(custom):
+    fam = custom[0]
+
+    def ell_frag(ell):
+        a, invf = _ELLIPSOIDS[ell]
+        if ell in ('WGS84', 'GRS80'):
+            return f'+ellps={ell}'
+        return f'+a={a:.10g} +rf={invf:.12g}'
+
+    if fam == 'ps':
+        lat_ts, lon0, fe, fn, north, k0, ell = custom[1:]
+        lat0 = 90 if north else -90
+        mid = (f'+k={k0:.12g}' if lat_ts is None
+               else f'+lat_ts={lat_ts:g}')
+        return (f'+proj=stere +lat_0={lat0} {mid} +lon_0={lon0:g} '
+                f'+x_0={fe:g} +y_0={fn:g} {ell_frag(ell)} +units=m '
+                '+no_defs')
+    ell = custom[1]
+    if fam == 'tm':
+        lat0, lon0, k0, fe, fn = custom[2:]
+        return (f'+proj=tmerc +lat_0={lat0:g} +lon_0={lon0:g} '
+                f'+k={k0:.12g} +x_0={fe:g} +y_0={fn:g} '
+                f'{ell_frag(ell)} +units=m +no_defs')
+    if fam == 'aea':
+        lat0, lon0, sp1, sp2, fe, fn = custom[2:]
+        return (f'+proj=aea +lat_0={lat0:g} +lon_0={lon0:g} '
+                f'+lat_1={sp1:g} +lat_2={sp2:g} +x_0={fe:g} '
+                f'+y_0={fn:g} {ell_frag(ell)} +units=m +no_defs')
+    if fam == 'laea':
+        lat0, lon0, fe, fn = custom[2:]
+        return (f'+proj=laea +lat_0={lat0:g} +lon_0={lon0:g} '
+                f'+x_0={fe:g} +y_0={fn:g} {ell_frag(ell)} +units=m '
+                '+no_defs')
+    lat0, lon0, sp1, sp2, fe, fn = custom[2:8]
+    k0 = custom[8] if len(custom) > 8 else 1.0
+    kf = f' +k_0={k0:.12g}' if k0 != 1.0 else ''
+    return (f'+proj=lcc +lat_0={lat0:g} +lon_0={lon0:g} '
+            f'+lat_1={sp1:g} +lat_2={sp2:g}{kf} +x_0={fe:g} '
+            f'+y_0={fn:g} {ell_frag(ell)} +units=m +no_defs')
+
+
+# user-defined projection families: family -> (forward fn, inverse fn).
+# A custom CRS carries ``custom = (family, *args)`` where ``*args`` are
+# exactly the function's parameters after (lat/x, lon/y):
+#   ('tm',  ell, lat0, lon0, k0, fe, fn)
+#   ('aea', ell, lat0, lon0, sp1, sp2, fe, fn)
+#   ('laea', ell, lat0, lon0, fe, fn)
+#   ('lcc', ell, lat0, lon0, sp1, sp2, fe, fn[, k0])
+#   ('ps',  lat_ts|None, lon0, fe, fn, north, k0|None, ell)
+_CUSTOM_FAMILIES = {
+    'tm': None, 'aea': None, 'laea': None, 'lcc': None, 'ps': None,
+}
+
+
+_PROJ4_ELLPS = {
+    'GRS80': 'GRS80', 'WGS84': 'WGS84',
+    'airy': (6377563.396, 299.3249646),
+    'clrk66': (6378206.4, 294.9786982139006),
+    'intl': (6378388.0, 297.0),
+    'krass': (6378245.0, 298.3),
+    'bessel': (6377397.155, 299.1528128),
+}
+
+
+def _proj4_ellipsoid(proj4):
+    """Ellipsoid registry name for a proj4 string (datum/ellps/a+rf)."""
+    if '+datum=NAD83' in proj4 or '+datum=ETRS89' in proj4 \
+            or '+ellps=GRS80' in proj4:
+        return 'GRS80'
+    if '+datum=WGS84' in proj4 or '+ellps=WGS84' in proj4:
+        return 'WGS84'
+    m = re.search(r'\+a=([\d.eE+]+)', proj4)
+    mr = re.search(r'\+rf=([\d.eE+]+)', proj4)
+    if m and mr:
+        return _ensure_ellipsoid(float(m.group(1)), float(mr.group(1)))
+    m = re.search(r'\+ellps=(\w+)', proj4)
+    if m and m.group(1) in _PROJ4_ELLPS:
+        v = _PROJ4_ELLPS[m.group(1)]
+        return v if isinstance(v, str) else _ensure_ellipsoid(*v)
+    return 'WGS84'
+
+
+def _custom_forward(lat, lon, custom):
+    fam = custom[0]
+    fwd = {'tm': tm_forward_general, 'aea': albers_forward,
+           'laea': laea_forward, 'lcc': lcc_forward,
+           'ps': polar_stereo_forward}[fam]
+    return fwd(lat, lon, *custom[1:])
+
+
+def _custom_inverse(x, y, custom):
+    fam = custom[0]
+    inv = {'tm': tm_inverse_general, 'aea': albers_inverse,
+           'laea': laea_inverse, 'lcc': lcc_inverse,
+           'ps': polar_stereo_inverse}[fam]
+    return inv(x, y, *custom[1:])
+
+
 @dataclasses.dataclass(frozen=True)
 class CRS:
     epsg: int
+    # user-defined projection (GeoTIFF PCS 32767 / authority-free WKT):
+    # (family, *params) per _CUSTOM_FAMILIES; None for registry CRS
+    custom: tuple = None
 
     @classmethod
     def from_epsg(cls, epsg):
@@ -707,6 +982,75 @@ class CRS:
     def from_utm(cls, zone, north):
         return cls((32600 if north else 32700) + int(zone))
 
+    @classmethod
+    def from_geokeys(cls, keys):
+        """Build a CRS from a parsed GeoTIFF GeoKeyDirectory dict —
+        including USER-DEFINED projected CS (ProjectedCSTypeGeoKey
+        32767 + projection parameter geokeys), the way GDAL encodes a
+        non-EPSG SRS it was handed (reference accepts any OSR SRS,
+        dswx_hls.py:3385-3461)."""
+        pcs = keys.get(3072)
+        if pcs and pcs != 32767:
+            return cls(int(pcs))
+        gcs = keys.get(2048)
+        if keys.get(1024) == 2:   # geographic model
+            if gcs and gcs != 32767:
+                return cls(int(gcs))
+            raise ValueError(
+                'user-defined geographic CRS without an EPSG code')
+        if pcs != 32767:
+            raise ValueError('geokeys carry no projected/geographic CS')
+        units = keys.get(3076, 9001)
+        if units != 9001:
+            raise ValueError(
+                f'unsupported projected linear units geokey {units} '
+                '(only metre / 9001)')
+        if gcs in _GEOGCS_ELL:
+            ell = _GEOGCS_ELL[gcs]
+        else:
+            a = keys.get(2057)
+            invf = keys.get(2059)
+            if a is None or invf is None:
+                raise ValueError(
+                    'user-defined CRS without a known geographic CS or '
+                    'ellipsoid geokeys (2057/2059)')
+            ell = _ensure_ellipsoid(a, invf)
+
+        def g(key, default=0.0):
+            v = keys.get(key, default)
+            return None if v is None else float(v)
+
+        ct = keys.get(3075)
+        lat0 = g(3081)
+        lon0 = g(3080)
+        sp1 = g(3078)
+        sp2 = g(3079, sp1)
+        fe = g(3082)
+        fn = g(3083)
+        k0 = g(3092, 1.0)
+        if ct == 1:     # CT_TransverseMercator
+            custom = ('tm', ell, lat0, lon0, k0, fe, fn)
+        elif ct == 11:  # CT_AlbersEqualArea
+            custom = ('aea', ell, lat0, lon0, sp1, sp2, fe, fn)
+        elif ct == 10:  # CT_LambertAzimEqualArea
+            custom = ('laea', ell, lat0, lon0, fe, fn)
+        elif ct == 8:   # CT_LambertConfConic_2SP
+            custom = ('lcc', ell, lat0, lon0, sp1, sp2, fe, fn)
+        elif ct == 9:   # CT_LambertConfConic_1SP
+            custom = ('lcc', ell, lat0, lon0, lat0, lat0, fe, fn, k0)
+        elif ct == 15:  # CT_PolarStereographic
+            lonp = g(3095, lon0)
+            if abs(lat0) >= 89.999:       # variant A: scale at pole
+                custom = ('ps', None, lonp, fe, fn, lat0 > 0, k0, ell)
+            else:                         # variant B: std parallel
+                custom = ('ps', lat0, lonp, fe, fn, lat0 > 0, None,
+                          ell)
+        else:
+            raise ValueError(
+                f'unsupported user-defined projection method '
+                f'(ProjCoordTransGeoKey {ct})')
+        return cls(32767, custom)
+
     @property
     def polar_stereo(self):
         """(lat_ts, lon0, fe, fn, north[, k0]) for polar stereographic
@@ -734,12 +1078,15 @@ class CRS:
     @property
     def supported(self):
         """True if this CRS can be transformed by this engine."""
-        return (self.is_geographic or self.utm is not None
+        return (self.custom is not None or self.is_geographic
+                or self.utm is not None
                 or self.polar_stereo is not None
                 or self.albers is not None or self.laea is not None
                 or self.lcc is not None)
 
     def to_wkt(self):
+        if self.custom is not None:
+            return _custom_to_wkt(self.custom)
         utm = self.utm
         if utm is not None:
             zone, north = utm
@@ -802,6 +1149,8 @@ class CRS:
         raise ValueError(f'cannot build WKT for EPSG:{self.epsg}')
 
     def to_proj4(self):
+        if self.custom is not None:
+            return _custom_to_proj4(self.custom)
         utm = self.utm
         if utm is not None:
             zone, north = utm
@@ -856,10 +1205,14 @@ class CRS:
 
     @classmethod
     def from_wkt(cls, wkt):
-        codes = re.findall(r'AUTHORITY\[\s*"EPSG"\s*,\s*"(\d+)"\s*\]', wkt)
-        if codes:
-            # the outermost authority is the last one in WKT1 order
-            return cls(int(codes[-1]))
+        wkt = wkt.strip()
+        # the OUTERMOST authority closes the WKT1 string; an inner
+        # authority (spheroid/unit/geogcs) with no outer one means a
+        # user-defined projected CS -> parameter parsing below
+        m = re.search(r'AUTHORITY\[\s*"EPSG"\s*,\s*"(\d+)"\s*\]\s*\]$',
+                      wkt)
+        if m:
+            return cls(int(m.group(1)))
         m = re.search(r'UTM zone (\d+)(N|S)', wkt)
         if m:
             zone, north = int(m.group(1)), m.group(2) == 'N'
@@ -880,37 +1233,68 @@ class CRS:
                 rf'PARAMETER\[\s*"{key}"\s*,\s*(-?[\d.eE+]+)\s*\]', wkt)
             return float(pm.group(1)) if pm else default
 
+        def _ell():
+            sm = re.search(
+                r'SPHEROID\[\s*"[^"]*"\s*,\s*(-?[\d.eE+]+)\s*,'
+                r'\s*(-?[\d.eE+]+)', wkt)
+            if sm:
+                return _ensure_ellipsoid(float(sm.group(1)),
+                                         float(sm.group(2)))
+            return 'WGS84'
+
+        def _lat0():
+            return _param('latitude_of_center',
+                          _param('latitude_of_origin'))
+
+        def _lon0():
+            return _param('longitude_of_center',
+                          _param('central_meridian'))
+
+        fe_fn = (_param('false_easting'), _param('false_northing'))
         if 'Albers' in wkt:
-            cand = (_param('latitude_of_center'),
-                    _param('longitude_of_center'),
+            cand = (_lat0(), _lon0(),
                     _param('standard_parallel_1'),
-                    _param('standard_parallel_2'),
-                    _param('false_easting'), _param('false_northing'))
+                    _param('standard_parallel_2'), *fe_fn)
             for epsg, params in _ALBERS.items():
                 if params[1:] == cand:
                     return cls(epsg)
-            raise ValueError(
-                f'Albers WKT matches no supported grid: {wkt[:120]}...')
+            return cls(32767, ('aea', _ell(), *cand))
         if 'Lambert_Azimuthal_Equal_Area' in wkt or 'LAEA' in wkt:
-            cand = (_param('latitude_of_center'),
-                    _param('longitude_of_center'),
-                    _param('false_easting'), _param('false_northing'))
+            cand = (_lat0(), _lon0(), *fe_fn)
             for epsg, params in _LAEA.items():
                 if params[1:] == cand:
                     return cls(epsg)
-            raise ValueError(
-                f'LAEA WKT matches no supported grid: {wkt[:120]}...')
+            return cls(32767, ('laea', _ell(), *cand))
         if 'Lambert_Conformal_Conic' in wkt:
-            cand = (_param('latitude_of_origin'),
-                    _param('central_meridian'),
-                    _param('standard_parallel_1'),
-                    _param('standard_parallel_2'),
-                    _param('false_easting'), _param('false_northing'))
+            sp1 = _param('standard_parallel_1', _lat0())
+            sp2 = _param('standard_parallel_2', sp1)
+            cand = (_lat0(), _lon0(), sp1, sp2, *fe_fn)
             for epsg, params in _LCC.items():
                 if params[1:] == cand:
                     return cls(epsg)
-            raise ValueError(
-                f'LCC WKT matches no supported grid: {wkt[:120]}...')
+            k0 = _param('scale_factor', 1.0)
+            custom = (('lcc', _ell(), *cand) if k0 == 1.0
+                      else ('lcc', _ell(), *cand, k0))
+            return cls(32767, custom)
+        if 'Transverse_Mercator' in wkt:
+            custom = ('tm', _ell(), _lat0(), _lon0(),
+                      _param('scale_factor', 1.0), *fe_fn)
+            return cls(32767, custom)
+        if 'Polar_Stereographic' in wkt:
+            lat0 = _lat0()
+            lonp = _param('straight_vertical_longitude_from_pole',
+                          _lon0())
+            cand = (lat0, lonp, *fe_fn, lat0 > 0)
+            for epsg, params in _POLAR_STEREO.items():
+                if len(params) == 5 and params == cand:
+                    return cls(epsg)
+            if abs(lat0) >= 89.999:
+                custom = ('ps', None, lonp, *fe_fn, lat0 > 0,
+                          _param('scale_factor', 1.0), _ell())
+            else:
+                custom = ('ps', lat0, lonp, *fe_fn, lat0 > 0, None,
+                          _ell())
+            return cls(32767, custom)
         if 'WGS 84' in wkt or 'WGS_1984' in wkt:
             return cls(4326)
         if 'NAD83' in wkt or 'North_American_Datum_1983' in wkt:
@@ -938,25 +1322,32 @@ class CRS:
                 return cls(4258)
             return cls(4326)
         if ('+proj=aea' in proj4 or '+proj=laea' in proj4
-                or '+proj=lcc' in proj4):
+                or '+proj=lcc' in proj4 or '+proj=tmerc' in proj4):
             def _p(key, default=0.0):
                 m = re.search(rf'\+{key}=(-?[\d.eE+]+)', proj4)
                 return float(m.group(1)) if m else default
+            ell = _proj4_ellipsoid(proj4)
+            if '+proj=tmerc' in proj4:
+                return cls(32767, ('tm', ell, _p('lat_0'), _p('lon_0'),
+                                   _p('k', _p('k_0', 1.0)), _p('x_0'),
+                                   _p('y_0')))
             if '+proj=aea' in proj4 or '+proj=lcc' in proj4:
                 cand = (_p('lat_0'), _p('lon_0'), _p('lat_1'),
-                        _p('lat_2'), _p('x_0'), _p('y_0'))
+                        _p('lat_2', _p('lat_1')), _p('x_0'), _p('y_0'))
                 registry = (_ALBERS if '+proj=aea' in proj4 else _LCC)
                 for epsg, params in registry.items():
                     if params[1:] == cand:
                         return cls(epsg)
-            else:
-                cand = (_p('lat_0'), _p('lon_0'), _p('x_0'), _p('y_0'))
-                for epsg, params in _LAEA.items():
-                    if params[1:] == cand:
-                        return cls(epsg)
-            raise ValueError(
-                f'conic/azimuthal proj4 matches no supported grid: '
-                f'{proj4}')
+                fam = 'aea' if '+proj=aea' in proj4 else 'lcc'
+                k0 = _p('k', _p('k_0', 1.0))
+                if fam == 'lcc' and k0 != 1.0:
+                    return cls(32767, ('lcc', ell, *cand, k0))
+                return cls(32767, (fam, ell, *cand))
+            cand = (_p('lat_0'), _p('lon_0'), _p('x_0'), _p('y_0'))
+            for epsg, params in _LAEA.items():
+                if params[1:] == cand:
+                    return cls(epsg)
+            return cls(32767, ('laea', ell, *cand))
         if '+proj=stere' in proj4:
             def _p(key, default=0.0):
                 m = re.search(rf'\+{key}=(-?[\d.eE+]+)', proj4)
@@ -972,9 +1363,13 @@ class CRS:
                         return cls(epsg)
                 elif lat_ts is not None and params == cand:
                     return cls(epsg)
-            raise ValueError(
-                f'polar stereographic proj4 matches no supported grid: '
-                f'{proj4}')
+            if abs(_p('lat_0')) < 89.999:
+                raise ValueError(
+                    f'oblique stereographic is not supported: {proj4}')
+            return cls(32767, ('ps', lat_ts, _p('lon_0'), _p('x_0'),
+                               _p('y_0'), north,
+                               (k0 or 1.0) if lat_ts is None else None,
+                               _proj4_ellipsoid(proj4)))
         m = re.search(r'EPSG:(\d+)', proj4)
         if m:
             return cls(int(m.group(1)))
@@ -1008,10 +1403,12 @@ def transform_points(src, dst, x, y):
     dst = CRS.from_any(dst)
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
-    if src.epsg == dst.epsg:
+    if src == dst:
         return x, y
     # to geographic (NAD83/ETRS89 <-> WGS84: null datum transformation)
-    if src.utm is not None:
+    if src.custom is not None:
+        lat, lon = _custom_inverse(x, y, src.custom)
+    elif src.utm is not None:
         lat, lon = utm_inverse(x, y, *src.utm, ell=src.ellipsoid)
     elif src.polar_stereo is not None:
         lat, lon = polar_stereo_inverse(x, y, *src.polar_stereo)
@@ -1025,6 +1422,8 @@ def transform_points(src, dst, x, y):
         lon, lat = x, y
     else:
         raise ValueError(f'unsupported source CRS: EPSG:{src.epsg}')
+    if dst.custom is not None:
+        return _custom_forward(lat, lon, dst.custom)
     if dst.is_geographic:
         return lon, lat
     if dst.utm is not None:

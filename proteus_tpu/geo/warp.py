@@ -54,8 +54,7 @@ class SourceRaster:
     def __init__(self, path):
         self.reader = TiffReader(path)
         self.gt = self.reader.geotransform()
-        epsg = self.reader.epsg()
-        self.crs = CRS.from_epsg(epsg) if epsg else CRS.from_epsg(4326)
+        self.crs = self.reader.crs() or CRS.from_epsg(4326)
         self.width = self.reader.width
         self.length = self.reader.length
         self.nodata = self.reader.nodata()

@@ -68,25 +68,80 @@ def _gdal_metadata_xml(metadata, band_descriptions):
     return '<GDALMetadata>\n' + '\n'.join(items) + '\n</GDALMetadata>\n'
 
 
-def _geokey_directory(epsg):
-    """Minimal GeoKeyDirectory for an EPSG-coded CRS."""
-    if epsg is None:
-        return None
-    epsg = int(epsg)
-    keys = []
-    if epsg == 4326 or (4000 <= epsg < 5000):
-        keys.append((1024, 0, 1, 2))    # GTModelType: geographic
-        keys.append((1025, 0, 1, 1))    # GTRasterType: PixelIsArea
-        keys.append((2048, 0, 1, epsg))  # GeographicType
+_CT_CODE = {'tm': 1, 'lcc': 8, 'laea': 10, 'aea': 11, 'ps': 15}
+
+
+def _geokey_directory(crs_or_epsg):
+    """(GeoKeyDirectory shorts, GeoDoubleParams or None) for an
+    EPSG-coded CRS, or a USER-DEFINED one (a `geo.crs.CRS` with
+    ``custom`` set: PCS 32767 + projection parameter geokeys, the way
+    GDAL encodes non-EPSG SRS)."""
+    if crs_or_epsg is None:
+        return None, None
+    custom = getattr(crs_or_epsg, 'custom', None)
+    if custom is None:
+        epsg = int(getattr(crs_or_epsg, 'epsg', crs_or_epsg))
+        keys = []
+        if epsg == 4326 or (4000 <= epsg < 5000):
+            keys.append((1024, 0, 1, 2))    # GTModelType: geographic
+            keys.append((1025, 0, 1, 1))    # GTRasterType: PixelIsArea
+            keys.append((2048, 0, 1, epsg))  # GeographicType
+        else:
+            keys.append((1024, 0, 1, 1))    # GTModelType: projected
+            keys.append((1025, 0, 1, 1))
+            keys.append((3072, 0, 1, epsg))  # ProjectedCSType
+        doubles = None
     else:
-        keys.append((1024, 0, 1, 1))    # GTModelType: projected
-        keys.append((1025, 0, 1, 1))
-        keys.append((3072, 0, 1, epsg))  # ProjectedCSType
+        from proteus_tpu.geo.crs import _ELLIPSOIDS
+        fam = custom[0]
+        if fam == 'ps':
+            lat_ts, lon0, fe, fn, north, k0, ell = custom[1:]
+            params = {3081: (lat_ts if lat_ts is not None
+                             else (90.0 if north else -90.0)),
+                      3095: lon0, 3082: fe, 3083: fn}
+            if k0 is not None:
+                params[3092] = k0
+            ct = 15
+        elif fam == 'tm':
+            ell, lat0, lon0, k0, fe, fn = custom[1:]
+            params = {3081: lat0, 3080: lon0, 3092: k0,
+                      3082: fe, 3083: fn}
+            ct = 1
+        elif fam == 'aea':
+            ell, lat0, lon0, sp1, sp2, fe, fn = custom[1:]
+            params = {3078: sp1, 3079: sp2, 3080: lon0, 3081: lat0,
+                      3082: fe, 3083: fn}
+            ct = 11
+        elif fam == 'laea':
+            ell, lat0, lon0, fe, fn = custom[1:]
+            params = {3080: lon0, 3081: lat0, 3082: fe, 3083: fn}
+            ct = 10
+        elif fam == 'lcc':
+            ell, lat0, lon0, sp1, sp2, fe, fn = custom[1:8]
+            params = {3078: sp1, 3079: sp2, 3080: lon0, 3081: lat0,
+                      3082: fe, 3083: fn}
+            if len(custom) > 8:
+                params[3092] = custom[8]
+            ct = 8
+        else:
+            raise ValueError(f'unsupported custom CRS family: {fam}')
+        a, invf = _ELLIPSOIDS[ell]
+        doubles = []
+        keys = [(1024, 0, 1, 1), (1025, 0, 1, 1),
+                (2048, 0, 1, 32767), (2054, 0, 1, 9102),
+                (3072, 0, 1, 32767), (3074, 0, 1, 32767),
+                (3075, 0, 1, ct), (3076, 0, 1, 9001)]
+        for key_id, value in sorted({2057: a, 2059: invf,
+                                     **params}.items()):
+            keys.append((key_id, 34736, 1, len(doubles)))
+            doubles.append(float(value))
+        keys.sort()
+        doubles = tuple(doubles)
     header = (1, 1, 0, len(keys))
     flat = list(header)
     for k in keys:
         flat.extend(k)
-    return tuple(flat)
+    return tuple(flat), doubles
 
 
 def _nearest_decimate(arr, factor):
@@ -296,7 +351,7 @@ def write_cog(path, array, geotransform=None, epsg=None, nodata=None,
             p.build_tiles(pool)
 
     gdal_meta_xml = _gdal_metadata_xml(metadata, band_descriptions)
-    geokeys = _geokey_directory(epsg)
+    geokeys, geo_doubles = _geokey_directory(epsg)
 
     # ---- two-pass layout: first compute IFD sizes, then data offsets ----
     def build_ifd(plan, tile_offsets, ifd_offset, next_ifd_offset):
@@ -351,6 +406,9 @@ def write_cog(path, array, geotransform=None, epsg=None, nodata=None,
             if geokeys is not None:
                 tags.append((tiff.TAG_GEO_KEY_DIRECTORY, tiff.TYPE_SHORT,
                              geokeys))
+                if geo_doubles:
+                    tags.append((tiff.TAG_GEO_DOUBLE_PARAMS,
+                                 tiff.TYPE_DOUBLE, geo_doubles))
             if gdal_meta_xml is not None:
                 tags.append((tiff.TAG_GDAL_METADATA, tiff.TYPE_ASCII,
                              gdal_meta_xml))
@@ -457,7 +515,7 @@ def save_as_cog(filename, scratch_dir='.', logger=None,
     with TiffReader(filename) as r:
         arr = r.read()
         gt = r.geotransform()
-        epsg = r.epsg()
+        epsg = r.crs()
         nodata = r.nodata()
         metadata = r.metadata()
         band_desc = r.band_descriptions()

@@ -370,6 +370,19 @@ class TiffReader:
             return int(gcs)
         return None
 
+    def crs(self):
+        """CRS from geokeys — EPSG-coded, or USER-DEFINED (PCS 32767
+        with projection parameter geokeys, the GDAL encoding of a
+        non-EPSG SRS). Returns None when the file carries no geokeys."""
+        from proteus_tpu.geo.crs import CRS
+        keys = self.geokeys()
+        if not keys:
+            return None
+        code = self.epsg()
+        if code:
+            return CRS.from_epsg(code)
+        return CRS.from_geokeys(keys)
+
     # -- pixel access --------------------------------------------------------
 
     def read(self, ifd_index=0, window=None, band=None):

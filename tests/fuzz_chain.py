@@ -268,6 +268,13 @@ def one_warp_iteration(seed, tmpdir):
     from proteus_tpu.geo.warp import warp_to_grid, warp_to_grid_device
     rng = np.random.default_rng(seed)
     wrap_source = rng.random() < 0.25
+    # projected (non-geographic) source CRS in ~30% of non-wrap
+    # iterations: the round-3 widened grids whose domain covers the
+    # fuzz tile (~31.5N 92.5W) — Conus Albers, Canada Atlas LCC,
+    # NAD83 UTM, EASE-Grid 2.0 North
+    src_epsg = 4326
+    if not wrap_source and rng.random() < 0.3:
+        src_epsg = int(rng.choice([5070, 3978, 26915, 6931]))
     if wrap_source:
         # global 360-deg raster (wraps in longitude) + a UTM zone-1
         # tile whose margin crosses the antimeridian
@@ -276,6 +283,20 @@ def one_warp_iteration(seed, tmpdir):
         h = int(rng.integers(80, 240))
         gt = (-180.0, step, 0.0, 72.0 + float(rng.uniform(-2, 2)),
               0.0, -step)
+    elif src_epsg != 4326:
+        h = int(rng.integers(80, 400))
+        w = int(rng.integers(80, 400))
+        step = float(rng.uniform(50.0, 600.0))   # metres
+        # centre the source on the (pre-drawn) tile so footprints
+        # genuinely overlap
+        tile_x0 = 7.0e5 + float(rng.uniform(-5e4, 5e4))
+        tile_y0 = 3.48e6 + float(rng.uniform(-5e4, 5e4))
+        from proteus_tpu.geo.crs import transform_points
+        cx, cy = transform_points(
+            'EPSG:32615', f'EPSG:{src_epsg}',
+            np.array([tile_x0 + 2000.0]), np.array([tile_y0 - 2000.0]))
+        gt = (float(cx[0]) - step * w / 2, step, 0.0,
+              float(cy[0]) + step * h / 2, 0.0, -step)
     else:
         h = int(rng.integers(80, 400))
         w = int(rng.integers(80, 400))
@@ -300,7 +321,7 @@ def one_warp_iteration(seed, tmpdir):
         arr = rng.integers(-2000, 15000, (h, w)).astype(np.int16)
         nodata = -9999
     path = os.path.join(tmpdir, f'warp_src_{seed}.tif')
-    write_cog(path, arr, geotransform=gt, epsg=4326, nodata=nodata,
+    write_cog(path, arr, geotransform=gt, epsg=src_epsg, nodata=nodata,
               overview_levels=())
     if wrap_source:
         proj = 'EPSG:32601'  # zone 1: tiles west of the central meridian
@@ -320,6 +341,10 @@ def one_warp_iteration(seed, tmpdir):
             tile_gt = (199980.0 + float(rng.uniform(-2e4, 2e4)), 30.0,
                        0.0, 7.0e6 + float(rng.uniform(-3e5, 3e5)), 0.0,
                        -30.0)
+    elif src_epsg != 4326:
+        proj = 'EPSG:32615'
+        tile_gt = (tile_x0, float(rng.choice([10.0, 30.0])), 0.0,
+                   tile_y0, 0.0, -float(rng.choice([10.0, 30.0])))
     else:
         proj = 'EPSG:32615'
         tile_gt = (700000.0 + float(rng.uniform(-5e4, 5e4)),

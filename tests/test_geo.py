@@ -738,6 +738,173 @@ class TestLambertConformalConic:
             assert not bad.any(), f'{alg}: {bad.sum()} mismatches'
 
 
+class TestUserDefinedCrs:
+    """USER-DEFINED CRS (GeoTIFF PCS 32767 / authority-free WKT /
+    parameterized proj4) within the implemented projection families —
+    closing the reference's 'any OSR-resolvable SRS' contract
+    (dswx_hls.py:3385-3461) for arbitrary parameters, not just the
+    registry grids."""
+
+    OSGB_WKT = (
+        'PROJCS["OSGB36 / British National Grid",GEOGCS["OSGB36",'
+        'DATUM["OSGB_1936",SPHEROID["Airy 1830",6377563.396,'
+        '299.3249646]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Transverse_Mercator"],'
+        'PARAMETER["latitude_of_origin",49],'
+        'PARAMETER["central_meridian",-2],'
+        'PARAMETER["scale_factor",0.9996012717],'
+        'PARAMETER["false_easting",400000],'
+        'PARAMETER["false_northing",-100000],UNIT["metre",1]]')
+
+    def test_general_tm_osgb_worked_example(self):
+        """OS 'A guide to coordinate systems in Great Britain' worked
+        example: 52d39m27.2531sN 1d43m4.5177sE -> E 651409.903,
+        N 313177.270 (general TM: non-zero lat0, negative fn, Airy
+        1830) — parsed from authority-free WKT."""
+        crs = CRS.from_wkt(self.OSGB_WKT)
+        assert crs.custom is not None and crs.custom[0] == 'tm'
+        lat = 52 + 39 / 60 + 27.2531 / 3600
+        lon = 1 + 43 / 60 + 4.5177 / 3600
+        E, N = transform_points('EPSG:4326', crs,
+                                np.array([lon]), np.array([lat]))
+        assert abs(E[0] - 651409.903) < 0.01
+        assert abs(N[0] - 313177.270) < 0.01
+        lon2, lat2 = transform_points(crs, 'EPSG:4326', E, N)
+        assert abs(lat2[0] - lat) < 1e-9 and abs(lon2[0] - lon) < 1e-9
+
+    def test_general_tm_reproduces_utm(self):
+        """The parameterized TM engine with UTM parameters is the UTM
+        engine, bit for bit."""
+        from proteus_tpu.geo.crs import tm_forward_general, utm_forward
+        rng = np.random.default_rng(2)
+        lat = rng.uniform(-80, 84, 500)
+        lon = rng.uniform(-96, -90, 500)
+        x1, y1 = utm_forward(lat, lon, 15, True)
+        x2, y2 = tm_forward_general(lat, lon, 'WGS84', 0.0, -93.0,
+                                    0.9996, 500000.0, 0.0)
+        assert (x1 == x2).all() and (y1 == y2).all()
+
+    def test_lcc_1sp_epsg_jamaica_worked_example(self):
+        """EPSG Guidance Note 7-2 LCC 1SP worked example (Jamaica 1969
+        National Grid, Clarke 1866): 17d55m55.8sN 76d56m37.26sW ->
+        E 255966.58, N 142493.51."""
+        from proteus_tpu.geo import crs
+        crs._ELLIPSOIDS.setdefault(
+            'CLARKE1866', (6378206.4, 294.9786982139006))
+        E, N = crs.lcc_forward(17 + 55 / 60 + 55.8 / 3600,
+                               -(76 + 56 / 60 + 37.26 / 3600),
+                               'CLARKE1866', 18.0, -77.0, 18.0, 18.0,
+                               250000.0, 150000.0, 1.0)
+        assert abs(E - 255966.58) < 0.01
+        assert abs(N - 142493.51) < 0.01
+
+    def test_wkt_proj4_geokey_roundtrips(self, tmp_path):
+        """Custom CRS survive to_wkt/from_wkt, to_proj4/from_proj4, and
+        a write_cog -> TiffReader.crs() geokey round-trip (PCS 32767 +
+        parameter geokeys, GDAL's encoding of a non-EPSG SRS)."""
+        from proteus_tpu.io.tiff import TiffReader
+        customs = [
+            CRS.from_wkt(self.OSGB_WKT),
+            # Texas Centric Albers (EPSG:3083's parameters, carried as
+            # user-defined)
+            CRS(32767, ('aea', 'GRS80', 18.0, -100.0, 27.5, 35.0,
+                        1500000.0, 6000000.0)),
+            CRS(32767, ('laea', 'WGS84', 45.0, -100.0, 0.0, 0.0)),
+            CRS(32767, ('lcc', 'GRS80', 44.25, -109.5, 43.0, 45.5,
+                        500000.0, 200000.0)),
+            CRS(32767, ('ps', 60.0, -100.0, 1000.0, 2000.0, True,
+                        None, 'WGS84')),
+        ]
+        arr = np.zeros((32, 32), np.float32)
+        for i, c in enumerate(customs):
+            assert CRS.from_wkt(c.to_wkt()) == c, c
+            assert CRS.from_proj4(c.to_proj4()) == c, c
+            p = str(tmp_path / f'c{i}.tif')
+            write_cog(p, arr, geotransform=(0, 60, 0, 0, 0, -60),
+                      epsg=c, overview_levels=())
+            with TiffReader(p) as r:
+                assert r.crs() == c, c
+                assert r.epsg() is None
+
+    def test_warp_and_coverage_with_user_defined_source(self, tmp_path):
+        """A DEM in a user-defined Albers accepted by the coverage
+        check; device warp bit-identical to host."""
+        from proteus_tpu.geo.coverage import check_ancillary_inputs
+        tx = CRS(32767, ('aea', 'GRS80', 18.0, -100.0, 27.5, 35.0,
+                         1500000.0, 6000000.0))
+        tile_gt = (500000.0, 30.0, 0.0, 3430000.0, 0.0, -30.0)
+        cx, cy = transform_points('EPSG:32614', tx,
+                                  np.array([501800.0]),
+                                  np.array([3428500.0]))
+        rng = np.random.default_rng(7)
+        h = w = 200
+        arr = (500 + 100 * rng.normal(size=(h, w))).astype(np.float32)
+        arr[rng.random((h, w)) < 0.03] = np.nan
+        p = str(tmp_path / 'tx_dem.tif')
+        write_cog(p, arr,
+                  geotransform=(float(cx[0]) - 100 * 60, 60.0, 0.0,
+                                float(cy[0]) + 100 * 60, 0.0, -60.0),
+                  epsg=tx, nodata=float('nan'), overview_levels=())
+        check_ancillary_inputs(True, False, p, p, p, None, tile_gt,
+                               'EPSG:32614', 100, 120, {})
+        for alg in ('nearest', 'cubic'):
+            host = warp_to_grid(p, tile_gt, 'EPSG:32614', 80, 100,
+                                resample_algorithm=alg,
+                                margin_in_pixels=10)
+            dev = np.asarray(warp_to_grid_device(
+                p, tile_gt, 'EPSG:32614', 80, 100,
+                resample_algorithm=alg, margin_in_pixels=10))
+            nn = np.isnan(host)
+            assert (~nn).any()
+            bad = (host != dev) & ~(nn & np.isnan(dev))
+            assert not bad.any(), (alg, int(bad.sum()))
+
+    def test_unsupported_user_defined_rejected_at_coverage_check(
+            self, tmp_path):
+        """Geokeys outside the supported projection families fail with
+        the reference's coverage-check error contract, not mid-warp."""
+        from proteus_tpu.geo.coverage import check_ancillary_inputs
+        from proteus_tpu.io import tiff as tiffmod
+        import synthetic
+        with pytest.raises(ValueError, match='unsupported'):
+            CRS.from_geokeys({1024: 1, 3072: 32767, 3075: 7,
+                              2048: 4326, 3076: 9001})
+        with pytest.raises(ValueError, match='linear units'):
+            CRS.from_geokeys({1024: 1, 3072: 32767, 3075: 1,
+                              2048: 4326, 3076: 9002})
+        # end-to-end: a file carrying an unsupported method (CT 7,
+        # Mercator) is rejected inside check_ancillary_inputs
+        size = 64
+        dem = synthetic.make_dem(str(tmp_path), size=size)
+        p = str(tmp_path / 'weird.tif')
+        write_cog(p, np.zeros((50, 50), np.float32),
+                  geotransform=(0, 100, 0, 0, 0, -100),
+                  epsg=CRS(32767, ('laea', 'WGS84', 45.0, -100.0,
+                                   0.0, 0.0)),
+                  overview_levels=())
+        # rewrite the method geokey to CT 7 (Mercator)
+        with open(p, 'rb') as fh:
+            blob = bytearray(fh.read())
+        with tiffmod.TiffReader(p) as r:
+            kd = list(r.main.get(tiffmod.TAG_GEO_KEY_DIRECTORY))
+        idx = kd.index(3075)
+        kd[idx + 3] = 7
+        import struct
+        old = struct.pack('<%dH' % len(kd),
+                          *r.main.get(tiffmod.TAG_GEO_KEY_DIRECTORY))
+        new = struct.pack('<%dH' % len(kd), *kd)
+        off = blob.find(old)
+        assert off > 0
+        blob[off:off + len(old)] = new
+        with open(p, 'wb') as fh:
+            fh.write(blob)
+        with pytest.raises(ValueError, match='unsupported user-defined'):
+            check_ancillary_inputs(True, False, p, dem, dem, None,
+                                   synthetic.geotransform(),
+                                   'EPSG:32615', size, size, {})
+
+
 class TestAverageResampler:
     """GDAL GRA_Average semantics: area-weighted mean over the target
     pixel's source-space footprint bbox, nodata renormalized."""
