@@ -138,8 +138,10 @@ def check_ancillary_inputs(check_ancillary_inputs_coverage,
                    '4258, 269xx/258xx), WGS84 polar stereographic'
                    ' (EPSG:3031/3032/3413/3976), UPS (EPSG:5041/'
                    '5042), Albers equal-area (EPSG:5070/3577), LAEA'
-                   ' (EPSG:3035/6931/6932), and Lambert conformal'
-                   ' conic (EPSG:3978/2154).'
+                   ' (EPSG:3035/6931/6932), Lambert conformal conic'
+                   ' (EPSG:3978/2154), Mercator (EPSG:3857/3395), and'
+                   ' user-defined CRS in any of those projection'
+                   ' families.'
                    f' File: {file_name}')
             logger.error(msg)
             raise ValueError(msg)

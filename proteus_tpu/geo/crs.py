@@ -30,9 +30,16 @@ grids: Canada Atlas Lambert (EPSG:3978, CDEM/HRDEM) and Lambert-93
 (EPSG:2154, IGN France), Snyder ch. 15, verified against his numerical
 example and conformality/standard-parallel invariants.
 
+Mercator is covered too: EPSG:3857 web mercator (spherical-on-geodetic
+'popular visualisation' formulas — the most common CRS of arbitrary
+downloaded rasters) and EPSG:3395 World Mercator, verified against the
+EPSG GN7-2 worked examples (incl. the Makassar NEIEZ variant-A case on
+Bessel 1841).
+
 Beyond the registry codes, USER-DEFINED CRS are accepted with arbitrary
 parameters and ellipsoids within the implemented families (Transverse
-Mercator, polar stereographic A/B, Albers, LAEA, LCC 1SP/2SP) — parsed
+Mercator, Mercator A/B, polar stereographic A/B, Albers, LAEA, LCC
+1SP/2SP) — parsed
 from GeoTIFF projection geokeys (PCS 32767, the GDAL encoding of a
 non-EPSG SRS), authority-free WKT, or proj4 (general-TM path verified
 against the Ordnance Survey British National Grid worked example, LCC
@@ -374,6 +381,15 @@ _LCC = {
     3978: ('GRS80', 49.0, -95.0, 49.0, 77.0, 0.0, 0.0),
     2154: ('GRS80', 46.5, 3.0, 49.0, 44.0, 700000.0, 6600000.0),
 }
+
+# Mercator: EPSG:3395 (WGS84 World Mercator, ellipsoidal variant A) --
+# EPSG code -> (ellipsoid, lon0, k0, fe, fn). EPSG:3857 (Web/"popular
+# visualisation pseudo" Mercator: SPHERICAL formulas with R = a on
+# geodetic latitude) is handled as its own flag.
+_MERC = {
+    3395: ('WGS84', 0.0, 1.0, 0.0, 0.0),
+}
+WEB_MERCATOR_EPSG = 3857
 
 
 @lru_cache(maxsize=None)
@@ -765,6 +781,17 @@ _WKT_LAEA_TEMPLATE = (
     'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
     'AUTHORITY["EPSG","{epsg}"]]')
 
+_WKT_MERC_TEMPLATE = (
+    'PROJCS["{name}",{geogcs},'
+    'PROJECTION["Mercator_1SP"],'
+    'PARAMETER["central_meridian",{lon0}],'
+    'PARAMETER["scale_factor",{k0}],'
+    'PARAMETER["false_easting",{fe}],'
+    'PARAMETER["false_northing",{fn}],'
+    'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+    'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
+    'AUTHORITY["EPSG","{epsg}"]]')
+
 _WKT_UPS_TEMPLATE = (
     'PROJCS["WGS 84 / UPS {ns} (E,N)",GEOGCS["WGS 84",'
     'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563,'
@@ -779,6 +806,50 @@ _WKT_UPS_TEMPLATE = (
     'PARAMETER["false_northing",{fn}],'
     'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
     'AUTHORITY["EPSG","{epsg}"]]')
+
+
+def mercator_forward(lat_deg, lon_deg, ell, lon0, k0, fe, fn):
+    """Geographic -> Mercator E/N (ellipsoidal, EPSG variant A; variant
+    B callers fold lat_ts into ``k0`` = m(lat_ts))."""
+    a, _e2, e = _ell_consts(ell)
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    dlon = _wrap_pi(lon - np.radians(lon0))
+    x = fe + a * k0 * dlon
+    y = fn - a * k0 * np.log(_lcc_t(lat, e))
+    return x, y
+
+
+def mercator_inverse(x, y, ell, lon0, k0, fe, fn):
+    """Mercator E/N -> geographic lat/lon degrees."""
+    a, _e2, e = _ell_consts(ell)
+    x = np.asarray(x, dtype=np.float64) - fe
+    y = np.asarray(y, dtype=np.float64) - fn
+    t = np.exp(-y / (a * k0))
+    lat = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        s = np.sin(lat)
+        lat = np.pi / 2 - 2 * np.arctan(
+            t * ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2))
+    lon = np.radians(lon0) + x / (a * k0)
+    return np.degrees(lat), np.degrees(_wrap_pi(lon))
+
+
+def web_mercator_forward(lat_deg, lon_deg):
+    """WGS84 geographic -> EPSG:3857 (spherical formulas, R = a, on
+    geodetic latitude — the 'popular visualisation' definition)."""
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    return _A * _wrap_pi(lon), _A * np.log(np.tan(np.pi / 4 + lat / 2))
+
+
+def web_mercator_inverse(x, y):
+    """EPSG:3857 -> WGS84 geographic lat/lon degrees."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lat = np.degrees(2.0 * np.arctan(np.exp(y / _A)) - np.pi / 2)
+    lon = np.degrees(_wrap_pi(x / _A))
+    return lat, lon
 
 
 def _custom_geogcs_wkt(ell):
@@ -823,6 +894,12 @@ def _custom_to_wkt(custom):
             proj = 'Lambert_Azimuthal_Equal_Area'
             params = [('latitude_of_center', lat0),
                       ('longitude_of_center', lon0),
+                      ('false_easting', fe), ('false_northing', fn)]
+        elif fam == 'merc':
+            lon0, k0, fe, fn = custom[2:]
+            proj = 'Mercator_1SP'
+            params = [('central_meridian', lon0),
+                      ('scale_factor', k0),
                       ('false_easting', fe), ('false_northing', fn)]
         else:   # lcc
             lat0, lon0, sp1, sp2, fe, fn = custom[2:8]
@@ -871,6 +948,11 @@ def _custom_to_proj4(custom):
     if fam == 'laea':
         lat0, lon0, fe, fn = custom[2:]
         return (f'+proj=laea +lat_0={lat0:g} +lon_0={lon0:g} '
+                f'+x_0={fe:g} +y_0={fn:g} {ell_frag(ell)} +units=m '
+                '+no_defs')
+    if fam == 'merc':
+        lon0, k0, fe, fn = custom[2:]
+        return (f'+proj=merc +lon_0={lon0:g} +k={k0:.12g} '
                 f'+x_0={fe:g} +y_0={fn:g} {ell_frag(ell)} +units=m '
                 '+no_defs')
     lat0, lon0, sp1, sp2, fe, fn = custom[2:8]
@@ -926,7 +1008,7 @@ def _custom_forward(lat, lon, custom):
     fam = custom[0]
     fwd = {'tm': tm_forward_general, 'aea': albers_forward,
            'laea': laea_forward, 'lcc': lcc_forward,
-           'ps': polar_stereo_forward}[fam]
+           'ps': polar_stereo_forward, 'merc': mercator_forward}[fam]
     return fwd(lat, lon, *custom[1:])
 
 
@@ -934,7 +1016,7 @@ def _custom_inverse(x, y, custom):
     fam = custom[0]
     inv = {'tm': tm_inverse_general, 'aea': albers_inverse,
            'laea': laea_inverse, 'lcc': lcc_inverse,
-           'ps': polar_stereo_inverse}[fam]
+           'ps': polar_stereo_inverse, 'merc': mercator_inverse}[fam]
     return inv(x, y, *custom[1:])
 
 
@@ -1045,6 +1127,13 @@ class CRS:
             else:                         # variant B: std parallel
                 custom = ('ps', lat0, lonp, fe, fn, lat0 > 0, None,
                           ell)
+        elif ct == 7:   # CT_Mercator (variant B folded into k0)
+            if 3078 in keys:
+                _a2, e2, _e2_ = _ell_consts(ell)
+                s = np.sin(np.radians(sp1))
+                k0 = float(np.cos(np.radians(sp1))
+                           / np.sqrt(1.0 - e2 * s * s))
+            custom = ('merc', ell, lon0, k0, fe, fn)
         else:
             raise ValueError(
                 f'unsupported user-defined projection method '
@@ -1076,13 +1165,24 @@ class CRS:
         return _LCC.get(self.epsg)
 
     @property
+    def mercator(self):
+        """(ell, lon0, k0, fe, fn) for ellipsoidal Mercator grids."""
+        return _MERC.get(self.epsg)
+
+    @property
+    def is_web_mercator(self):
+        """EPSG:3857 (spherical 'popular visualisation' Mercator)."""
+        return self.epsg == WEB_MERCATOR_EPSG
+
+    @property
     def supported(self):
         """True if this CRS can be transformed by this engine."""
         return (self.custom is not None or self.is_geographic
                 or self.utm is not None
                 or self.polar_stereo is not None
                 or self.albers is not None or self.laea is not None
-                or self.lcc is not None)
+                or self.lcc is not None or self.mercator is not None
+                or self.is_web_mercator)
 
     def to_wkt(self):
         if self.custom is not None:
@@ -1136,6 +1236,18 @@ class CRS:
             return _WKT_LCC_TEMPLATE.format(
                 name=name, geogcs=geogcs, lat0=lat0, lon0=lon0,
                 sp1=sp1, sp2=sp2, fe=fe, fn=fn, epsg=self.epsg)
+        merc = self.mercator
+        if merc is not None:
+            _, lon0, k0, fe, fn = merc
+            return _WKT_MERC_TEMPLATE.format(
+                name='WGS 84 / World Mercator',
+                geogcs=_GEOGCS_WGS84_FRAG, lon0=lon0, k0=k0, fe=fe,
+                fn=fn, epsg=self.epsg)
+        if self.is_web_mercator:
+            return _WKT_MERC_TEMPLATE.format(
+                name='WGS 84 / Pseudo-Mercator',
+                geogcs=_GEOGCS_WGS84_FRAG, lon0=0.0, k0=1.0, fe=0.0,
+                fn=0.0, epsg=self.epsg)
         if self.epsg == 4326:
             return _WKT_WGS84
         if self.is_geographic:
@@ -1196,6 +1308,16 @@ class CRS:
             return (f'+proj=lcc +lat_0={lat0:g} +lon_0={lon0:g} '
                     f'+lat_1={sp1:g} +lat_2={sp2:g} +x_0={fe:g} '
                     f'+y_0={fn:g} {datum} +units=m +no_defs')
+        merc = self.mercator
+        if merc is not None:
+            _, lon0, k0, fe, fn = merc
+            return (f'+proj=merc +lon_0={lon0:g} +k={k0:g} '
+                    f'+x_0={fe:g} +y_0={fn:g} +datum=WGS84 +units=m '
+                    '+no_defs')
+        if self.is_web_mercator:
+            return ('+proj=merc +a=6378137 +b=6378137 +lat_ts=0 '
+                    '+lon_0=0 +x_0=0 +y_0=0 +k=1 +units=m '
+                    '+nadgrids=@null +no_defs')
         if self.epsg == 4326:
             return '+proj=longlat +datum=WGS84 +no_defs'
         if self.is_geographic:
@@ -1295,6 +1417,26 @@ class CRS:
                 custom = ('ps', lat0, lonp, *fe_fn, lat0 > 0, None,
                           _ell())
             return cls(32767, custom)
+        if 'Mercator' in wkt and 'Transverse' not in wkt:
+            if ('Pseudo-Mercator' in wkt
+                    or 'Mercator_Auxiliary_Sphere' in wkt
+                    or 'Popular Visualisation' in wkt):
+                return cls(WEB_MERCATOR_EPSG)
+            sp1 = _param('standard_parallel_1', None)
+            if sp1 is not None:     # variant B -> equivalent k0
+                ell = _ell()
+                _a, e2, _e = _ell_consts(ell)
+                s = np.sin(np.radians(sp1))
+                k0 = float(np.cos(np.radians(sp1))
+                           / np.sqrt(1.0 - e2 * s * s))
+            else:
+                ell = _ell()
+                k0 = _param('scale_factor', 1.0)
+            cand = (_lon0(), k0, *fe_fn)
+            for epsg, params in _MERC.items():
+                if params[1:] == cand and ell == params[0]:
+                    return cls(epsg)
+            return cls(32767, ('merc', ell, *cand))
         if 'WGS 84' in wkt or 'WGS_1984' in wkt:
             return cls(4326)
         if 'NAD83' in wkt or 'North_American_Datum_1983' in wkt:
@@ -1321,6 +1463,28 @@ class CRS:
             if '+datum=ETRS89' in proj4:
                 return cls(4258)
             return cls(4326)
+        if '+proj=webmerc' in proj4 or '+nadgrids=@null' in proj4 or \
+                ('+proj=merc' in proj4 and '+a=6378137' in proj4
+                 and '+b=6378137' in proj4):
+            return cls(WEB_MERCATOR_EPSG)
+        if '+proj=merc' in proj4:
+            def _p(key, default=0.0):
+                m = re.search(rf'\+{key}=(-?[\d.eE+]+)', proj4)
+                return float(m.group(1)) if m else default
+            ell = _proj4_ellipsoid(proj4)
+            lat_ts = _p('lat_ts', None) if '+lat_ts=' in proj4 else None
+            if lat_ts is not None:
+                _a, e2, _e = _ell_consts(ell)
+                s = np.sin(np.radians(lat_ts))
+                k0 = float(np.cos(np.radians(lat_ts))
+                           / np.sqrt(1.0 - e2 * s * s))
+            else:
+                k0 = _p('k', _p('k_0', 1.0))
+            cand = (_p('lon_0'), k0, _p('x_0'), _p('y_0'))
+            for epsg, params in _MERC.items():
+                if params[1:] == cand and ell == params[0]:
+                    return cls(epsg)
+            return cls(32767, ('merc', ell, *cand))
         if ('+proj=aea' in proj4 or '+proj=laea' in proj4
                 or '+proj=lcc' in proj4 or '+proj=tmerc' in proj4):
             def _p(key, default=0.0):
@@ -1418,6 +1582,10 @@ def transform_points(src, dst, x, y):
         lat, lon = laea_inverse(x, y, *src.laea)
     elif src.lcc is not None:
         lat, lon = lcc_inverse(x, y, *src.lcc)
+    elif src.mercator is not None:
+        lat, lon = mercator_inverse(x, y, *src.mercator)
+    elif src.is_web_mercator:
+        lat, lon = web_mercator_inverse(x, y)
     elif src.is_geographic:
         lon, lat = x, y
     else:
@@ -1436,4 +1604,8 @@ def transform_points(src, dst, x, y):
         return laea_forward(lat, lon, *dst.laea)
     if dst.lcc is not None:
         return lcc_forward(lat, lon, *dst.lcc)
+    if dst.mercator is not None:
+        return mercator_forward(lat, lon, *dst.mercator)
+    if dst.is_web_mercator:
+        return web_mercator_forward(lat, lon)
     raise ValueError(f'unsupported destination CRS: EPSG:{dst.epsg}')

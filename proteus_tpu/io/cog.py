@@ -68,7 +68,8 @@ def _gdal_metadata_xml(metadata, band_descriptions):
     return '<GDALMetadata>\n' + '\n'.join(items) + '\n</GDALMetadata>\n'
 
 
-_CT_CODE = {'tm': 1, 'lcc': 8, 'laea': 10, 'aea': 11, 'ps': 15}
+_CT_CODE = {'tm': 1, 'merc': 7, 'lcc': 8, 'laea': 10, 'aea': 11,
+            'ps': 15}
 
 
 def _geokey_directory(crs_or_epsg):
@@ -123,6 +124,10 @@ def _geokey_directory(crs_or_epsg):
             if len(custom) > 8:
                 params[3092] = custom[8]
             ct = 8
+        elif fam == 'merc':
+            ell, lon0, k0, fe, fn = custom[1:]
+            params = {3080: lon0, 3092: k0, 3082: fe, 3083: fn}
+            ct = 7
         else:
             raise ValueError(f'unsupported custom CRS family: {fam}')
         a, invf = _ELLIPSOIDS[ell]

@@ -364,9 +364,11 @@ class TestPolarStereographic:
         size = 64
         dem = synthetic.make_dem(str(tmp_path), size=size)
         arr = np.zeros((50, 50), np.float32)
-        weird = str(tmp_path / 'web_mercator.tif')
+        # ESRI:54009 Mollweide: a projection family the engine does
+        # not implement (3857 web-mercator became supported in round 3)
+        weird = str(tmp_path / 'mollweide.tif')
         write_cog(weird, arr, geotransform=(0, 100, 0, 0, 0, -100),
-                  epsg=3857, overview_levels=())
+                  epsg=54009, overview_levels=())
         with pytest.raises(ValueError, match='unsupported CRS'):
             check_ancillary_inputs(True, False, weird, dem, dem, None,
                                    synthetic.geotransform(),
@@ -868,13 +870,13 @@ class TestUserDefinedCrs:
         from proteus_tpu.io import tiff as tiffmod
         import synthetic
         with pytest.raises(ValueError, match='unsupported'):
-            CRS.from_geokeys({1024: 1, 3072: 32767, 3075: 7,
+            CRS.from_geokeys({1024: 1, 3072: 32767, 3075: 3,
                               2048: 4326, 3076: 9001})
         with pytest.raises(ValueError, match='linear units'):
             CRS.from_geokeys({1024: 1, 3072: 32767, 3075: 1,
                               2048: 4326, 3076: 9002})
-        # end-to-end: a file carrying an unsupported method (CT 7,
-        # Mercator) is rejected inside check_ancillary_inputs
+        # end-to-end: a file carrying an unsupported method (CT 3,
+        # Oblique Mercator) is rejected inside check_ancillary_inputs
         size = 64
         dem = synthetic.make_dem(str(tmp_path), size=size)
         p = str(tmp_path / 'weird.tif')
@@ -883,13 +885,13 @@ class TestUserDefinedCrs:
                   epsg=CRS(32767, ('laea', 'WGS84', 45.0, -100.0,
                                    0.0, 0.0)),
                   overview_levels=())
-        # rewrite the method geokey to CT 7 (Mercator)
+        # rewrite the method geokey to CT 3 (Oblique Mercator)
         with open(p, 'rb') as fh:
             blob = bytearray(fh.read())
         with tiffmod.TiffReader(p) as r:
             kd = list(r.main.get(tiffmod.TAG_GEO_KEY_DIRECTORY))
         idx = kd.index(3075)
-        kd[idx + 3] = 7
+        kd[idx + 3] = 3
         import struct
         old = struct.pack('<%dH' % len(kd),
                           *r.main.get(tiffmod.TAG_GEO_KEY_DIRECTORY))
@@ -903,6 +905,99 @@ class TestUserDefinedCrs:
             check_ancillary_inputs(True, False, p, dem, dem, None,
                                    synthetic.geotransform(),
                                    'EPSG:32615', size, size, {})
+
+
+class TestMercator:
+    """Mercator grids (round-3 widening): EPSG:3857 web mercator (the
+    most common CRS of arbitrary delivered rasters), EPSG:3395 World
+    Mercator, and user-defined variant A/B Mercator (GeoTIFF CT 7)."""
+
+    def test_epsg_guidance_note_neiez_example(self):
+        """EPSG GN7-2 Mercator variant A worked example (Makassar /
+        NEIEZ, Bessel 1841, k0 0.997): 3S 120E -> E 5009726.58,
+        N 569150.82."""
+        from proteus_tpu.geo import crs
+        bes = crs._ensure_ellipsoid(6377397.155, 299.1528128)
+        E, N = crs.mercator_forward(-3.0, 120.0, bes, 110.0, 0.997,
+                                    3900000.0, 900000.0)
+        assert abs(E - 5009726.58) < 0.01
+        assert abs(N - 569150.82) < 0.01
+        la, lo = crs.mercator_inverse(E, N, bes, 110.0, 0.997,
+                                      3900000.0, 900000.0)
+        assert abs(la + 3.0) < 1e-9 and abs(lo - 120.0) < 1e-9
+
+    def test_web_mercator_knowns(self):
+        """EPSG GN7-2's 3857 example + the spherical-on-geodetic-lat
+        quirk (y(24d22m54.433s) == 2800000 exactly on the sphere)."""
+        from proteus_tpu.geo.crs import (web_mercator_forward,
+                                         web_mercator_inverse)
+        lat = 24 + 22 / 60 + 54.433 / 3600
+        E, N = web_mercator_forward(lat, -(100 + 20 / 60))
+        assert abs(E - -11169055.58) < 0.01
+        assert abs(N - 2800000.00) < 0.01
+        la, lo = web_mercator_inverse(E, N)
+        assert abs(la - lat) < 1e-9
+
+    @pytest.mark.parametrize('epsg', [3395, 3857])
+    def test_roundtrip_and_serialization(self, epsg):
+        from proteus_tpu.geo.crs import CRS
+        rng = np.random.default_rng(epsg)
+        la0 = rng.uniform(-80, 80, 500)
+        lo0 = rng.uniform(-179, 179, 500)
+        x, y = transform_points('EPSG:4326', f'EPSG:{epsg}', lo0, la0)
+        lo2, la2 = transform_points(f'EPSG:{epsg}', 'EPSG:4326', x, y)
+        assert np.abs(la2 - la0).max() < 1e-9
+        assert np.abs(lo2 - lo0).max() < 1e-9
+        crs = CRS.from_epsg(epsg)
+        assert CRS.from_wkt(crs.to_wkt()).epsg == epsg
+        assert CRS.from_proj4(crs.to_proj4()).epsg == epsg
+
+    def test_custom_merc_geokey_roundtrip(self, tmp_path):
+        from proteus_tpu.geo import crs
+        from proteus_tpu.io.tiff import TiffReader
+        bes = crs._ensure_ellipsoid(6377397.155, 299.1528128)
+        cm = crs.CRS(32767, ('merc', bes, 110.0, 0.997, 3900000.0,
+                             900000.0))
+        assert crs.CRS.from_wkt(cm.to_wkt()) == cm
+        assert crs.CRS.from_proj4(cm.to_proj4()) == cm
+        p = str(tmp_path / 'm.tif')
+        write_cog(p, np.zeros((32, 32), np.float32),
+                  geotransform=(0, 60, 0, 0, 0, -60), epsg=cm,
+                  overview_levels=())
+        with TiffReader(p) as r:
+            assert r.crs() == cm
+
+    def test_web_mercator_warp_device_matches_host(self, tmp_path):
+        """A raster delivered in 3857 (e.g. a downloaded basemap-grid
+        DEM) warped onto a UTM tile: coverage-accepted, device warp
+        bit-identical to host."""
+        from proteus_tpu.geo.coverage import check_ancillary_inputs
+        rng = np.random.default_rng(3857)
+        h = w = 250
+        tile_gt = (700000.0, 30.0, 0.0, 3395100.0, 0.0, -30.0)
+        cx, cy = transform_points('EPSG:32615', 'EPSG:3857',
+                                  np.array([703000.0]),
+                                  np.array([3393000.0]))
+        arr = (200 + 50 * rng.normal(size=(h, w))).astype(np.float32)
+        arr[rng.random((h, w)) < 0.03] = np.nan
+        p = str(tmp_path / 'wm.tif')
+        write_cog(p, arr,
+                  geotransform=(float(cx[0]) - 125 * 70, 70.0, 0.0,
+                                float(cy[0]) + 125 * 70, 0.0, -70.0),
+                  epsg=3857, nodata=float('nan'), overview_levels=())
+        check_ancillary_inputs(True, False, p, p, p, None, tile_gt,
+                               'EPSG:32615', 100, 120, {})
+        for alg in ('nearest', 'cubic'):
+            host = warp_to_grid(p, tile_gt, 'EPSG:32615', 80, 100,
+                                resample_algorithm=alg,
+                                margin_in_pixels=10)
+            dev = np.asarray(warp_to_grid_device(
+                p, tile_gt, 'EPSG:32615', 80, 100,
+                resample_algorithm=alg, margin_in_pixels=10))
+            nn = np.isnan(host)
+            assert (~nn).any()
+            bad = (host != dev) & ~(nn & np.isnan(dev))
+            assert not bad.any(), (alg, int(bad.sum()))
 
 
 class TestAverageResampler:
