@@ -391,6 +391,18 @@ _MERC = {
 }
 WEB_MERCATOR_EPSG = 3857
 
+# Lambert Cylindrical Equal Area: EPSG:6933 (NSIDC EASE-Grid 2.0
+# global — SMAP/AMSR snow & soil-moisture rasters). EPSG code ->
+# (ellipsoid, lat_ts, lon0, fe, fn). The spherical v1 grids
+# (3410/3975) remain rejected like every other sphere CRS.
+_CEA = {
+    6933: ('WGS84', 30.0, 0.0, 0.0, 0.0),
+}
+
+# the MODIS sinusoidal grid (no EPSG code; GDAL round-trips it as a
+# user-defined SRS): authalic sphere radius used by its custom tuple
+MODIS_SPHERE_RADIUS = 6371007.181
+
 
 @lru_cache(maxsize=None)
 def _ell_consts(ell):
@@ -404,14 +416,61 @@ def _ell_consts(ell):
 def _ensure_ellipsoid(a, invf):
     """Registry name for ellipsoid (a, 1/f); registers an ad-hoc entry
     for non-standard ellipsoids found in user-defined CRS (e.g. Airy
-    1830, Clarke 1866, International 1924)."""
+    1830, Clarke 1866, International 1924). Spheres (1/f = 0, the
+    authalic-sphere EASE-Grid v1 / legacy grids) and nonsensical
+    parameters are rejected up front so they fail at parse/coverage
+    time, not with a division inside the warp."""
     a, invf = float(a), float(invf)
+    if not (1e6 < a < 1e8) or not np.isfinite(invf) or invf <= 0 \
+            or invf < 100:
+        raise ValueError(
+            f'unsupported ellipsoid (a={a:g}, 1/f={invf:g}): spherical '
+            'and non-Earth ellipsoids are not supported')
     for name, (ra, rf) in _ELLIPSOIDS.items():
         if abs(ra - a) < 1e-3 and abs(rf - invf) < 1e-8:
             return name
     name = f'E_{a:.4f}_{invf:.9f}'
     _ELLIPSOIDS[name] = (a, invf)
     return name
+
+
+def _merc_k0_from_lat_ts(lat_ts, ell):
+    """Mercator variant B -> variant A: equivalent scale at the equator
+    k0 = m(lat_ts) = cos(lat_ts)/sqrt(1 - e2 sin^2 lat_ts)."""
+    _a, e2, _e = _ell_consts(ell)
+    s = np.sin(np.radians(lat_ts))
+    return float(np.cos(np.radians(lat_ts))
+                 / np.sqrt(1.0 - e2 * s * s))
+
+
+# numeric literal inside WKT/proj4 (handles 2.95e-1 style exponents)
+_NUM_RE = r'([-+]?[\d.]+(?:[eE][-+]?\d+)?)'
+
+
+def _proj4_param(proj4, key, default=0.0):
+    m = re.search(rf'\+{key}={_NUM_RE}', proj4)
+    return float(m.group(1)) if m else default
+
+
+# projected linear units (metres per unit). US State Plane grids ship
+# in feet; the reference accepts them through OSR (dswx_hls.py:3385).
+_FOOT = 0.3048                    # international foot (EPSG 9002)
+_US_FOOT = 1200.0 / 3937.0        # US survey foot (EPSG 9003)
+_UNIT_GEOKEY = {9001: 1.0, 9002: _FOOT, 9003: _US_FOOT}
+_UNIT_WKT_NAME = {1.0: ('metre', '1'), _FOOT: ('foot', '0.3048'),
+                  _US_FOOT: ('US survey foot', '0.30480060960121924')}
+
+
+def _snap_unit(factor):
+    """Snap a parsed linear-unit factor onto the exact registry value
+    (WKT/geokey files round-trip through decimal text)."""
+    factor = float(factor)
+    for exact in (1.0, _FOOT, _US_FOOT):
+        if abs(factor - exact) < 1e-12:
+            return exact
+    if not (factor > 0 and np.isfinite(factor)):
+        raise ValueError(f'invalid projected linear unit: {factor!r}')
+    return factor
 
 
 # known geographic CS geokey codes -> ellipsoid of their datum (the
@@ -781,6 +840,17 @@ _WKT_LAEA_TEMPLATE = (
     'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
     'AUTHORITY["EPSG","{epsg}"]]')
 
+_WKT_CEA_TEMPLATE = (
+    'PROJCS["{name}",{geogcs},'
+    'PROJECTION["Cylindrical_Equal_Area"],'
+    'PARAMETER["standard_parallel_1",{lat_ts}],'
+    'PARAMETER["central_meridian",{lon0}],'
+    'PARAMETER["false_easting",{fe}],'
+    'PARAMETER["false_northing",{fn}],'
+    'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+    'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
+    'AUTHORITY["EPSG","{epsg}"]]')
+
 _WKT_MERC_TEMPLATE = (
     'PROJCS["{name}",{geogcs},'
     'PROJECTION["Mercator_1SP"],'
@@ -852,7 +922,111 @@ def web_mercator_inverse(x, y):
     return lat, lon
 
 
+def _sinu_ell(ell_or_radius):
+    """(a, e2, e) accepting a registry ellipsoid name OR a sphere
+    radius (float). The MODIS sinusoidal grid lives on the authalic
+    sphere R = 6371007.181 — the one production-relevant spherical
+    'datum', carried as a radius so the ellipsoidal-only registry can
+    keep rejecting spheres everywhere else."""
+    if isinstance(ell_or_radius, str):
+        return _ell_consts(ell_or_radius)
+    r = float(ell_or_radius)
+    if not (1e6 < r < 1e8):
+        raise ValueError(f'bad sphere radius: {r!r}')
+    return r, 0.0, 0.0
+
+
+def _merid_arc(lat, a, e2):
+    """Meridian arc length M(phi) (Snyder 3-21); reduces to a*phi on
+    the sphere (e2 = 0)."""
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    return a * ((1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * lat
+                - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024)
+                * np.sin(2 * lat)
+                + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * lat)
+                - (35 * e6 / 3072) * np.sin(6 * lat))
+
+
+def _lat_from_merid(M, a, e2):
+    """phi from meridian arc via the rectifying latitude (Snyder
+    3-26), Newton-polished to full float64."""
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    mu = M / (a * (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256))
+    se = np.sqrt(1.0 - e2)
+    e1 = (1.0 - se) / (1.0 + se)
+    lat = (mu + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * np.sin(2 * mu)
+           + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32) * np.sin(4 * mu)
+           + (151 * e1 ** 3 / 96) * np.sin(6 * mu)
+           + (1097 * e1 ** 4 / 512) * np.sin(8 * mu))
+    for _ in range(2):      # dM/dphi = a(1-e2)/(1-e2 sin^2)^(3/2)
+        s = np.sin(lat)
+        df = a * (1.0 - e2) / (1.0 - e2 * s * s) ** 1.5
+        lat = lat - (_merid_arc(lat, a, e2) - M) / df
+    return lat
+
+
+def sinusoidal_forward(lat_deg, lon_deg, ell, lon0, fe, fn):
+    """Geographic -> sinusoidal E/N, float64 (Snyder ch. 30: sphere
+    30-1/30-2 for the MODIS grid R=6371007.181, ellipsoid 30-8/30-9
+    for ESRI:54008-style World Sinusoidal). Equal-area."""
+    a, e2, _e = _sinu_ell(ell)
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    dlon = _wrap_pi(np.radians(np.asarray(lon_deg, dtype=np.float64))
+                    - np.radians(lon0))
+    s = np.sin(lat)
+    x = a * dlon * np.cos(lat) / np.sqrt(1.0 - e2 * s * s)
+    return fe + x, fn + _merid_arc(lat, a, e2)
+
+
+def sinusoidal_inverse(x, y, ell, lon0, fe, fn):
+    """Sinusoidal E/N -> geographic lat/lon degrees."""
+    a, e2, _e = _sinu_ell(ell)
+    x = np.asarray(x, dtype=np.float64) - fe
+    y = np.asarray(y, dtype=np.float64) - fn
+    lat = _lat_from_merid(y, a, e2)
+    s = np.sin(lat)
+    c = np.cos(lat)
+    dlon = np.where(np.abs(c) < 1e-12, 0.0,
+                    x * np.sqrt(1.0 - e2 * s * s)
+                    / (a * np.maximum(np.abs(c), 1e-12)) * np.sign(c))
+    lon = np.radians(lon0) + dlon
+    return np.degrees(lat), np.degrees(_wrap_pi(lon))
+
+
+def cea_forward(lat_deg, lon_deg, ell, lat_ts, lon0, fe, fn):
+    """Geographic -> Lambert Cylindrical Equal Area E/N (EPSG method
+    9835, Snyder 10-13/10-14): the EASE-Grid 2.0 global grid
+    (EPSG:6933, WGS84, lat_ts 30)."""
+    a, e2, e = _ell_consts(ell)
+    st = np.sin(np.radians(lat_ts))
+    k0 = np.cos(np.radians(lat_ts)) / np.sqrt(1.0 - e2 * st * st)
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    dlon = _wrap_pi(np.radians(np.asarray(lon_deg, dtype=np.float64))
+                    - np.radians(lon0))
+    q = _q_authalic(lat, e, e2)
+    return fe + a * k0 * dlon, fn + a * q / (2.0 * k0)
+
+
+def cea_inverse(x, y, ell, lat_ts, lon0, fe, fn):
+    """Lambert Cylindrical Equal Area E/N -> geographic degrees."""
+    a, e2, e = _ell_consts(ell)
+    st = np.sin(np.radians(lat_ts))
+    k0 = np.cos(np.radians(lat_ts)) / np.sqrt(1.0 - e2 * st * st)
+    x = np.asarray(x, dtype=np.float64) - fe
+    y = np.asarray(y, dtype=np.float64) - fn
+    qp = _q_authalic(np.float64(np.pi / 2), e, e2)
+    q = 2.0 * k0 * y / a
+    lat = _phi_from_q(q, e, e2, qp)
+    lon = np.radians(lon0) + x / (a * k0)
+    return np.degrees(lat), np.degrees(_wrap_pi(lon))
+
+
 def _custom_geogcs_wkt(ell):
+    if not isinstance(ell, str):    # sphere radius (sinusoidal/MODIS)
+        return ('GEOGCS["unknown",DATUM["unknown",'
+                f'SPHEROID["unknown",{float(ell)!r},0]],'
+                'PRIMEM["Greenwich",0],'
+                'UNIT["degree",0.0174532925199433]]')
     a, invf = _ELLIPSOIDS[ell]
     return ('GEOGCS["unknown",DATUM["unknown",'
             f'SPHEROID["unknown",{a:.10g},{invf:.12g}]],'
@@ -860,7 +1034,12 @@ def _custom_geogcs_wkt(ell):
             'UNIT["degree",0.0174532925199433]]')
 
 
-def _custom_to_wkt(custom):
+def _unit_wkt(unit):
+    name, lit = _UNIT_WKT_NAME.get(unit, ('unnamed', f'{unit:.17g}'))
+    return f'UNIT["{name}",{lit}]'
+
+
+def _custom_to_wkt(custom, unit=1.0):
     fam = custom[0]
     if fam == 'ps':
         lat_ts, lon0, fe, fn, north, k0, ell = custom[1:]
@@ -895,6 +1074,17 @@ def _custom_to_wkt(custom):
             params = [('latitude_of_center', lat0),
                       ('longitude_of_center', lon0),
                       ('false_easting', fe), ('false_northing', fn)]
+        elif fam == 'sinu':
+            lon0, fe, fn = custom[2:]
+            proj = 'Sinusoidal'
+            params = [('longitude_of_center', lon0),
+                      ('false_easting', fe), ('false_northing', fn)]
+        elif fam == 'cea':
+            lat_ts, lon0, fe, fn = custom[2:]
+            proj = 'Cylindrical_Equal_Area'
+            params = [('standard_parallel_1', lat_ts),
+                      ('central_meridian', lon0),
+                      ('false_easting', fe), ('false_northing', fn)]
         elif fam == 'merc':
             lon0, k0, fe, fn = custom[2:]
             proj = 'Mercator_1SP'
@@ -912,13 +1102,32 @@ def _custom_to_wkt(custom):
                       ('false_easting', fe), ('false_northing', fn)]
             if k0 != 1.0:
                 params.insert(2, ('scale_factor', k0))
-    body = ','.join(f'PARAMETER["{k}",{v:.12g}]' for k, v in params)
+    # repr = shortest exact round-trip float text (PARAMETER values are
+    # in the PROJCS's UNIT, e.g. feet for State Plane grids)
+    body = ','.join(f'PARAMETER["{k}",{float(v)!r}]' for k, v in params)
     return (f'PROJCS["unnamed",{_custom_geogcs_wkt(ell)},'
-            f'PROJECTION["{proj}"],{body},UNIT["metre",1]]')
+            f'PROJECTION["{proj}"],{body},{_unit_wkt(unit)}]')
 
 
-def _custom_to_proj4(custom):
+def _unit_proj4(unit):
+    if unit == 1.0:
+        return '+units=m'
+    if unit == _FOOT:
+        return '+units=ft'
+    if unit == _US_FOOT:
+        return '+units=us-ft'
+    return f'+to_meter={unit:.17g}'
+
+
+def _custom_to_proj4(custom, unit=1.0):
     fam = custom[0]
+    if unit != 1.0:
+        # proj4 +x_0/+y_0 are always metres (PROJ's fr_meter applies
+        # to proj+x_0); the tuple keeps them in native units
+        c = list(custom)
+        for i in _FEFN_IDX[fam]:
+            c[i] = c[i] * unit
+        custom = tuple(c)
 
     def ell_frag(ell):
         a, invf = _ELLIPSOIDS[ell]
@@ -926,41 +1135,53 @@ def _custom_to_proj4(custom):
             return f'+ellps={ell}'
         return f'+a={a:.10g} +rf={invf:.12g}'
 
+    un = _unit_proj4(unit)
+    if fam == 'sinu':
+        ell, lon0, fe, fn = custom[1:]
+        ef = (f'+R={float(ell)!r}' if not isinstance(ell, str)
+              else ell_frag(ell))
+        return (f'+proj=sinu +lon_0={lon0!r} +x_0={fe!r} '
+                f'+y_0={fn!r} {ef} {un} +no_defs')
+    if fam == 'cea':
+        ell, lat_ts, lon0, fe, fn = custom[1:]
+        return (f'+proj=cea +lat_ts={lat_ts!r} +lon_0={lon0!r} '
+                f'+x_0={fe!r} +y_0={fn!r} {ell_frag(ell)} {un} '
+                '+no_defs')
     if fam == 'ps':
         lat_ts, lon0, fe, fn, north, k0, ell = custom[1:]
         lat0 = 90 if north else -90
-        mid = (f'+k={k0:.12g}' if lat_ts is None
-               else f'+lat_ts={lat_ts:g}')
-        return (f'+proj=stere +lat_0={lat0} {mid} +lon_0={lon0:g} '
-                f'+x_0={fe:g} +y_0={fn:g} {ell_frag(ell)} +units=m '
+        mid = (f'+k={k0!r}' if lat_ts is None
+               else f'+lat_ts={lat_ts!r}')
+        return (f'+proj=stere +lat_0={lat0} {mid} +lon_0={lon0!r} '
+                f'+x_0={fe!r} +y_0={fn!r} {ell_frag(ell)} {un} '
                 '+no_defs')
     ell = custom[1]
     if fam == 'tm':
         lat0, lon0, k0, fe, fn = custom[2:]
-        return (f'+proj=tmerc +lat_0={lat0:g} +lon_0={lon0:g} '
-                f'+k={k0:.12g} +x_0={fe:g} +y_0={fn:g} '
-                f'{ell_frag(ell)} +units=m +no_defs')
+        return (f'+proj=tmerc +lat_0={lat0!r} +lon_0={lon0!r} '
+                f'+k={k0!r} +x_0={fe!r} +y_0={fn!r} '
+                f'{ell_frag(ell)} {un} +no_defs')
     if fam == 'aea':
         lat0, lon0, sp1, sp2, fe, fn = custom[2:]
-        return (f'+proj=aea +lat_0={lat0:g} +lon_0={lon0:g} '
-                f'+lat_1={sp1:g} +lat_2={sp2:g} +x_0={fe:g} '
-                f'+y_0={fn:g} {ell_frag(ell)} +units=m +no_defs')
+        return (f'+proj=aea +lat_0={lat0!r} +lon_0={lon0!r} '
+                f'+lat_1={sp1!r} +lat_2={sp2!r} +x_0={fe!r} '
+                f'+y_0={fn!r} {ell_frag(ell)} {un} +no_defs')
     if fam == 'laea':
         lat0, lon0, fe, fn = custom[2:]
-        return (f'+proj=laea +lat_0={lat0:g} +lon_0={lon0:g} '
-                f'+x_0={fe:g} +y_0={fn:g} {ell_frag(ell)} +units=m '
+        return (f'+proj=laea +lat_0={lat0!r} +lon_0={lon0!r} '
+                f'+x_0={fe!r} +y_0={fn!r} {ell_frag(ell)} {un} '
                 '+no_defs')
     if fam == 'merc':
         lon0, k0, fe, fn = custom[2:]
-        return (f'+proj=merc +lon_0={lon0:g} +k={k0:.12g} '
-                f'+x_0={fe:g} +y_0={fn:g} {ell_frag(ell)} +units=m '
+        return (f'+proj=merc +lon_0={lon0!r} +k={k0!r} '
+                f'+x_0={fe!r} +y_0={fn!r} {ell_frag(ell)} {un} '
                 '+no_defs')
     lat0, lon0, sp1, sp2, fe, fn = custom[2:8]
     k0 = custom[8] if len(custom) > 8 else 1.0
-    kf = f' +k_0={k0:.12g}' if k0 != 1.0 else ''
-    return (f'+proj=lcc +lat_0={lat0:g} +lon_0={lon0:g} '
-            f'+lat_1={sp1:g} +lat_2={sp2:g}{kf} +x_0={fe:g} '
-            f'+y_0={fn:g} {ell_frag(ell)} +units=m +no_defs')
+    kf = f' +k_0={k0!r}' if k0 != 1.0 else ''
+    return (f'+proj=lcc +lat_0={lat0!r} +lon_0={lon0!r} '
+            f'+lat_1={sp1!r} +lat_2={sp2!r}{kf} +x_0={fe!r} '
+            f'+y_0={fn!r} {ell_frag(ell)} {un} +no_defs')
 
 
 # user-defined projection families: family -> (forward fn, inverse fn).
@@ -971,8 +1192,12 @@ def _custom_to_proj4(custom):
 #   ('laea', ell, lat0, lon0, fe, fn)
 #   ('lcc', ell, lat0, lon0, sp1, sp2, fe, fn[, k0])
 #   ('ps',  lat_ts|None, lon0, fe, fn, north, k0|None, ell)
+#   ('merc', ell, lon0, k0, fe, fn)
+#   ('sinu', ell|sphere_radius, lon0, fe, fn)    (MODIS grid)
+#   ('cea', ell, lat_ts, lon0, fe, fn)           (EASE-Grid 2.0 style)
 _CUSTOM_FAMILIES = {
     'tm': None, 'aea': None, 'laea': None, 'lcc': None, 'ps': None,
+    'merc': None, 'sinu': None, 'cea': None,
 }
 
 
@@ -987,19 +1212,35 @@ _PROJ4_ELLPS = {
 
 
 def _proj4_ellipsoid(proj4):
-    """Ellipsoid registry name for a proj4 string (datum/ellps/a+rf)."""
+    """Ellipsoid registry name for a proj4 string (datum/ellps/a+rf/
+    a+b). Spheres (+a == +b, e.g. EASE-Grid v1 / authalic grids) raise
+    — the engine is ellipsoidal-only."""
     if '+datum=NAD83' in proj4 or '+datum=ETRS89' in proj4 \
             or '+ellps=GRS80' in proj4:
         return 'GRS80'
     if '+datum=WGS84' in proj4 or '+ellps=WGS84' in proj4:
         return 'WGS84'
-    m = re.search(r'\+a=([\d.eE+]+)', proj4)
-    mr = re.search(r'\+rf=([\d.eE+]+)', proj4)
-    if m and mr:
-        return _ensure_ellipsoid(float(m.group(1)), float(mr.group(1)))
+    ma = re.search(rf'\+a={_NUM_RE}', proj4)
+    mr = re.search(rf'\+rf={_NUM_RE}', proj4)
+    mb = re.search(rf'\+b={_NUM_RE}', proj4)
+    if ma and mr:
+        return _ensure_ellipsoid(float(ma.group(1)),
+                                 float(mr.group(1)))
+    if ma and mb:
+        a, b = float(ma.group(1)), float(mb.group(1))
+        if a == b:
+            raise ValueError(
+                f'spherical ellipsoid (+a == +b) not supported: {proj4}')
+        return _ensure_ellipsoid(a, a / (a - b))
+    if ma and not mb and not mr:
+        raise ValueError(
+            f'+a without +b/+rf (sphere?) not supported: {proj4}')
     m = re.search(r'\+ellps=(\w+)', proj4)
-    if m and m.group(1) in _PROJ4_ELLPS:
-        v = _PROJ4_ELLPS[m.group(1)]
+    if m:
+        v = _PROJ4_ELLPS.get(m.group(1))
+        if v is None:
+            raise ValueError(
+                f'unknown proj4 ellipsoid +ellps={m.group(1)}')
         return v if isinstance(v, str) else _ensure_ellipsoid(*v)
     return 'WGS84'
 
@@ -1008,7 +1249,8 @@ def _custom_forward(lat, lon, custom):
     fam = custom[0]
     fwd = {'tm': tm_forward_general, 'aea': albers_forward,
            'laea': laea_forward, 'lcc': lcc_forward,
-           'ps': polar_stereo_forward, 'merc': mercator_forward}[fam]
+           'ps': polar_stereo_forward, 'merc': mercator_forward,
+           'sinu': sinusoidal_forward, 'cea': cea_forward}[fam]
     return fwd(lat, lon, *custom[1:])
 
 
@@ -1016,8 +1258,16 @@ def _custom_inverse(x, y, custom):
     fam = custom[0]
     inv = {'tm': tm_inverse_general, 'aea': albers_inverse,
            'laea': laea_inverse, 'lcc': lcc_inverse,
-           'ps': polar_stereo_inverse, 'merc': mercator_inverse}[fam]
+           'ps': polar_stereo_inverse, 'merc': mercator_inverse,
+           'sinu': sinusoidal_inverse, 'cea': cea_inverse}[fam]
     return inv(x, y, *custom[1:])
+
+
+# index of (false_easting, false_northing) inside each family's custom
+# tuple — the only parameters expressed in the CRS's linear unit
+_FEFN_IDX = {'tm': (5, 6), 'aea': (6, 7), 'laea': (4, 5),
+             'lcc': (6, 7), 'ps': (3, 4), 'merc': (4, 5),
+             'sinu': (3, 4), 'cea': (4, 5)}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -1026,6 +1276,22 @@ class CRS:
     # user-defined projection (GeoTIFF PCS 32767 / authority-free WKT):
     # (family, *params) per _CUSTOM_FAMILIES; None for registry CRS
     custom: tuple = None
+    # metres per linear unit of the projected coordinates (1.0 = metre;
+    # 0.3048 / 1200/3937 for foot-based State Plane style grids). The
+    # custom tuple keeps fe/fn in NATIVE units so serialization
+    # round-trips exactly; transform_points converts via metric_custom.
+    unit: float = 1.0
+
+    @property
+    def metric_custom(self):
+        """The custom tuple with false easting/northing converted to
+        metres (identity for metre-based CRS)."""
+        if self.custom is None or self.unit == 1.0:
+            return self.custom
+        c = list(self.custom)
+        for i in _FEFN_IDX[c[0]]:
+            c[i] = c[i] * self.unit
+        return tuple(c)
 
     @classmethod
     def from_epsg(cls, epsg):
@@ -1083,26 +1349,40 @@ class CRS:
         if pcs != 32767:
             raise ValueError('geokeys carry no projected/geographic CS')
         units = keys.get(3076, 9001)
-        if units != 9001:
+        if units == 32767:      # user-defined: size geokey (metres)
+            size = keys.get(3077)
+            if size is None:
+                raise ValueError(
+                    'user-defined linear units (3076=32767) without '
+                    'ProjLinearUnitSizeGeoKey (3077)')
+            unit = _snap_unit(size)
+        elif units in _UNIT_GEOKEY:
+            unit = _UNIT_GEOKEY[units]
+        else:
             raise ValueError(
                 f'unsupported projected linear units geokey {units} '
-                '(only metre / 9001)')
+                '(metre/foot/US survey foot or user-defined size)')
+        ct = keys.get(3075)
         if gcs in _GEOGCS_ELL:
             ell = _GEOGCS_ELL[gcs]
         else:
             a = keys.get(2057)
             invf = keys.get(2059)
+            if invf is None and keys.get(2058) is not None:
+                b = float(keys[2058])    # semi-minor instead of 1/f
+                invf = 0.0 if a == b else a / (a - b)
             if a is None or invf is None:
                 raise ValueError(
                     'user-defined CRS without a known geographic CS or '
                     'ellipsoid geokeys (2057/2059)')
-            ell = _ensure_ellipsoid(a, invf)
+            if ct == 24 and float(invf) == 0.0:
+                ell = float(a)    # MODIS-style authalic sphere
+            else:
+                ell = _ensure_ellipsoid(a, invf)
 
         def g(key, default=0.0):
             v = keys.get(key, default)
             return None if v is None else float(v)
-
-        ct = keys.get(3075)
         lat0 = g(3081)
         lon0 = g(3080)
         sp1 = g(3078)
@@ -1116,10 +1396,14 @@ class CRS:
             custom = ('aea', ell, lat0, lon0, sp1, sp2, fe, fn)
         elif ct == 10:  # CT_LambertAzimEqualArea
             custom = ('laea', ell, lat0, lon0, fe, fn)
-        elif ct == 8:   # CT_LambertConfConic_2SP
+        elif ct == 8:   # CT_LambertConfConic_2SP (k0 when written)
             custom = ('lcc', ell, lat0, lon0, sp1, sp2, fe, fn)
+            if 3092 in keys and k0 != 1.0:
+                custom = custom + (k0,)
         elif ct == 9:   # CT_LambertConfConic_1SP
-            custom = ('lcc', ell, lat0, lon0, lat0, lat0, fe, fn, k0)
+            custom = ('lcc', ell, lat0, lon0, lat0, lat0, fe, fn)
+            if k0 != 1.0:
+                custom = custom + (k0,)
         elif ct == 15:  # CT_PolarStereographic
             lonp = g(3095, lon0)
             if abs(lat0) >= 89.999:       # variant A: scale at pole
@@ -1129,16 +1413,17 @@ class CRS:
                           ell)
         elif ct == 7:   # CT_Mercator (variant B folded into k0)
             if 3078 in keys:
-                _a2, e2, _e2_ = _ell_consts(ell)
-                s = np.sin(np.radians(sp1))
-                k0 = float(np.cos(np.radians(sp1))
-                           / np.sqrt(1.0 - e2 * s * s))
+                k0 = _merc_k0_from_lat_ts(sp1, ell)
             custom = ('merc', ell, lon0, k0, fe, fn)
+        elif ct == 24:  # CT_Sinusoidal (GDAL: ProjCenterLong 3088)
+            custom = ('sinu', ell, g(3088, lon0), fe, fn)
+        elif ct == 28:  # CT_CylindricalEqualArea
+            custom = ('cea', ell, sp1, lon0, fe, fn)
         else:
             raise ValueError(
                 f'unsupported user-defined projection method '
                 f'(ProjCoordTransGeoKey {ct})')
-        return cls(32767, custom)
+        return cls(32767, custom, unit)
 
     @property
     def polar_stereo(self):
@@ -1175,6 +1460,12 @@ class CRS:
         return self.epsg == WEB_MERCATOR_EPSG
 
     @property
+    def cea(self):
+        """(ell, lat_ts, lon0, fe, fn) for Lambert Cylindrical Equal
+        Area grids (EASE-Grid 2.0)."""
+        return _CEA.get(self.epsg)
+
+    @property
     def supported(self):
         """True if this CRS can be transformed by this engine."""
         return (self.custom is not None or self.is_geographic
@@ -1182,11 +1473,11 @@ class CRS:
                 or self.polar_stereo is not None
                 or self.albers is not None or self.laea is not None
                 or self.lcc is not None or self.mercator is not None
-                or self.is_web_mercator)
+                or self.is_web_mercator or self.cea is not None)
 
     def to_wkt(self):
         if self.custom is not None:
-            return _custom_to_wkt(self.custom)
+            return _custom_to_wkt(self.custom, self.unit)
         utm = self.utm
         if utm is not None:
             zone, north = utm
@@ -1243,6 +1534,13 @@ class CRS:
                 name='WGS 84 / World Mercator',
                 geogcs=_GEOGCS_WGS84_FRAG, lon0=lon0, k0=k0, fe=fe,
                 fn=fn, epsg=self.epsg)
+        cea = self.cea
+        if cea is not None:
+            _, lat_ts, lon0, fe, fn = cea
+            return _WKT_CEA_TEMPLATE.format(
+                name='WGS 84 / NSIDC EASE-Grid 2.0 Global',
+                geogcs=_GEOGCS_WGS84_FRAG, lat_ts=lat_ts, lon0=lon0,
+                fe=fe, fn=fn, epsg=self.epsg)
         if self.is_web_mercator:
             return _WKT_MERC_TEMPLATE.format(
                 name='WGS 84 / Pseudo-Mercator',
@@ -1262,7 +1560,7 @@ class CRS:
 
     def to_proj4(self):
         if self.custom is not None:
-            return _custom_to_proj4(self.custom)
+            return _custom_to_proj4(self.custom, self.unit)
         utm = self.utm
         if utm is not None:
             zone, north = utm
@@ -1314,6 +1612,12 @@ class CRS:
             return (f'+proj=merc +lon_0={lon0:g} +k={k0:g} '
                     f'+x_0={fe:g} +y_0={fn:g} +datum=WGS84 +units=m '
                     '+no_defs')
+        cea = self.cea
+        if cea is not None:
+            _, lat_ts, lon0, fe, fn = cea
+            return (f'+proj=cea +lat_ts={lat_ts:g} +lon_0={lon0:g} '
+                    f'+x_0={fe:g} +y_0={fn:g} +datum=WGS84 +units=m '
+                    '+no_defs')
         if self.is_web_mercator:
             return ('+proj=merc +a=6378137 +b=6378137 +lat_ts=0 '
                     '+lon_0=0 +x_0=0 +y_0=0 +k=1 +units=m '
@@ -1352,13 +1656,13 @@ class CRS:
 
         def _param(key, default=0.0):
             pm = re.search(
-                rf'PARAMETER\[\s*"{key}"\s*,\s*(-?[\d.eE+]+)\s*\]', wkt)
+                rf'PARAMETER\[\s*"{key}"\s*,\s*{_NUM_RE}\s*\]', wkt)
             return float(pm.group(1)) if pm else default
 
         def _ell():
             sm = re.search(
-                r'SPHEROID\[\s*"[^"]*"\s*,\s*(-?[\d.eE+]+)\s*,'
-                r'\s*(-?[\d.eE+]+)', wkt)
+                rf'SPHEROID\[\s*"[^"]*"\s*,\s*{_NUM_RE}\s*,'
+                rf'\s*{_NUM_RE}', wkt)
             if sm:
                 return _ensure_ellipsoid(float(sm.group(1)),
                                          float(sm.group(2)))
@@ -1373,70 +1677,109 @@ class CRS:
                           _param('central_meridian'))
 
         fe_fn = (_param('false_easting'), _param('false_northing'))
+        # projected linear unit: the LAST UNIT[] in a PROJCS string
+        # (the GEOGCS's degree UNIT precedes the PARAMETERs). US State
+        # Plane grids ship in feet (dswx_hls.py:3385 accepts any OSR
+        # SRS, units included).
+        unit = 1.0
+        if 'PROJCS' in wkt:
+            units = re.findall(
+                rf'UNIT\[\s*"[^"]*"\s*,\s*{_NUM_RE}', wkt)
+            if units:
+                unit = _snap_unit(units[-1])
+                if abs(unit - np.radians(1.0)) < 1e-9:
+                    unit = 1.0      # degree = a malformed/absent
+                    # projected UNIT; treat as metre
+        metric = unit == 1.0
         if 'Albers' in wkt:
             cand = (_lat0(), _lon0(),
                     _param('standard_parallel_1'),
                     _param('standard_parallel_2'), *fe_fn)
-            for epsg, params in _ALBERS.items():
-                if params[1:] == cand:
-                    return cls(epsg)
-            return cls(32767, ('aea', _ell(), *cand))
+            ell = _ell()
+            if metric:
+                for epsg, params in _ALBERS.items():
+                    if params[1:] == cand and ell == params[0]:
+                        return cls(epsg)
+            return cls(32767, ('aea', ell, *cand), unit)
         if 'Lambert_Azimuthal_Equal_Area' in wkt or 'LAEA' in wkt:
             cand = (_lat0(), _lon0(), *fe_fn)
-            for epsg, params in _LAEA.items():
-                if params[1:] == cand:
-                    return cls(epsg)
-            return cls(32767, ('laea', _ell(), *cand))
+            ell = _ell()
+            if metric:
+                for epsg, params in _LAEA.items():
+                    if params[1:] == cand and ell == params[0]:
+                        return cls(epsg)
+            return cls(32767, ('laea', ell, *cand), unit)
         if 'Lambert_Conformal_Conic' in wkt:
             sp1 = _param('standard_parallel_1', _lat0())
             sp2 = _param('standard_parallel_2', sp1)
             cand = (_lat0(), _lon0(), sp1, sp2, *fe_fn)
-            for epsg, params in _LCC.items():
-                if params[1:] == cand:
-                    return cls(epsg)
+            ell = _ell()
+            if metric:
+                for epsg, params in _LCC.items():
+                    if params[1:] == cand and ell == params[0]:
+                        return cls(epsg)
             k0 = _param('scale_factor', 1.0)
-            custom = (('lcc', _ell(), *cand) if k0 == 1.0
-                      else ('lcc', _ell(), *cand, k0))
-            return cls(32767, custom)
+            custom = (('lcc', ell, *cand) if k0 == 1.0
+                      else ('lcc', ell, *cand, k0))
+            return cls(32767, custom, unit)
         if 'Transverse_Mercator' in wkt:
             custom = ('tm', _ell(), _lat0(), _lon0(),
                       _param('scale_factor', 1.0), *fe_fn)
-            return cls(32767, custom)
+            return cls(32767, custom, unit)
         if 'Polar_Stereographic' in wkt:
             lat0 = _lat0()
             lonp = _param('straight_vertical_longitude_from_pole',
                           _lon0())
             cand = (lat0, lonp, *fe_fn, lat0 > 0)
-            for epsg, params in _POLAR_STEREO.items():
-                if len(params) == 5 and params == cand:
-                    return cls(epsg)
+            if metric:
+                for epsg, params in _POLAR_STEREO.items():
+                    if len(params) == 5 and params == cand \
+                            and _ell() == 'WGS84':
+                        return cls(epsg)
             if abs(lat0) >= 89.999:
                 custom = ('ps', None, lonp, *fe_fn, lat0 > 0,
                           _param('scale_factor', 1.0), _ell())
             else:
                 custom = ('ps', lat0, lonp, *fe_fn, lat0 > 0, None,
                           _ell())
-            return cls(32767, custom)
+            return cls(32767, custom, unit)
+        if 'Sinusoidal' in wkt:
+            # MODIS grid: authalic sphere (SPHEROID 1/f = 0) carried
+            # as a radius; ESRI:54008-style ellipsoidal also accepted
+            sm = re.search(
+                rf'SPHEROID\[\s*"[^"]*"\s*,\s*{_NUM_RE}\s*,'
+                rf'\s*{_NUM_RE}', wkt)
+            if sm and float(sm.group(2)) == 0.0:
+                ell = float(sm.group(1))
+            else:
+                ell = _ell()
+            return cls(32767, ('sinu', ell, _lon0(), *fe_fn), unit)
+        if 'Cylindrical_Equal_Area' in wkt:
+            lat_ts = _param('standard_parallel_1', 0.0)
+            cand = (lat_ts, _lon0(), *fe_fn)
+            ell = _ell()
+            if metric:
+                for epsg, params in _CEA.items():
+                    if params[1:] == cand and ell == params[0]:
+                        return cls(epsg)
+            return cls(32767, ('cea', ell, *cand), unit)
         if 'Mercator' in wkt and 'Transverse' not in wkt:
             if ('Pseudo-Mercator' in wkt
                     or 'Mercator_Auxiliary_Sphere' in wkt
                     or 'Popular Visualisation' in wkt):
                 return cls(WEB_MERCATOR_EPSG)
             sp1 = _param('standard_parallel_1', None)
+            ell = _ell()
             if sp1 is not None:     # variant B -> equivalent k0
-                ell = _ell()
-                _a, e2, _e = _ell_consts(ell)
-                s = np.sin(np.radians(sp1))
-                k0 = float(np.cos(np.radians(sp1))
-                           / np.sqrt(1.0 - e2 * s * s))
+                k0 = _merc_k0_from_lat_ts(sp1, ell)
             else:
-                ell = _ell()
                 k0 = _param('scale_factor', 1.0)
             cand = (_lon0(), k0, *fe_fn)
-            for epsg, params in _MERC.items():
-                if params[1:] == cand and ell == params[0]:
-                    return cls(epsg)
-            return cls(32767, ('merc', ell, *cand))
+            if metric:
+                for epsg, params in _MERC.items():
+                    if params[1:] == cand and ell == params[0]:
+                        return cls(epsg)
+            return cls(32767, ('merc', ell, *cand), unit)
         if 'WGS 84' in wkt or 'WGS_1984' in wkt:
             return cls(4326)
         if 'NAD83' in wkt or 'North_American_Datum_1983' in wkt:
@@ -1447,6 +1790,27 @@ class CRS:
 
     @classmethod
     def from_proj4(cls, proj4):
+        # proj4 +x_0/+y_0 are ALWAYS metres; +units/+to_meter scale the
+        # output coordinates (PROJ applies fr_meter*(proj + x_0)). The
+        # custom tuple stores fe/fn in native units, so divide here.
+        unit = 1.0
+        m = re.search(r'\+units=([\w-]+)', proj4)
+        if m:
+            table = {'m': 1.0, 'meter': 1.0, 'metre': 1.0,
+                     'ft': _FOOT, 'us-ft': _US_FOOT}
+            if m.group(1) not in table:
+                raise ValueError(
+                    f'unsupported proj4 +units={m.group(1)}')
+            unit = table[m.group(1)]
+        elif '+to_meter=' in proj4:
+            unit = _snap_unit(_proj4_param(proj4, 'to_meter', 1.0))
+        if unit != 1.0 and ('+proj=utm' in proj4
+                            or '+proj=longlat' in proj4
+                            or '+proj=latlong' in proj4
+                            or '+proj=webmerc' in proj4):
+            raise ValueError(
+                f'non-metre units unsupported for this projection: '
+                f'{proj4}')
         if '+proj=utm' in proj4:
             m = re.search(r'\+zone=(\d+)', proj4)
             if not m:
@@ -1463,64 +1827,94 @@ class CRS:
             if '+datum=ETRS89' in proj4:
                 return cls(4258)
             return cls(4326)
-        if '+proj=webmerc' in proj4 or '+nadgrids=@null' in proj4 or \
-                ('+proj=merc' in proj4 and '+a=6378137' in proj4
-                 and '+b=6378137' in proj4):
+        if '+proj=webmerc' in proj4 or \
+                ('+proj=merc' in proj4
+                 and ('+nadgrids=@null' in proj4
+                      or ('+a=6378137' in proj4
+                          and '+b=6378137' in proj4))):
             return cls(WEB_MERCATOR_EPSG)
+        if '+proj=sinu' in proj4:
+            fe, fn = (_proj4_param(proj4, 'x_0') / unit,
+                      _proj4_param(proj4, 'y_0') / unit)
+            lon0 = _proj4_param(proj4, 'lon_0')
+            if '+R=' in proj4:     # sphere radius (MODIS grid)
+                ell = _proj4_param(proj4, 'R')
+            else:
+                ma = re.search(rf'\+a={_NUM_RE}', proj4)
+                mb = re.search(rf'\+b={_NUM_RE}', proj4)
+                if ma and mb and ma.group(1) == mb.group(1):
+                    ell = float(ma.group(1))
+                else:
+                    ell = _proj4_ellipsoid(proj4)
+            return cls(32767, ('sinu', ell, lon0, fe, fn), unit)
+        if '+proj=cea' in proj4:
+            ell = _proj4_ellipsoid(proj4)
+            cand = (_proj4_param(proj4, 'lat_ts'),
+                    _proj4_param(proj4, 'lon_0'),
+                    _proj4_param(proj4, 'x_0') / unit,
+                    _proj4_param(proj4, 'y_0') / unit)
+            if unit == 1.0:
+                for epsg, params in _CEA.items():
+                    if params[1:] == cand and ell == params[0]:
+                        return cls(epsg)
+            return cls(32767, ('cea', ell, *cand), unit)
         if '+proj=merc' in proj4:
             def _p(key, default=0.0):
-                m = re.search(rf'\+{key}=(-?[\d.eE+]+)', proj4)
-                return float(m.group(1)) if m else default
+                return _proj4_param(proj4, key, default)
             ell = _proj4_ellipsoid(proj4)
             lat_ts = _p('lat_ts', None) if '+lat_ts=' in proj4 else None
             if lat_ts is not None:
-                _a, e2, _e = _ell_consts(ell)
-                s = np.sin(np.radians(lat_ts))
-                k0 = float(np.cos(np.radians(lat_ts))
-                           / np.sqrt(1.0 - e2 * s * s))
+                k0 = _merc_k0_from_lat_ts(lat_ts, ell)
             else:
                 k0 = _p('k', _p('k_0', 1.0))
-            cand = (_p('lon_0'), k0, _p('x_0'), _p('y_0'))
-            for epsg, params in _MERC.items():
-                if params[1:] == cand and ell == params[0]:
-                    return cls(epsg)
-            return cls(32767, ('merc', ell, *cand))
+            cand = (_p('lon_0'), k0, _p('x_0') / unit,
+                    _p('y_0') / unit)
+            if unit == 1.0:
+                for epsg, params in _MERC.items():
+                    if params[1:] == cand and ell == params[0]:
+                        return cls(epsg)
+            return cls(32767, ('merc', ell, *cand), unit)
         if ('+proj=aea' in proj4 or '+proj=laea' in proj4
                 or '+proj=lcc' in proj4 or '+proj=tmerc' in proj4):
             def _p(key, default=0.0):
-                m = re.search(rf'\+{key}=(-?[\d.eE+]+)', proj4)
-                return float(m.group(1)) if m else default
+                return _proj4_param(proj4, key, default)
             ell = _proj4_ellipsoid(proj4)
+            fe, fn = _p('x_0') / unit, _p('y_0') / unit
             if '+proj=tmerc' in proj4:
                 return cls(32767, ('tm', ell, _p('lat_0'), _p('lon_0'),
-                                   _p('k', _p('k_0', 1.0)), _p('x_0'),
-                                   _p('y_0')))
+                                   _p('k', _p('k_0', 1.0)), fe, fn),
+                           unit)
             if '+proj=aea' in proj4 or '+proj=lcc' in proj4:
                 cand = (_p('lat_0'), _p('lon_0'), _p('lat_1'),
-                        _p('lat_2', _p('lat_1')), _p('x_0'), _p('y_0'))
+                        _p('lat_2', _p('lat_1')), fe, fn)
                 registry = (_ALBERS if '+proj=aea' in proj4 else _LCC)
-                for epsg, params in registry.items():
-                    if params[1:] == cand:
-                        return cls(epsg)
+                if unit == 1.0:
+                    for epsg, params in registry.items():
+                        if params[1:] == cand and ell == params[0]:
+                            return cls(epsg)
                 fam = 'aea' if '+proj=aea' in proj4 else 'lcc'
                 k0 = _p('k', _p('k_0', 1.0))
                 if fam == 'lcc' and k0 != 1.0:
-                    return cls(32767, ('lcc', ell, *cand, k0))
-                return cls(32767, (fam, ell, *cand))
-            cand = (_p('lat_0'), _p('lon_0'), _p('x_0'), _p('y_0'))
-            for epsg, params in _LAEA.items():
-                if params[1:] == cand:
-                    return cls(epsg)
-            return cls(32767, ('laea', ell, *cand))
+                    return cls(32767, ('lcc', ell, *cand, k0), unit)
+                return cls(32767, (fam, ell, *cand), unit)
+            cand = (_p('lat_0'), _p('lon_0'), fe, fn)
+            if unit == 1.0:
+                for epsg, params in _LAEA.items():
+                    if params[1:] == cand and ell == params[0]:
+                        return cls(epsg)
+            return cls(32767, ('laea', ell, *cand), unit)
         if '+proj=stere' in proj4:
             def _p(key, default=0.0):
-                m = re.search(rf'\+{key}=(-?[\d.eE+]+)', proj4)
-                return float(m.group(1)) if m else default
+                return _proj4_param(proj4, key, default)
+            ell = _proj4_ellipsoid(proj4)
             north = _p('lat_0') > 0
             k0 = _p('k', None) if '+k=' in proj4 else None
             lat_ts = _p('lat_ts', None) if '+lat_ts=' in proj4 else None
-            cand = (lat_ts, _p('lon_0'), _p('x_0'), _p('y_0'), north)
+            fe, fn = _p('x_0') / unit, _p('y_0') / unit
+            cand = (lat_ts, _p('lon_0'), fe, fn, north)
             for epsg, params in _POLAR_STEREO.items():
+                if ell != 'WGS84' or unit != 1.0:
+                    break
                 if len(params) > 5:
                     if (k0 is not None and params[5] == k0
                             and params[1:5] == cand[1:]):
@@ -1530,10 +1924,10 @@ class CRS:
             if abs(_p('lat_0')) < 89.999:
                 raise ValueError(
                     f'oblique stereographic is not supported: {proj4}')
-            return cls(32767, ('ps', lat_ts, _p('lon_0'), _p('x_0'),
-                               _p('y_0'), north,
+            return cls(32767, ('ps', lat_ts, _p('lon_0'), fe, fn,
+                               north,
                                (k0 or 1.0) if lat_ts is None else None,
-                               _proj4_ellipsoid(proj4)))
+                               ell), unit)
         m = re.search(r'EPSG:(\d+)', proj4)
         if m:
             return cls(int(m.group(1)))
@@ -1571,7 +1965,9 @@ def transform_points(src, dst, x, y):
         return x, y
     # to geographic (NAD83/ETRS89 <-> WGS84: null datum transformation)
     if src.custom is not None:
-        lat, lon = _custom_inverse(x, y, src.custom)
+        if src.unit != 1.0:     # foot-based grids -> metres
+            x, y = x * src.unit, y * src.unit
+        lat, lon = _custom_inverse(x, y, src.metric_custom)
     elif src.utm is not None:
         lat, lon = utm_inverse(x, y, *src.utm, ell=src.ellipsoid)
     elif src.polar_stereo is not None:
@@ -1584,6 +1980,8 @@ def transform_points(src, dst, x, y):
         lat, lon = lcc_inverse(x, y, *src.lcc)
     elif src.mercator is not None:
         lat, lon = mercator_inverse(x, y, *src.mercator)
+    elif src.cea is not None:
+        lat, lon = cea_inverse(x, y, *src.cea)
     elif src.is_web_mercator:
         lat, lon = web_mercator_inverse(x, y)
     elif src.is_geographic:
@@ -1591,7 +1989,10 @@ def transform_points(src, dst, x, y):
     else:
         raise ValueError(f'unsupported source CRS: EPSG:{src.epsg}')
     if dst.custom is not None:
-        return _custom_forward(lat, lon, dst.custom)
+        X, Y = _custom_forward(lat, lon, dst.metric_custom)
+        if dst.unit != 1.0:     # metres -> the grid's native unit
+            return X / dst.unit, Y / dst.unit
+        return X, Y
     if dst.is_geographic:
         return lon, lat
     if dst.utm is not None:
@@ -1606,6 +2007,8 @@ def transform_points(src, dst, x, y):
         return lcc_forward(lat, lon, *dst.lcc)
     if dst.mercator is not None:
         return mercator_forward(lat, lon, *dst.mercator)
+    if dst.cea is not None:
+        return cea_forward(lat, lon, *dst.cea)
     if dst.is_web_mercator:
         return web_mercator_forward(lat, lon)
     raise ValueError(f'unsupported destination CRS: EPSG:{dst.epsg}')

@@ -68,10 +68,6 @@ def _gdal_metadata_xml(metadata, band_descriptions):
     return '<GDALMetadata>\n' + '\n'.join(items) + '\n</GDALMetadata>\n'
 
 
-_CT_CODE = {'tm': 1, 'merc': 7, 'lcc': 8, 'laea': 10, 'aea': 11,
-            'ps': 15}
-
-
 def _geokey_directory(crs_or_epsg):
     """(GeoKeyDirectory shorts, GeoDoubleParams or None) for an
     EPSG-coded CRS, or a USER-DEFINED one (a `geo.crs.CRS` with
@@ -128,14 +124,32 @@ def _geokey_directory(crs_or_epsg):
             ell, lon0, k0, fe, fn = custom[1:]
             params = {3080: lon0, 3092: k0, 3082: fe, 3083: fn}
             ct = 7
+        elif fam == 'sinu':
+            ell, lon0, fe, fn = custom[1:]
+            params = {3088: lon0, 3082: fe, 3083: fn}
+            ct = 24
+        elif fam == 'cea':
+            ell, lat_ts, lon0, fe, fn = custom[1:]
+            params = {3078: lat_ts, 3080: lon0, 3082: fe, 3083: fn}
+            ct = 28
         else:
             raise ValueError(f'unsupported custom CRS family: {fam}')
-        a, invf = _ELLIPSOIDS[ell]
+        from proteus_tpu.geo.crs import _UNIT_GEOKEY
+        if isinstance(ell, str):
+            a, invf = _ELLIPSOIDS[ell]
+        else:               # sphere radius (MODIS sinusoidal)
+            a, invf = float(ell), 0.0
+        unit = float(getattr(crs_or_epsg, 'unit', 1.0))
+        unit_code = next((code for code, factor in _UNIT_GEOKEY.items()
+                          if factor == unit), 32767)
         doubles = []
         keys = [(1024, 0, 1, 1), (1025, 0, 1, 1),
                 (2048, 0, 1, 32767), (2054, 0, 1, 9102),
                 (3072, 0, 1, 32767), (3074, 0, 1, 32767),
-                (3075, 0, 1, ct), (3076, 0, 1, 9001)]
+                (3075, 0, 1, ct), (3076, 0, 1, unit_code)]
+        if unit_code == 32767:  # user-defined: size geokey in metres
+            params = dict(params)
+            params[3077] = unit
         for key_id, value in sorted({2057: a, 2059: invf,
                                      **params}.items()):
             keys.append((key_id, 34736, 1, len(doubles)))

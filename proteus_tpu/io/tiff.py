@@ -378,6 +378,12 @@ class TiffReader:
         keys = self.geokeys()
         if not keys:
             return None
+        # a user-defined PROJECTED CS (PCS 32767) must go through the
+        # parameter geokeys even when the base GCS is a known EPSG code
+        # (GDAL writes e.g. 2048=4269 for a NAD83-based custom LCC) —
+        # epsg()'s GCS fallback would misread the file as geographic
+        if keys.get(3072) == 32767:
+            return CRS.from_geokeys(keys)
         code = self.epsg()
         if code:
             return CRS.from_epsg(code)

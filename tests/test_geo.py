@@ -874,7 +874,7 @@ class TestUserDefinedCrs:
                               2048: 4326, 3076: 9001})
         with pytest.raises(ValueError, match='linear units'):
             CRS.from_geokeys({1024: 1, 3072: 32767, 3075: 1,
-                              2048: 4326, 3076: 9002})
+                              2048: 4326, 3076: 9005})
         # end-to-end: a file carrying an unsupported method (CT 3,
         # Oblique Mercator) is rejected inside check_ancillary_inputs
         size = 64
@@ -985,6 +985,387 @@ class TestMercator:
                   geotransform=(float(cx[0]) - 125 * 70, 70.0, 0.0,
                                 float(cy[0]) + 125 * 70, 0.0, -70.0),
                   epsg=3857, nodata=float('nan'), overview_levels=())
+        check_ancillary_inputs(True, False, p, p, p, None, tile_gt,
+                               'EPSG:32615', 100, 120, {})
+        for alg in ('nearest', 'cubic'):
+            host = warp_to_grid(p, tile_gt, 'EPSG:32615', 80, 100,
+                                resample_algorithm=alg,
+                                margin_in_pixels=10)
+            dev = np.asarray(warp_to_grid_device(
+                p, tile_gt, 'EPSG:32615', 80, 100,
+                resample_algorithm=alg, margin_in_pixels=10))
+            nn = np.isnan(host)
+            assert (~nn).any()
+            bad = (host != dev) & ~(nn & np.isnan(dev))
+            assert not bad.any(), (alg, int(bad.sum()))
+
+
+class TestCrsReviewRegressions:
+    """Regressions for the round-3 review of the CRS-widening commits:
+    GDAL's user-defined-PCS encoding on the reader path, ellipsoid-
+    aware registry matching, k0 survival for LCC, sphere rejection at
+    parse time, and exponent-bearing numeric literals."""
+
+    def test_gdal_encoded_user_defined_pcs_reads_projected(
+            self, tmp_path):
+        """GDAL writes a user-defined projected SRS as PCS 32767 plus
+        GeographicTypeGeoKey = the KNOWN base-GCS code (e.g. 4269 for a
+        NAD83-based custom LCC); TiffReader.crs() must route that
+        through the parameter geokeys, not fall back to the geographic
+        code (which silently treated metres as degrees)."""
+        import struct
+        from proteus_tpu.io import tiff as tiffmod
+        c = CRS(32767, ('lcc', 'GRS80', 44.25, -109.5, 43.0, 45.5,
+                        500000.0, 200000.0))
+        p = str(tmp_path / 'gdalenc.tif')
+        write_cog(p, np.zeros((32, 32), np.float32),
+                  geotransform=(0, 60, 0, 0, 0, -60), epsg=c,
+                  overview_levels=())
+        # rewrite geokey 2048 from 32767 (our encoding) to 4269
+        # (GDAL's encoding: the known NAD83 geographic code)
+        with open(p, 'rb') as fh:
+            blob = bytearray(fh.read())
+        with tiffmod.TiffReader(p) as r:
+            kd = list(r.main.get(tiffmod.TAG_GEO_KEY_DIRECTORY))
+        idx = kd.index(2048)
+        assert kd[idx + 3] == 32767
+        old = struct.pack('<%dH' % len(kd), *kd)
+        kd[idx + 3] = 4269
+        new = struct.pack('<%dH' % len(kd), *kd)
+        off = blob.find(old)
+        assert off > 0
+        blob[off:off + len(old)] = new
+        with open(p, 'wb') as fh:
+            fh.write(blob)
+        with tiffmod.TiffReader(p) as r:
+            got = r.crs()
+        assert got is not None and not got.is_geographic
+        assert got.custom == c.custom
+
+    def test_registry_match_requires_ellipsoid(self):
+        """A legacy Clarke-1866 (NAD27-era) Albers with EPSG:5070's
+        parameters must NOT silently remap onto the GRS80 registry code
+        (~63 m error at 40N); it stays user-defined with the Clarke
+        1866 ellipsoid. Same for WKT."""
+        c = CRS.from_proj4('+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 '
+                           '+lat_2=45.5 +x_0=0 +y_0=0 +ellps=clrk66')
+        assert c.epsg == 32767 and c.custom[0] == 'aea'
+        assert c.custom[1] != 'GRS80'
+        wkt = ('PROJCS["NAD27 CONUS Albers",GEOGCS["NAD27",'
+               'DATUM["North_American_Datum_1927",'
+               'SPHEROID["Clarke 1866",6378206.4,294.978698213898]],'
+               'PRIMEM["Greenwich",0],'
+               'UNIT["degree",0.0174532925199433]],'
+               'PROJECTION["Albers_Conic_Equal_Area"],'
+               'PARAMETER["standard_parallel_1",29.5],'
+               'PARAMETER["standard_parallel_2",45.5],'
+               'PARAMETER["latitude_of_center",23],'
+               'PARAMETER["longitude_of_center",-96],'
+               'PARAMETER["false_easting",0],'
+               'PARAMETER["false_northing",0],UNIT["metre",1]]')
+        cw = CRS.from_wkt(wkt)
+        assert cw.epsg == 32767 and cw.custom[1] != 'GRS80'
+        # GRS80 parameters still hit the registry
+        c80 = CRS.from_proj4('+proj=aea +lat_0=23 +lon_0=-96 '
+                             '+lat_1=29.5 +lat_2=45.5 +x_0=0 +y_0=0 '
+                             '+ellps=GRS80')
+        assert c80.epsg == 5070
+
+    def test_sphere_rejected_at_parse_time(self):
+        """Spherical 'ellipsoids' (EASE-Grid v1 style +a==+b, or
+        SPHEROID[...,0]) are rejected when the CRS is parsed — not by a
+        ZeroDivisionError mid-warp, and never silently remapped onto
+        the WGS84 EASE-Grid 2.0 codes (~7 km error)."""
+        with pytest.raises(ValueError, match='spher'):
+            CRS.from_proj4('+proj=laea +lat_0=90 +lon_0=0 +x_0=0 '
+                           '+y_0=0 +a=6371228 +b=6371228')
+        wkt = ('PROJCS["sphere merc",GEOGCS["GCS_Sphere",'
+               'DATUM["D_Sphere",SPHEROID["sphere",6371000,0]],'
+               'PRIMEM["Greenwich",0],'
+               'UNIT["degree",0.0174532925199433]],'
+               'PROJECTION["Mercator_1SP"],'
+               'PARAMETER["central_meridian",0],'
+               'PARAMETER["scale_factor",1],'
+               'PARAMETER["false_easting",0],'
+               'PARAMETER["false_northing",0],UNIT["metre",1]]')
+        with pytest.raises(ValueError, match='spherical|ellipsoid'):
+            CRS.from_wkt(wkt)
+
+    def test_lcc_1sp_k0_survives_geokey_roundtrip(self, tmp_path):
+        """An LCC 1SP custom CRS with k0 != 1 (French legacy Lambert
+        zone style) keeps its scale factor through write_cog ->
+        TiffReader.crs() (geokey 3092 on CT 8)."""
+        from proteus_tpu.io.tiff import TiffReader
+        c = CRS(32767, ('lcc', 'GRS80', 46.8, 2.337, 46.8, 46.8,
+                        600000.0, 200000.0, 0.99987742))
+        assert CRS.from_wkt(c.to_wkt()) == c
+        assert CRS.from_proj4(c.to_proj4()) == c
+        p = str(tmp_path / 'lcck0.tif')
+        write_cog(p, np.zeros((32, 32), np.float32),
+                  geotransform=(0, 60, 0, 0, 0, -60), epsg=c,
+                  overview_levels=())
+        with TiffReader(p) as r:
+            assert r.crs() == c
+
+    def test_negative_exponent_literals(self):
+        """Numeric literals with negative exponents (2.95e-1) parse in
+        both WKT PARAMETER[] and proj4 +key= values instead of silently
+        falling back to defaults."""
+        c = CRS.from_proj4('+proj=aea +lat_0=23 +lon_0=-96 '
+                           '+lat_1=2.95e-1 +lat_2=45.5 +x_0=0 +y_0=0 '
+                           '+ellps=GRS80')
+        assert c.custom[4] == pytest.approx(0.295)
+        wkt = ('PROJCS["neg exp",GEOGCS["NAD83",'
+               'DATUM["North_American_Datum_1983",'
+               'SPHEROID["GRS 1980",6378137,298.257222101]],'
+               'PRIMEM["Greenwich",0],'
+               'UNIT["degree",0.0174532925199433]],'
+               'PROJECTION["Albers_Conic_Equal_Area"],'
+               'PARAMETER["standard_parallel_1",2.95e-1],'
+               'PARAMETER["standard_parallel_2",45.5],'
+               'PARAMETER["latitude_of_center",23],'
+               'PARAMETER["longitude_of_center",-96],'
+               'PARAMETER["false_easting",0],'
+               'PARAMETER["false_northing",0],UNIT["metre",1]]')
+        cw = CRS.from_wkt(wkt)
+        assert cw.custom[4] == pytest.approx(0.295)
+
+
+class TestLinearUnits:
+    """Foot-based projected CRS (US State Plane style): the reference
+    accepts them through OSR (dswx_hls.py:3385-3461); geokey 3076 =
+    9002/9003, WKT UNIT[], proj4 +units=/+to_meter."""
+
+    def _spcs27_texas(self):
+        from proteus_tpu.geo import crs
+        clk = crs._ensure_ellipsoid(6378206.4, 294.9786982139006)
+        return CRS(32767, ('lcc', clk, 27 + 50 / 60, -99.0,
+                           28 + 23 / 60, 30 + 17 / 60, 2000000.0, 0.0),
+                   crs._US_FOOT)
+
+    def test_snyder_spcs27_texas_worked_example(self):
+        """Snyder's LCC 2SP numerical example (SPCS27 Texas South
+        Central, Clarke 1866, US survey feet): 28d30'N 96dW ->
+        x 2,963,503.91 ft, y 254,759.80 ft."""
+        ft = self._spcs27_texas()
+        x, y = transform_points('EPSG:4326', ft, np.array([-96.0]),
+                                np.array([28.5]))
+        assert abs(x[0] - 2963503.91) < 0.01
+        assert abs(y[0] - 254759.80) < 0.01
+        lo, la = transform_points(ft, 'EPSG:4326', x, y)
+        assert abs(lo[0] + 96.0) < 1e-9 and abs(la[0] - 28.5) < 1e-9
+
+    def test_unit_scaling_is_exactly_a_metre_rescale(self):
+        """A foot CRS is its metre twin with coordinates divided by the
+        unit: same projection core, origin maps to (FE, FN) in native
+        feet."""
+        from proteus_tpu.geo.crs import _US_FOOT
+        ft = CRS(32767, ('lcc', 'GRS80', 39.0 + 1 / 3, -122.0, 40.0,
+                         41.0 + 2 / 3, 6561666.666666666,
+                         1640416.6666666667), _US_FOOT)
+        m = CRS(32767, ('lcc', 'GRS80', 39.0 + 1 / 3, -122.0, 40.0,
+                        41.0 + 2 / 3,
+                        6561666.666666666 * _US_FOOT,
+                        1640416.6666666667 * _US_FOOT))
+        rng = np.random.default_rng(2225)
+        lon = rng.uniform(-124, -120, 200)
+        lat = rng.uniform(38, 42, 200)
+        xf, yf = transform_points('EPSG:4326', ft, lon, lat)
+        xm, ym = transform_points('EPSG:4326', m, lon, lat)
+        assert np.abs(xf * _US_FOOT - xm).max() < 1e-6
+        assert np.abs(yf * _US_FOOT - ym).max() < 1e-6
+        x0, y0 = transform_points('EPSG:4326', ft,
+                                  np.array([-122.0]),
+                                  np.array([39.0 + 1 / 3]))
+        assert abs(x0[0] - 6561666.666666666) < 1e-6
+        assert abs(y0[0] - 1640416.6666666667) < 1e-6
+
+    def test_serialization_roundtrips(self, tmp_path):
+        """WKT / proj4 / geokey round-trips preserve the unit and the
+        native-unit false easting/northing exactly. proj4 +x_0 is
+        emitted in METRES (PROJ's convention) with +units=us-ft."""
+        from proteus_tpu.io.tiff import TiffReader
+        from proteus_tpu.geo.crs import _FOOT, _US_FOOT
+        ft = self._spcs27_texas()
+        p4 = ft.to_proj4()
+        assert '+units=us-ft' in p4
+        assert '+x_0=609601.2192024384' in p4      # 2e6 ftUS in metres
+        assert CRS.from_proj4(p4) == ft
+        wkt = ft.to_wkt()
+        assert 'US survey foot' in wkt
+        assert 'PARAMETER["false_easting",2000000.0]' in wkt  # native
+        assert CRS.from_wkt(wkt) == ft
+        p = str(tmp_path / 'spcs.tif')
+        write_cog(p, np.zeros((32, 32), np.float32),
+                  geotransform=(0, 200, 0, 0, 0, -200), epsg=ft,
+                  overview_levels=())
+        with TiffReader(p) as r:
+            assert r.crs() == ft
+        intl = CRS(32767, ('tm', 'WGS84', 0.0, -75.0, 0.9996,
+                           500000.0, 0.0), _FOOT)
+        assert '+units=ft' in intl.to_proj4()
+        assert CRS.from_proj4(intl.to_proj4()) == intl
+        assert CRS.from_wkt(intl.to_wkt()) == intl
+        # +to_meter= spelling of the same unit
+        c = CRS.from_proj4('+proj=tmerc +lat_0=0 +lon_0=-75 +k=0.9996 '
+                           '+x_0=152400 +y_0=0 +ellps=WGS84 '
+                           '+to_meter=0.3048')
+        assert c == intl
+
+    def test_foot_dem_warp_device_matches_host(self, tmp_path):
+        """A DEM delivered in a ftUS State Plane grid: accepted by the
+        coverage check, device warp bit-identical to host."""
+        from proteus_tpu.geo.coverage import check_ancillary_inputs
+        from proteus_tpu.geo.crs import _US_FOOT
+        ft = CRS(32767, ('lcc', 'GRS80', 39.0 + 1 / 3, -122.0, 40.0,
+                         41.0 + 2 / 3, 6561666.666666666,
+                         1640416.6666666667), _US_FOOT)
+        tile_gt = (560000.0, 30.0, 0.0, 4540000.0, 0.0, -30.0)
+        cx, cy = transform_points('EPSG:32610', ft,
+                                  np.array([561800.0]),
+                                  np.array([4538500.0]))
+        rng = np.random.default_rng(27)
+        h = w = 200
+        arr = (500 + 100 * rng.normal(size=(h, w))).astype(np.float32)
+        arr[rng.random((h, w)) < 0.03] = np.nan
+        p = str(tmp_path / 'spcs_dem.tif')
+        cell = 200.0    # ~61 m cells, in feet
+        write_cog(p, arr,
+                  geotransform=(float(cx[0]) - 100 * cell, cell, 0.0,
+                                float(cy[0]) + 100 * cell, 0.0, -cell),
+                  epsg=ft, nodata=float('nan'), overview_levels=())
+        check_ancillary_inputs(True, False, p, p, p, None, tile_gt,
+                               'EPSG:32610', 100, 120, {})
+        for alg in ('nearest', 'cubic'):
+            host = warp_to_grid(p, tile_gt, 'EPSG:32610', 80, 100,
+                                resample_algorithm=alg,
+                                margin_in_pixels=10)
+            dev = np.asarray(warp_to_grid_device(
+                p, tile_gt, 'EPSG:32610', 80, 100,
+                resample_algorithm=alg, margin_in_pixels=10))
+            nn = np.isnan(host)
+            assert (~nn).any()
+            bad = (host != dev) & ~(nn & np.isnan(dev))
+            assert not bad.any(), (alg, int(bad.sum()))
+
+
+class TestSinusoidalAndCea:
+    """Sinusoidal (the MODIS land-product grid — authalic sphere
+    R=6371007.181 — plus ESRI:54008-style ellipsoidal) and Lambert
+    Cylindrical Equal Area (EPSG:6933, NSIDC EASE-Grid 2.0 global:
+    SMAP/AMSR snow & soil-moisture rasters)."""
+
+    def _modis(self):
+        from proteus_tpu.geo.crs import MODIS_SPHERE_RADIUS
+        return CRS(32767, ('sinu', MODIS_SPHERE_RADIUS, 0.0, 0.0, 0.0))
+
+    def test_modis_grid_constants(self):
+        """On the MODIS sphere the 10-degree tile width is exactly
+        R*radians(10) = 1,111,950.5198 m and y = R*lat_rad."""
+        from proteus_tpu.geo.crs import MODIS_SPHERE_RADIUS as R
+        sinu = self._modis()
+        x, y = transform_points('EPSG:4326', sinu, np.array([10.0]),
+                                np.array([0.0]))
+        assert abs(x[0] - R * np.radians(10)) < 1e-6 and y[0] == 0.0
+        x, y = transform_points('EPSG:4326', sinu, np.array([0.0]),
+                                np.array([40.0]))
+        assert x[0] == 0.0 and abs(y[0] - R * np.radians(40)) < 1e-6
+
+    def test_ease2_published_extent(self):
+        """EPSG:6933 x(180) matches NSIDC's published EASE-Grid 2.0
+        global map half-width 17,367,530.445161 m."""
+        x, _ = transform_points('EPSG:4326', 'EPSG:6933',
+                                np.array([180.0]), np.array([0.0]))
+        assert abs(abs(x[0]) - 17367530.445161) < 1e-3
+
+    @pytest.mark.parametrize('crs_key', ['modis', 'esri54008', '6933'])
+    def test_roundtrip(self, crs_key):
+        crs = {'modis': self._modis(),
+               'esri54008': CRS(32767, ('sinu', 'WGS84', 0.0, 0.0,
+                                        0.0)),
+               '6933': CRS(6933)}[crs_key]
+        rng = np.random.default_rng(hash(crs_key) % 2 ** 31)
+        lon = rng.uniform(-179, 179, 2000)
+        lat = rng.uniform(-85, 85, 2000)
+        x, y = transform_points('EPSG:4326', crs, lon, lat)
+        lo, la = transform_points(crs, 'EPSG:4326', x, y)
+        assert np.abs(lo - lon).max() < 1e-9
+        assert np.abs(la - lat).max() < 1e-9
+
+    @pytest.mark.parametrize('crs_key', ['modis', 'esri54008', '6933'])
+    def test_equal_area_jacobian(self, crs_key):
+        """Both projections are equal-area: |J| of (lon,lat)->(x,y)
+        equals the ellipsoidal/spherical area element everywhere."""
+        from proteus_tpu.geo import crs as crsmod
+        crs = {'modis': self._modis(),
+               'esri54008': CRS(32767, ('sinu', 'WGS84', 0.0, 0.0,
+                                        0.0)),
+               '6933': CRS(6933)}[crs_key]
+        if crs_key == 'modis':
+            a, e2 = crsmod.MODIS_SPHERE_RADIUS, 0.0
+        else:
+            a, e2, _ = crsmod._ell_consts('WGS84')
+        rng = np.random.default_rng(len(crs_key))
+        lon = rng.uniform(-170, 170, 300)
+        lat = rng.uniform(-80, 80, 300)
+        d = 1e-6
+        x0, y0 = transform_points('EPSG:4326', crs, lon, lat)
+        x1, y1 = transform_points('EPSG:4326', crs, lon + d, lat)
+        x2, y2 = transform_points('EPSG:4326', crs, lon, lat + d)
+        J = np.abs((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0))
+        s = np.sin(np.radians(lat))
+        # dA = a^2 (1-e2) cos(phi) / (1-e2 sin^2)^2 dphi dlam
+        dA = (a * a * (1 - e2) * np.cos(np.radians(lat))
+              / (1 - e2 * s * s) ** 2 * np.radians(d) ** 2)
+        assert np.abs(J / dA - 1.0).max() < 1e-4
+
+    def test_serialization_roundtrips(self, tmp_path):
+        """WKT / proj4 / geokey round-trips, incl. the sphere radius
+        (SPHEROID inverse flattening 0 is legal HERE and only here)."""
+        from proteus_tpu.io.tiff import TiffReader
+        customs = [self._modis(),
+                   CRS(32767, ('sinu', 'WGS84', 0.0, 0.0, 0.0)),
+                   CRS(32767, ('cea', 'WGS84', 30.0, 10.0, 100.0,
+                               200.0))]
+        arr = np.zeros((32, 32), np.float32)
+        for i, c in enumerate(customs):
+            assert CRS.from_wkt(c.to_wkt()) == c, c.to_wkt()
+            assert CRS.from_proj4(c.to_proj4()) == c, c.to_proj4()
+            p = str(tmp_path / f's{i}.tif')
+            write_cog(p, arr, geotransform=(0, 463.3127, 0, 0, 0,
+                                            -463.3127),
+                      epsg=c, overview_levels=())
+            with TiffReader(p) as r:
+                assert r.crs() == c
+        assert CRS.from_wkt(CRS(6933).to_wkt()).epsg == 6933
+        assert CRS.from_proj4(CRS(6933).to_proj4()).epsg == 6933
+        # GDAL's MODIS proj4 spelling
+        g = CRS.from_proj4('+proj=sinu +lon_0=0 +x_0=0 +y_0=0 '
+                           '+R=6371007.181 +units=m +no_defs')
+        assert g == self._modis()
+        g2 = CRS.from_proj4('+proj=sinu +a=6371007.181 +b=6371007.181 '
+                            '+lon_0=0 +x_0=0 +y_0=0 +units=m +no_defs')
+        assert g2 == self._modis()
+
+    def test_modis_landcover_warp_device_matches_host(self, tmp_path):
+        """A landcover-style raster on the MODIS sinusoidal grid:
+        coverage-accepted, device warp bit-identical to host."""
+        from proteus_tpu.geo.coverage import check_ancillary_inputs
+        sinu = self._modis()
+        tile_gt = (600000.0, 30.0, 0.0, 3300000.0, 0.0, -30.0)
+        cx, cy = transform_points('EPSG:32615', sinu,
+                                  np.array([601800.0]),
+                                  np.array([3298500.0]))
+        rng = np.random.default_rng(463)
+        h = w = 200
+        arr = (500 + 100 * rng.normal(size=(h, w))).astype(np.float32)
+        arr[rng.random((h, w)) < 0.03] = np.nan
+        p = str(tmp_path / 'modis.tif')
+        cell = 463.31271653     # the MODIS 500 m cell
+        write_cog(p, arr,
+                  geotransform=(float(cx[0]) - 100 * cell, cell, 0.0,
+                                float(cy[0]) + 100 * cell, 0.0, -cell),
+                  epsg=sinu, nodata=float('nan'), overview_levels=())
         check_ancillary_inputs(True, False, p, p, p, None, tile_gt,
                                'EPSG:32615', 100, 120, {})
         for alg in ('nearest', 'cubic'):
