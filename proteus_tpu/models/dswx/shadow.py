@@ -24,9 +24,15 @@ Two algorithms, selected by runconfig (reference default:
   a device transcendental, so the result is also invariant to TPU-vs-host
   libm differences.
 
-- ``compute_hillshade`` + Otsu: GDAL DEMProcessing("hillshade") equivalent
-  (Horn's formula, GDAL gdaldem conventions) followed by Otsu binarization
-  (reference dswx_hls.py:4177-4212 and :1638-1684).
+- ``compute_hillshade_exact`` + ``compute_otsu_shadow_layer_exact``: GDAL
+  DEMProcessing("hillshade") equivalent (Horn's formula, GDAL gdaldem
+  conventions incl. the float->Byte round-half-up cast and the
+  no-computeEdges border-nodata ring) followed by the reference's Otsu
+  threshold (reference dswx_hls.py:4177-4212 and :1638-1684). The device
+  computes the illumination in double-double f32 (error-free transforms;
+  see core/f32exact.py) and brackets GDAL's float->Byte map at v +- E, so
+  only true near-ties — typically a handful per tile at any elevation —
+  need the host float64 oracle.
 
 All variants consume a DEM with a margin (DEM_MARGIN_IN_PIXELS) that the
 caller crops afterwards, so edge-handling differences never reach the
@@ -40,6 +46,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from proteus_tpu.core.f32exact import _two_prod, _two_sum
 from proteus_tpu.ops.otsu import otsu_binarize
 
 
@@ -350,42 +357,378 @@ def compute_opera_shadow_layer_exact(dem, sun_azimuth_angle,
     return shadow
 
 
+# ---------------------------------------------------------------------------
+# GDAL-semantics hillshade (the reference's 'otsu' shadow branch)
+# ---------------------------------------------------------------------------
+#
+# The reference routes the otsu branch through gdal.DEMProcessing
+# ("hillshade", Horn, no -compute_edges; dswx_hls.py:4177-4212). The
+# semantics replicated here, from GDAL's gdaldem implementation:
+#   - 3x3 window values are read at the SOURCE precision (float32 for
+#     the warped Copernicus DEM), the Horn/illumination algebra runs in
+#     C double;
+#   - output byte = trunc(float32(v) + 0.5f) with v = 1 + 254*cang
+#     (1 where cang <= 0), clamped at 255 — GDAL's float->Byte
+#     GDALCopyWord conversion (round-half-up, NOT round-half-even);
+#   - without computeEdges the 1-pixel border ring is filled with the
+#     hillshade dst nodata value 0 (this ring sits inside the 50 px DEM
+#     margin and never reaches the product, but it DOES enter the Otsu
+#     histogram: min() over the margined hillshade is pinned to 0).
+# Byte-for-byte parity with a specific GDAL BINARY remains unverifiable
+# offline (operation-ordering differs across GDAL versions); the
+# guarantee here is device == this module's float64 host oracle, via
+# the same epsilon-band + host-resolve machinery as the exact shadow
+# path above.
+
+_MAX_UNCERTAIN_HS = 131072
+
+
+def _hillshade_consts_f64(sun_azimuth_angle, sun_elevation_angle):
+    alt = np.radians(np.float64(sun_elevation_angle))
+    az = np.radians(np.float64(sun_azimuth_angle))
+    return (np.sin(alt), np.cos(az) * np.cos(alt),
+            np.sin(az) * np.cos(alt))
+
+
+def _hillshade_windows_np(z):
+    """The 9 shifted 3x3-window views of a replicate-padded host array
+    (only interior pixels are consumed; the border ring is overwritten
+    with the GDAL edge nodata 0)."""
+    p = np.pad(z, 1, mode='edge')
+    return {(dy, dx): p[dy:dy + z.shape[0], dx:dx + z.shape[1]]
+            for dy in (0, 1, 2) for dx in (0, 1, 2)}
+
+
+def _hillshade_bytes_f64(w, sun_azimuth_angle, sun_elevation_angle,
+                         pixel_spacing_x, pixel_spacing_y):
+    """Float64 hillshade bytes from float32 3x3 window values.
+
+    ``w`` maps (dy, dx) -> float32 arrays (any common shape). This is
+    THE oracle the device path is bit-identical to."""
+    sin_alt, cos_az_cos_alt, sin_az_cos_alt = _hillshade_consts_f64(
+        sun_azimuth_angle, sun_elevation_angle)
+    wd = {k: np.asarray(v, dtype=np.float64) for k, v in w.items()}
+    x = ((wd[(0, 0)] + 2.0 * wd[(1, 0)] + wd[(2, 0)])
+         - (wd[(0, 2)] + 2.0 * wd[(1, 2)] + wd[(2, 2)])) \
+        / (8.0 * float(pixel_spacing_x))
+    y = ((wd[(2, 0)] + 2.0 * wd[(2, 1)] + wd[(2, 2)])
+         - (wd[(0, 0)] + 2.0 * wd[(0, 1)] + wd[(0, 2)])) \
+        / (8.0 * float(pixel_spacing_y))
+    num = sin_alt - (y * cos_az_cos_alt - x * sin_az_cos_alt)
+    with np.errstate(invalid='ignore', over='ignore'):
+        cang = num / np.sqrt(1.0 + x * x + y * y)
+        v = np.where(num <= 0.0, 1.0, 1.0 + 254.0 * cang)
+    f = v.astype(np.float32)
+    with np.errstate(invalid='ignore'):
+        out = np.where(f >= np.float32(255.0), np.float32(255.0),
+                       np.trunc(f + np.float32(0.5)))
+        # NaN windows: GDAL's float->Byte cast of NaN lands on 0 in
+        # practice (x86/ARM float->int of NaN); pinned deterministically
+        out = np.where(np.isnan(f), np.float32(0.0), out)
+    return out.astype(np.uint8)
+
+
+def _host_hillshade_gdal(dem32, sun_azimuth_angle, sun_elevation_angle,
+                         pixel_spacing_x, pixel_spacing_y):
+    """Full-array host oracle: float64 algebra + the border nodata
+    ring."""
+    z = np.asarray(dem32, dtype=np.float32)
+    out = _hillshade_bytes_f64(_hillshade_windows_np(z),
+                               sun_azimuth_angle, sun_elevation_angle,
+                               pixel_spacing_x, pixel_spacing_y)
+    out[0, :] = 0
+    out[-1, :] = 0
+    out[:, 0] = 0
+    out[:, -1] = 0
+    return out
+
+
+# -- double-double f32 helpers (same technique as geo/warp.py's device
+#    warp: TPU f32 add/sub/mul are IEEE-exact, so Knuth/Dekker EFTs give
+#    ~2^-44-relative arithmetic; f32 division/sqrt are sloppy (~1 ULP)
+#    but one Newton refinement against an exact dd residual recovers
+#    full dd accuracy).
+
+
+def _dd_add(a, b):
+    sh, se = _two_sum(a[0], b[0])
+    return _two_sum(sh, se + (a[1] + b[1]))
+
+
+def _dd_neg(a):
+    return (-a[0], -a[1])
+
+
+def _dd_mul(a, b):
+    ph, pe = _two_prod(a[0], b[0])
+    return _two_sum(ph, pe + (a[0] * b[1] + a[1] * b[0]))
+
+
+def _dd_div(a, b):
+    q0 = a[0] / b[0]
+    r = _dd_add(a, _dd_neg(_dd_mul((q0, jnp.zeros_like(q0)), b)))
+    return _two_sum(q0, (r[0] + r[1]) / b[0])
+
+
+def _dd_sqrt(a):
+    s0 = jnp.sqrt(a[0])
+    t = _two_prod(s0, s0)
+    r = _dd_add(a, (-t[0], -t[1]))
+    c = (r[0] + r[1]) / (s0 + s0)
+    return _two_sum(s0, jnp.where(a[0] > 0, c, jnp.zeros_like(c)))
+
+
+def _dd_const(x):
+    """Host split of a float64 constant into an f32 (hi, lo) pair."""
+    hi = np.float32(x)
+    return hi, np.float32(np.float64(x) - np.float64(hi))
+
+
+def _hs_byte_map(f):
+    """GDAL's float->Byte composite map in exact-IEEE f32 ops:
+    trunc(fl32(f + 0.5f)) clamped at 255, NaN -> 0 (matches the
+    oracle's GDALCopyWord semantics)."""
+    b = jnp.where(f >= jnp.float32(255.0), jnp.float32(255.0),
+                  jnp.trunc(f + jnp.float32(0.5)))
+    return jnp.where(jnp.isnan(f), jnp.float32(0.0), b)
+
+
+def _hillshade_consts_dd(sun_azimuth_angle, sun_elevation_angle):
+    """Host split of the three f64 illumination constants into a (6,)
+    f32 array of (hi, lo) pairs."""
+    return jnp.asarray(np.array(
+        [part for c in _hillshade_consts_f64(sun_azimuth_angle,
+                                             sun_elevation_angle)
+         for part in _dd_const(c)], dtype=np.float32))
+
+
+@functools.partial(jax.jit, static_argnames=('psx', 'psy'))
+def _hillshade_comparison_space(dem, consts_dd, psx, psy):
+    """Device pass: hillshade bytes + the uncertainty band vs the f64
+    oracle, computed in double-double f32.
+
+    The oracle's f64 Horn sums/differences are EXACT (sums of f32
+    values fit 53 bits), so the oracle deviates from exact real
+    arithmetic only by its division/sqrt/downstream roundings
+    (~1e-15 rel). The dd chain tracks exact arithmetic to ~1e-12 rel
+    even under full cancellation, so evaluating GDAL's float->Byte
+    composite map at v +- E (E covering both chains' error, with
+    >1000x margin) brackets the oracle byte: pixels where the two
+    endpoint bytes agree are proven; the rest go to host f64."""
+    z = dem.astype(jnp.float32)
+    zero = jnp.zeros_like(z)
+    p = jnp.pad(z, 1, mode='edge')
+    w = {(dy, dx): p[dy:dy + z.shape[0], dx:dx + z.shape[1]]
+         for dy in (0, 1, 2) for dx in (0, 1, 2)}
+
+    def dd(hi):
+        return (hi, jnp.zeros_like(hi))
+
+    def horn_sum(a, b, c):
+        # a + 2b + c exactly (2b is exact in f32 barring overflow)
+        s = _two_sum(a, c)
+        return _dd_add(s, dd(b + b))
+
+    # x = (left - right)/(8*psx): the oracle divides by the f64
+    # constant; multiplying by its dd reciprocal (2^-48-rel pair) is
+    # equivalent to within ~2^-44 rel — 5 orders inside the E margin.
+    inv8psx = _dd_const(1.0 / (8.0 * float(psx)))
+    inv8psy = _dd_const(1.0 / (8.0 * float(psy)))
+    a_l = horn_sum(w[(0, 0)], w[(1, 0)], w[(2, 0)])
+    a_r = horn_sum(w[(0, 2)], w[(1, 2)], w[(2, 2)])
+    b_b = horn_sum(w[(2, 0)], w[(2, 1)], w[(2, 2)])
+    b_t = horn_sum(w[(0, 0)], w[(0, 1)], w[(0, 2)])
+    x = _dd_mul(_dd_add(a_l, _dd_neg(a_r)),
+                (inv8psx[0] + zero, inv8psx[1] + zero))
+    y = _dd_mul(_dd_add(b_b, _dd_neg(b_t)),
+                (inv8psy[0] + zero, inv8psy[1] + zero))
+
+    c_sin = (consts_dd[0] + zero, consts_dd[1] + zero)
+    c_cos = (consts_dd[2] + zero, consts_dd[3] + zero)
+    c_saz = (consts_dd[4] + zero, consts_dd[5] + zero)
+    term = _dd_add(_dd_mul(y, c_cos), _dd_neg(_dd_mul(x, c_saz)))
+    num = _dd_add(c_sin, _dd_neg(term))
+    den = _dd_sqrt(_dd_add(_dd_add(dd(jnp.float32(1.0) + zero),
+                                   _dd_mul(x, x)), _dd_mul(y, y)))
+    cang = _dd_div(num, den)
+    v254 = _dd_mul(cang, dd(jnp.float32(254.0) + zero))
+    v = _dd_add(dd(jnp.float32(1.0) + zero), v254)
+    # branch num <= 0 -> v = 1 (oracle tests the f64 num; num's dd sign
+    # can disagree with the oracle's EXACT num only within ~2^-44 rel,
+    # and v is continuous at num = 0 with value 1, so a sign flip
+    # cannot move the byte: both branches give 1 there)
+    is_dark = (num[0] < 0) | ((num[0] == 0) & (num[1] <= 0))
+    vh = jnp.where(is_dark, jnp.float32(1.0), v[0])
+    vl = jnp.where(is_dark, jnp.float32(0.0), v[1])
+
+    maxw = zero
+    win_finite = jnp.ones_like(z, bool)
+    for wa in w.values():
+        maxw = jnp.maximum(maxw, jnp.abs(wa))
+        win_finite &= jnp.isfinite(wa)
+
+    # E: dd-chain error (~1e-12 rel, sloppy-dd cancellation included)
+    # + the oracle's own f64 rounding, both with >1000x margin; the
+    # magnitude term also force-flags finite windows whose f32/dd
+    # intermediates overflowed (E blows past a full byte there).
+    inv_minps = 1.0 / min(abs(float(psx)), abs(float(psy)))
+    E = (jnp.float32(1e-8) * (jnp.abs(vh) + 1.0)
+         + jnp.float32(2.0 ** -26 * inv_minps) * maxw
+         + jnp.float32(1e-10))
+
+    f_mid = vh
+    lo = _two_sum(vh, vl - E)[0]
+    hi = _two_sum(vh, vl + E)[0]
+    byte = _hs_byte_map(f_mid)
+    b_lo = _hs_byte_map(lo)
+    b_hi = _hs_byte_map(hi)
+    uncertain = (b_lo != b_hi) & win_finite
+    # finite windows whose dd value itself went nonfinite (sum
+    # overflow): the oracle is finite there — always resolve on host
+    uncertain |= win_finite & ~jnp.isfinite(vh)
+
+    # GDAL edge ring (no computeEdges): dst nodata 0, never uncertain
+    h_, w_ = z.shape
+    row = jnp.arange(h_)[:, None]
+    col = jnp.arange(w_)[None, :]
+    ring = (row == 0) | (row == h_ - 1) | (col == 0) | (col == w_ - 1)
+    byte = jnp.where(ring, jnp.float32(0.0), byte)
+    uncertain = uncertain & ~ring
+    return byte.astype(jnp.uint8), uncertain
+
+
+def compute_hillshade_exact(dem, sun_azimuth_angle, sun_elevation_angle,
+                            pixel_spacing_x=30.0, pixel_spacing_y=-30.0,
+                            as_device=False):
+    """Hillshade bytes bit-identical to the float64 GDAL-semantics
+    oracle (`_host_hillshade_gdal`), computed on device in float32 with
+    host float64 resolution of the epsilon band."""
+    if isinstance(dem, np.ndarray):
+        out = _host_hillshade_gdal(dem, sun_azimuth_angle,
+                                   sun_elevation_angle,
+                                   pixel_spacing_x, pixel_spacing_y)
+        return jnp.asarray(out) if as_device else out
+
+    consts_dd = _hillshade_consts_dd(sun_azimuth_angle,
+                                     sun_elevation_angle)
+    dem32 = jnp.asarray(dem, dtype=jnp.float32)
+    byte, uncertain = _hillshade_comparison_space(
+        dem32, consts_dd, psx=float(pixel_spacing_x),
+        psy=float(pixel_spacing_y))
+
+    # scalar count first (4-byte d2h through the slow tunnel), then an
+    # index fetch sized to the common tiny band
+    n_uncertain = int(jnp.sum(uncertain))
+    if n_uncertain == 0:
+        return byte if as_device else np.asarray(byte)
+    if n_uncertain < _MAX_UNCERTAIN_HS:
+        size = 1024 if n_uncertain <= 1024 else _MAX_UNCERTAIN_HS
+        idx = np.asarray(jnp.flatnonzero(uncertain, size=size,
+                                         fill_value=-1))
+
+    if n_uncertain >= _MAX_UNCERTAIN_HS:
+        out = _host_hillshade_gdal(np.asarray(dem32),
+                                   sun_azimuth_angle,
+                                   sun_elevation_angle,
+                                   pixel_spacing_x, pixel_spacing_y)
+        return jnp.asarray(out) if as_device else out
+
+    if n_uncertain:
+        sel = jnp.asarray(idx[:n_uncertain])
+        # gather the flagged pixels' 3x3 float32 windows on device;
+        # ONE small d2h fetch of the stacked values
+        p = jnp.pad(dem32, 1, mode='edge')
+        h_, w_ = dem32.shape
+        vals = jnp.stack([
+            p[dy:dy + h_, dx:dx + w_].ravel()[sel]
+            for dy in (0, 1, 2) for dx in (0, 1, 2)])
+        vals = np.asarray(vals, dtype=np.float32)
+        wsel = {(dy, dx): vals[dy * 3 + dx]
+                for dy in (0, 1, 2) for dx in (0, 1, 2)}
+        decided = _hillshade_bytes_f64(wsel, sun_azimuth_angle,
+                                       sun_elevation_angle,
+                                       pixel_spacing_x, pixel_spacing_y)
+        if as_device:
+            flat = byte.ravel().at[sel].set(jnp.asarray(decided))
+            return flat.reshape(byte.shape)
+        out = np.array(byte)
+        out.ravel()[np.asarray(sel)] = decided
+        return out
+    return byte if as_device else np.asarray(byte)
+
+
+def _otsu_threshold_f64(value_counts):
+    """The reference's Otsu threshold (dswx_hls.py:1638-1684) in
+    float64 from a 256-entry BYTE-VALUE histogram (a sufficient
+    statistic for a uint8 image): np.histogram's own binning over
+    [min, max] via its weights path, then the cumulative inter-class
+    variance argmax (NaN entries propagate through np.argmax exactly as
+    in the reference)."""
+    counts = np.asarray(value_counts, dtype=np.int64)
+    present = np.flatnonzero(counts)
+    if present.size == 0:
+        return None
+    values = present.astype(np.float64)
+    hist, bin_edges = np.histogram(values, bins=256,
+                                   weights=counts[present].astype(
+                                       np.float64))
+    hist = np.divide(hist.ravel(), hist.max())
+    bin_mids = (bin_edges[:-1] + bin_edges[1:]) / 2.
+    weight1 = np.cumsum(hist)
+    weight2 = np.cumsum(hist[::-1])[::-1]
+    with np.errstate(invalid='ignore', divide='ignore'):
+        mean1 = np.cumsum(hist * bin_mids) / weight1
+        mean2 = (np.cumsum((hist * bin_mids)[::-1])
+                 / weight2[::-1])[::-1]
+        inter_class_variance = (weight1[:-1] * weight2[1:]
+                                * (mean1[:-1] - mean2[1:]) ** 2)
+    index_of_max_val = np.argmax(inter_class_variance)
+    return float(bin_mids[:-1][index_of_max_val])
+
+
+def compute_otsu_shadow_layer_exact(dem, sun_azimuth_angle,
+                                    sun_elevation_angle,
+                                    pixel_spacing_x=30.0,
+                                    pixel_spacing_y=-30.0,
+                                    as_device=False):
+    """Otsu shadow branch, bit-identical to the reference float64 chain
+    given this module's hillshade oracle: exact hillshade bytes, the
+    256-bin value histogram fetched as integers (1 KB), the threshold
+    selected on host in float64 with the reference's exact formula, and
+    the `hillshade > threshold` decision lowered to an integer byte
+    comparison (True: not shadow)."""
+    hs = compute_hillshade_exact(dem, sun_azimuth_angle,
+                                 sun_elevation_angle, pixel_spacing_x,
+                                 pixel_spacing_y, as_device=True)
+    counts = np.asarray(jnp.zeros(256, jnp.int32).at[hs.ravel()].add(1))
+    threshold = _otsu_threshold_f64(counts)
+    # byte > float64 threshold  <=>  byte >= cut (exact: bytes are ints)
+    over = np.arange(256, dtype=np.float64) > threshold
+    cut = int(np.argmax(over)) if over.any() else 256
+    if cut >= 256:
+        mask = jnp.zeros(hs.shape, bool)
+    else:
+        mask = hs >= jnp.uint8(cut)
+    return mask if as_device else np.asarray(mask)
+
+
 def compute_hillshade(dem, sun_azimuth_angle, sun_elevation_angle,
                       pixel_spacing_x=30.0, pixel_spacing_y=-30.0):
-    """GDAL gdaldem hillshade (Horn kernel), byte output in 1..255.
-
-    x/y slopes use Horn's 3x3 weights over (ewres, nsres); edges use
-    replicate padding (the reference DEM carries a 50 px margin that is
-    cropped, so edges are immaterial).
-    """
-    z = dem.astype(jnp.float32)
-    p = jnp.pad(z, 1, mode='edge')
-    w = {}
-    for dy in (0, 1, 2):
-        for dx in (0, 1, 2):
-            w[(dy, dx)] = p[dy:dy + z.shape[0], dx:dx + z.shape[1]]
-    # GDAL window layout: rows top->bottom, cols left->right
-    x = ((w[(0, 0)] + 2 * w[(1, 0)] + w[(2, 0)])
-         - (w[(0, 2)] + 2 * w[(1, 2)] + w[(2, 2)])) / (8.0 * pixel_spacing_x)
-    y = ((w[(2, 0)] + 2 * w[(2, 1)] + w[(2, 2)])
-         - (w[(0, 0)] + 2 * w[(0, 1)] + w[(0, 2)])) / (8.0 * pixel_spacing_y)
-
-    alt = np.radians(float(sun_elevation_angle))
-    az = np.radians(float(sun_azimuth_angle))
-    sin_alt = np.sin(alt)
-    cos_az_cos_alt = np.cos(az) * np.cos(alt)
-    sin_az_cos_alt = np.sin(az) * np.cos(alt)
-
-    xx_plus_yy = x * x + y * y
-    cang = (sin_alt - (y * cos_az_cos_alt - x * sin_az_cos_alt)) / \
-        jnp.sqrt(1.0 + xx_plus_yy)
-    out = jnp.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
-    return jnp.round(out).astype(jnp.uint8)
+    """GDAL gdaldem hillshade (Horn kernel), byte output: border ring 0
+    (no computeEdges), interior 1..255 — single-pass device variant
+    without the host band resolve (production uses
+    `compute_hillshade_exact`)."""
+    byte, _ = _hillshade_comparison_space(
+        jnp.asarray(dem, dtype=jnp.float32),
+        _hillshade_consts_dd(sun_azimuth_angle, sun_elevation_angle),
+        psx=float(pixel_spacing_x), psy=float(pixel_spacing_y))
+    return byte
 
 
 def compute_otsu_shadow_layer(dem, sun_azimuth_angle, sun_elevation_angle,
                               pixel_spacing_x=30.0, pixel_spacing_y=-30.0):
-    """Hillshade + Otsu binarization (True: not shadow)."""
+    """Hillshade + Otsu binarization (True: not shadow) — single-pass
+    float32 variant (production uses the exact variant above)."""
     hs = compute_hillshade(dem, sun_azimuth_angle, sun_elevation_angle,
                            pixel_spacing_x, pixel_spacing_y)
     return otsu_binarize(hs)

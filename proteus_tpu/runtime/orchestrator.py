@@ -26,8 +26,7 @@ from proteus_tpu.io.png import geotiff2png
 from proteus_tpu.models.dswx.chain import DswxChainConfig, dswx_chain
 from proteus_tpu.models.dswx.landcover import create_landcover_mask_arrays
 from proteus_tpu.models.dswx.shadow import (compute_opera_shadow_layer_exact,
-                                            compute_hillshade)
-from proteus_tpu.ops.otsu import otsu_binarize
+                                            compute_otsu_shadow_layer_exact)
 from proteus_tpu.runtime import ctables, metadata as md_util
 from proteus_tpu.runtime import product_writer as pw
 from proteus_tpu.runtime.profiling import StageTimers, device_trace
@@ -355,9 +354,11 @@ def generate_dswx_layers(input_list,
             dem_with_margin.block_until_ready()
         with timers.stage('terrain shadow'):
             if p['shadow_masking_algorithm'] == 'otsu':
-                hillshade = compute_hillshade(
-                    dem_with_margin, sun_azimuth_angle, sun_elevation_angle)
-                shadow_with_margin = otsu_binarize(hillshade)
+                shadow_with_margin = compute_otsu_shadow_layer_exact(
+                    dem_with_margin, sun_azimuth_angle,
+                    sun_elevation_angle,
+                    pixel_spacing_x=geotransform[1],
+                    pixel_spacing_y=geotransform[5], as_device=True)
             else:
                 shadow_with_margin = compute_opera_shadow_layer_exact(
                     dem_with_margin, sun_azimuth_angle,

@@ -411,6 +411,56 @@ def one_shadow_iteration(seed, ref):
             f'mins={mins} maxi={maxi}: {flips} boolean flips')
 
 
+def one_hillshade_iteration(seed, ref):
+    """Fuzz the otsu branch: device compute_hillshade_exact vs the
+    float64 host oracle (bit-identical bytes), and the full otsu shadow
+    mask vs the reference's executing _compute_otsu_threshold over
+    those bytes."""
+    import jax.numpy as jnp
+    from proteus_tpu.models.dswx.shadow import (
+        compute_hillshade_exact, compute_otsu_shadow_layer_exact,
+        _host_hillshade_gdal)
+    rng = np.random.default_rng(seed)
+    shape = (int(rng.integers(16, 200)), int(rng.integers(16, 200)))
+    kind = rng.integers(0, 5)
+    if kind == 0:      # smooth correlated terrain
+        dem = rng.normal(0, 1, shape).cumsum(0).cumsum(1)
+        dem = dem / max(1e-9, np.abs(dem).max()) * rng.uniform(10, 5000)
+    elif kind == 1:    # rough noise
+        dem = rng.normal(0, rng.uniform(1, 500), shape)
+    elif kind == 2:    # high-altitude plateau: worst f32 cancellation
+        dem = (rng.uniform(4000, 8848)
+               + rng.normal(0, rng.uniform(0.01, 5), shape))
+    elif kind == 3:    # flat with NaN holes
+        dem = np.full(shape, float(rng.uniform(0, 1000)))
+        dem[rng.random(shape) < 0.1] = np.nan
+    else:              # sentinel cliffs incl. f32-overflow magnitudes
+        dem = rng.choice(np.array([-9999.0, 8000.0, 150.0, 0.0,
+                                   3.0e38, -3.0e38]), shape)
+    dem = dem.astype(np.float32)
+    az = float(rng.uniform(0, 360))
+    elev = float(rng.uniform(1, 89))
+    psx = float(rng.choice([30.0, 10.0, 98.425]))
+    psy = -psx
+    want = _host_hillshade_gdal(dem, az, elev, psx, psy)
+    got = np.asarray(compute_hillshade_exact(
+        jnp.asarray(dem), az, elev, psx, psy, as_device=True))
+    bad = int((got != want).sum())
+    if bad:
+        raise AssertionError(
+            f'hillshade seed={seed} kind={kind} az={az} elev={elev} '
+            f'psx={psx}: {bad} byte mismatches vs float64 oracle')
+    if ref is not None and np.isfinite(dem).all():
+        twant = ref._compute_otsu_threshold(want, is_normalized=True)
+        tgot = np.asarray(compute_otsu_shadow_layer_exact(
+            jnp.asarray(dem), az, elev, psx, psy))
+        flips = int((tgot != twant).sum())
+        if flips:
+            raise AssertionError(
+                f'otsu seed={seed} kind={kind}: {flips} mask flips vs '
+                'the reference executing threshold')
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     for i in range(n):
@@ -456,6 +506,13 @@ def main():
             print(f'{i + 1}/{n} shadow iterations bit-exact', flush=True)
     print(f'shadow fuzz complete: {n} iterations, 0 boolean flips vs the '
           'reference float64 chain')
+    for i in range(n):
+        one_hillshade_iteration(9000 + i, ref)
+        if (i + 1) % 25 == 0:
+            print(f'{i + 1}/{n} hillshade+otsu iterations bit-exact',
+                  flush=True)
+    print(f'hillshade+otsu fuzz complete: {n} iterations, device bytes '
+          '== float64 oracle, masks == reference executing threshold')
 
 
 if __name__ == '__main__':

@@ -599,14 +599,14 @@ def DEMProcessing(destination, source, processing, azimuth=None,
         raise NotImplementedError(
             f'gdal_shim DEMProcessing supports only hillshade '
             f'(got {processing!r})')
-    from proteus_tpu.models.dswx.shadow import compute_hillshade
+    from proteus_tpu.models.dswx.shadow import compute_hillshade_exact
     with TiffReader(source) as r:
         dem = r.read()
         gt = r.geotransform()
         epsg = r.epsg()
-    hs = np.asarray(compute_hillshade(dem, azimuth, altitude,
-                                      pixel_spacing_x=gt[1],
-                                      pixel_spacing_y=gt[5]))
+    hs = compute_hillshade_exact(np.asarray(dem, np.float32), azimuth,
+                                 altitude, pixel_spacing_x=gt[1],
+                                 pixel_spacing_y=gt[5])
     ds = _WriteDataset(destination, hs.shape[1], hs.shape[0], 1,
                        GDT_Byte)
     ds._arrays[0] = hs

@@ -370,8 +370,11 @@ class TestHillshadeAnalytic:
         from proteus_tpu.models.dswx.shadow import compute_hillshade
         dem = np.full((32, 32), 500.0, np.float32)
         hs = np.asarray(compute_hillshade(dem, 135.0, 45.0))
-        want = int(np.round(1.0 + 254.0 * np.sin(np.radians(45.0))))
-        assert (hs == want).all()
+        v = np.float32(1.0 + 254.0 * np.sin(np.radians(45.0)))
+        want = int(np.trunc(v + np.float32(0.5)))
+        # GDAL edge semantics: 1-px border ring is dst nodata 0
+        assert (hs[1:-1, 1:-1] == want).all()
+        assert (hs[0, :] == 0).all() and (hs[:, -1] == 0).all()
 
     def test_sun_facing_slope_brighter(self):
         from proteus_tpu.models.dswx.shadow import compute_hillshade
@@ -396,6 +399,82 @@ class TestHillshadeAnalytic:
         shad2 = np.asarray(compute_opera_shadow_layer(dem, 100.0, 10.0,
                                                       -5.0, 40.0))
         assert shad2.all()
+
+
+class TestHillshadeExact:
+    """compute_hillshade_exact (device f32 + epsilon-band host resolve)
+    must be bit-identical to the float64 GDAL-semantics oracle
+    `_host_hillshade_gdal` (reference otsu branch: dswx_hls.py:4177-4212
+    via gdal.DEMProcessing hillshade, Horn, no computeEdges)."""
+
+    @staticmethod
+    def _terrain(seed, shape=(128, 128), scale=800.0):
+        rng = np.random.default_rng(seed)
+        base = rng.normal(0, 1, shape).cumsum(axis=0).cumsum(axis=1)
+        return (base / np.abs(base).max() * scale + 200).astype(
+            np.float32)
+
+    def test_device_matches_host_oracle(self):
+        import jax.numpy as jnp
+        from proteus_tpu.models.dswx.shadow import (
+            compute_hillshade_exact, _host_hillshade_gdal)
+        for seed, az, elev in [(0, 135.0, 45.0), (1, 277.3, 18.0),
+                               (2, 90.0, 75.0), (3, 0.0, 2.0)]:
+            dem = self._terrain(seed)
+            want = _host_hillshade_gdal(dem, az, elev, 30.0, -30.0)
+            got = np.asarray(compute_hillshade_exact(
+                jnp.asarray(dem), az, elev, as_device=True))
+            np.testing.assert_array_equal(got, want)
+            host_ret = compute_hillshade_exact(jnp.asarray(dem), az,
+                                               elev)
+            assert isinstance(host_ret, np.ndarray)
+            np.testing.assert_array_equal(host_ret, want)
+
+    def test_quadratic_ramp_boundary_sweep(self):
+        """Smoothly varying slope: v = 1 + 254*cang sweeps through
+        dozens of x.5 round-half boundaries — the regime where a plain
+        f32 chain flips bytes vs the f64 oracle."""
+        import jax.numpy as jnp
+        from proteus_tpu.models.dswx.shadow import (
+            compute_hillshade_exact, _host_hillshade_gdal)
+        col = np.arange(2048, dtype=np.float64)
+        dem = (0.01 * col ** 2).astype(np.float32)[None, :].repeat(
+            8, axis=0)
+        for az, elev in [(90.0, 45.0), (270.0, 30.0), (135.0, 60.0)]:
+            want = _host_hillshade_gdal(dem, az, elev, 30.0, -30.0)
+            got = np.asarray(compute_hillshade_exact(
+                jnp.asarray(dem), az, elev, as_device=True))
+            np.testing.assert_array_equal(got, want)
+        # sanity: the sweep really does cover a wide byte range
+        assert len(np.unique(want[1:-1, 1:-1])) > 50
+
+    def test_nan_and_f32_overflow_windows(self):
+        """NaN windows pin to byte 0; finite float32 DEM values whose
+        Horn sums overflow ONLY the f32 intermediates must be resolved
+        against the (non-overflowing) f64 oracle."""
+        import jax.numpy as jnp
+        from proteus_tpu.models.dswx.shadow import (
+            compute_hillshade_exact, _host_hillshade_gdal)
+        dem = self._terrain(7, (64, 64))
+        dem[10:14, 20:24] = np.nan
+        dem[40, 40] = np.float32(3.0e38)
+        dem[41, 45] = np.float32(-3.0e38)
+        want = _host_hillshade_gdal(dem, 135.0, 45.0, 30.0, -30.0)
+        got = np.asarray(compute_hillshade_exact(
+            jnp.asarray(dem), 135.0, 45.0, as_device=True))
+        np.testing.assert_array_equal(got, want)
+
+    def test_fallback_full_host_recompute(self, monkeypatch):
+        """Band budget overflow falls back to the full host oracle."""
+        import jax.numpy as jnp
+        from proteus_tpu.models.dswx import shadow as sh
+        monkeypatch.setattr(sh, '_MAX_UNCERTAIN_HS', 0)
+        dem = self._terrain(5, (32, 32))
+        want = sh._host_hillshade_gdal(dem, 135.0, 45.0, 30.0, -30.0)
+        got = np.asarray(sh.compute_hillshade_exact(
+            jnp.asarray(dem), 135.0, 45.0, as_device=True))
+        np.testing.assert_array_equal(got, want)
+
 
 
 def test_make_jitted_chain_helper():

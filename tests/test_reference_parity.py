@@ -342,6 +342,32 @@ class TestPerStageParity:
         got = np.asarray(otsu_binarize(image))
         np.testing.assert_array_equal(got, want)
 
+    def test_otsu_shadow_layer_exact_vs_reference_chain(self):
+        """The full otsu shadow branch (dswx_hls.py:4425-4436): exact
+        hillshade bytes -> the REFERENCE's own _compute_otsu_threshold
+        executing on them -> `hillshade > threshold`. Our byte-LUT cut
+        must reproduce the float64 comparison bit-for-bit."""
+        import jax.numpy as jnp
+        from proteus_tpu.models.dswx.shadow import (
+            compute_otsu_shadow_layer_exact, _host_hillshade_gdal)
+        rng = np.random.default_rng(11)
+        for az, elev in [(135.0, 45.0), (277.3, 18.0), (45.0, 70.0)]:
+            base = rng.normal(0, 1, (96, 96)).cumsum(0).cumsum(1)
+            dem = (base / np.abs(base).max() * 900 + 100).astype(
+                np.float32)
+            hs = _host_hillshade_gdal(dem, az, elev, 30.0, -30.0)
+            want = REF._compute_otsu_threshold(hs, is_normalized=True)
+            got = compute_otsu_shadow_layer_exact(
+                jnp.asarray(dem), az, elev)
+            np.testing.assert_array_equal(np.asarray(got), want)
+        # degenerate histogram: constant interior + border-ring zeros
+        dem = np.full((48, 48), 512.0, np.float32)
+        hs = _host_hillshade_gdal(dem, 135.0, 45.0, 30.0, -30.0)
+        want = REF._compute_otsu_threshold(hs, is_normalized=True)
+        got = compute_otsu_shadow_layer_exact(jnp.asarray(dem), 135.0,
+                                              45.0)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
     def test_decimate_and_update_landcover(self):
         img = RNG.integers(0, 2, (30, 30)).astype(np.uint8)
         want = REF.decimate_by_summation(img, 3, 3)
