@@ -171,7 +171,8 @@ class Hdf4File:
     def _vdata_values(self, ref):
         """Decode a single-field vdata into a numpy array or string."""
         vh = self._parse_vdatas()[ref]
-        raw = self._read(DFTAG_VS, ref)
+        raw = self._read_data_element(DFTAG_VS, ref,
+                                      vh['nvert'] * vh['ivsize'])
         nt = vh['types'][0]
         dtype = np.dtype(_NT_DTYPES[nt]).newbyteorder('>')
         count = vh['nvert'] * vh['orders'][0]
@@ -271,7 +272,11 @@ class Hdf4File:
     # -- data element decode ---------------------------------------------------
 
     def _read_data_element(self, tag, ref, expected_size):
-        """Read a (possibly special) data element's bytes."""
+        """Read a (possibly special) data element's bytes.
+
+        ``expected_size`` may be None for elements whose stored length
+        is not knowable up front (e.g. a compressed byte stream laid
+        out in linked blocks)."""
         if (tag | EXT_TAG_BIT, ref) in self._dds:
             data = self._read(tag | EXT_TAG_BIT, ref)
             return self._decode_special(data, expected_size)
@@ -284,7 +289,10 @@ class Hdf4File:
             # [u16 model_type][u16 comp_type][coder info]
             _ver, _ulen, comp_ref, _model, comp_type = struct.unpack(
                 '>HiHHH', header[2:14])
-            payload = self._read(DFTAG_COMPRESSED, comp_ref)
+            # the compressed stream itself may be a special element
+            # (linked blocks, when the writer appended incrementally)
+            payload = self._read_data_element(DFTAG_COMPRESSED,
+                                              comp_ref, None)
             if comp_type == COMP_CODE_DEFLATE:
                 return zlib.decompress(payload)
             if comp_type == COMP_CODE_NONE:
@@ -295,20 +303,37 @@ class Hdf4File:
             return self._decode_chunked(header, expected_size)
         if sp == SPECIAL_LINKED:
             # [i16 sp][i32 length][i32 blk_len][i32 num_blk][u16 link_ref]
-            _tot, _blk_len, _nblk, link_ref = struct.unpack(
+            length, _blk_len, _nblk, link_ref = struct.unpack(
                 '>iiiH', header[2:16])
+            if expected_size is None:
+                expected_size = length if length > 0 else None
             return self._read_linked(link_ref, expected_size)
         raise ValueError(f'unsupported HDF4 special element {sp}')
 
     def _read_linked(self, link_ref, expected_size):
+        """Linked-block element (HDF 4.2 spec 'Linked Block Elements',
+        hblocks layout): ``link_ref`` names a block TABLE —
+        [u16 next_table_ref][u16 block_ref x n] — whose entries name
+        the data blocks; all carry tag DFTAG_LINKED. Zero refs mark
+        unused table slots."""
         out = bytearray()
-        ref = link_ref
-        while ref and len(out) < expected_size:
-            block = self._read(DFTAG_LINKED, ref)
-            nxt = struct.unpack('>H', block[:2])[0]
-            out += block[2:]
-            ref = nxt
-        return bytes(out[:expected_size])
+        tbl_ref = link_ref
+        while tbl_ref:
+            tbl = self._read(DFTAG_LINKED, tbl_ref)
+            next_ref = struct.unpack('>H', tbl[:2])[0]
+            n = (len(tbl) - 2) // 2
+            refs = struct.unpack('>' + 'H' * n, tbl[2:2 + 2 * n])
+            for r in refs:
+                if r == 0:
+                    continue
+                out += self._read(DFTAG_LINKED, r)
+                if expected_size is not None and \
+                        len(out) >= expected_size:
+                    return bytes(out[:expected_size])
+            tbl_ref = next_ref
+        if expected_size is not None:
+            return bytes(out[:expected_size])
+        return bytes(out)
 
     def _decode_chunked(self, header, expected_size):
         # [i16 sp][i32 head_len][u8 version][i32 flag][i32 elem_tot]
@@ -332,7 +357,8 @@ class Hdf4File:
 
         # chunk table vdata: fields origin[ndims] (int32), chk_tag, chk_ref
         vh = self._parse_vdatas()[tbl_ref]
-        raw = self._read(DFTAG_VS, tbl_ref)
+        raw = self._read_data_element(DFTAG_VS, tbl_ref,
+                                      vh['nvert'] * vh['ivsize'])
         rec_size = vh['ivsize']
         # assemble the padded chunk grid in raw bytes (last axis in bytes)
         n_chunks = [int(np.ceil(d / c)) for d, c in zip(dims, chunk_dims)]
@@ -346,6 +372,9 @@ class Hdf4File:
                                    rec_raw[:4 * ndims])
             chk_tag, chk_ref = struct.unpack(
                 '>HH', rec_raw[4 * ndims:4 * ndims + 4])
+            if chk_tag in (0, 0xFFFF) or chk_ref in (0, 0xFFFF):
+                # unwritten (sparse) chunk: stays zero-filled
+                continue
             blob = self._read_data_element(chk_tag, chk_ref, chunk_bytes)
             chunk = np.frombuffer(blob[:chunk_bytes], dtype=np.uint8)
             chunk = chunk.reshape([*chunk_dims[:-1],

@@ -89,8 +89,35 @@ class Hdf4Writer:
     def add_global_attr(self, name, value):
         self.attr_vdata(name, value)
 
+    def _add_linked(self, tag, ref, data, blk_len=1024,
+                    refs_per_table=16):
+        """Store ``data`` as a linked-block special element in the HDF
+        4.2 hblocks layout: the special header points at a block TABLE
+        ([u16 next_table][u16 block_ref x refs_per_table], zero refs =
+        unused slots) whose entries name DFTAG_LINKED data blocks."""
+        blocks = [data[i:i + blk_len]
+                  for i in range(0, len(data), blk_len)] or [b'']
+        block_refs = []
+        for b in blocks:
+            r = self._ref()
+            self._add(H.DFTAG_LINKED, r, b)
+            block_refs.append(r)
+        tables = [block_refs[i:i + refs_per_table]
+                  for i in range(0, len(block_refs), refs_per_table)]
+        table_refs = [self._ref() for _ in tables]
+        for i, (tbl, tref) in enumerate(zip(tables, table_refs)):
+            nxt = table_refs[i + 1] if i + 1 < len(tables) else 0
+            padded = tbl + [0] * (refs_per_table - len(tbl))
+            self._add(H.DFTAG_LINKED, tref,
+                      struct.pack('>H' + 'H' * refs_per_table, nxt,
+                                  *padded))
+        header = struct.pack('>hiiiH', H.SPECIAL_LINKED, len(data),
+                             blk_len, refs_per_table, table_refs[0])
+        self._add(tag | H.EXT_TAG_BIT, ref, header)
+
     def add_sds(self, name, array, attrs=None, compress=True,
-                chunked=False, chunk_dims=None):
+                chunked=False, chunk_dims=None, linked=False,
+                linked_comp=False, sparse_origins=()):
         array = np.asarray(array)
         nt_ref, nt_code = self._nt(array.dtype)
         sdd_ref = self._ref()
@@ -105,14 +132,23 @@ class Hdf4Writer:
         sd_ref = self._ref()
         if chunked:
             self._write_chunked(sd_ref, array, nt_code, compress,
-                                chunk_dims)
+                                chunk_dims, sparse_origins)
         elif compress:
             comp_ref = self._ref()
-            self._add(H.DFTAG_COMPRESSED, comp_ref, zlib.compress(raw))
+            if linked_comp:
+                # compressed stream itself laid out in linked blocks
+                # (appendable-element layout)
+                self._add_linked(H.DFTAG_COMPRESSED, comp_ref,
+                                 zlib.compress(raw), blk_len=512)
+            else:
+                self._add(H.DFTAG_COMPRESSED, comp_ref,
+                          zlib.compress(raw))
             header = struct.pack('>hHiHHH', H.SPECIAL_COMP, 0, len(raw),
                                  comp_ref, 0, H.COMP_CODE_DEFLATE)
             header += struct.pack('>H', 6)  # deflate level
             self._add(H.DFTAG_SD | H.EXT_TAG_BIT, sd_ref, header)
+        elif linked:
+            self._add_linked(H.DFTAG_SD, sd_ref, raw)
         else:
             self._add(H.DFTAG_SD, sd_ref, raw)
 
@@ -128,7 +164,7 @@ class Hdf4Writer:
         self._vgroup(name, 'Var0.0', members)
 
     def _write_chunked(self, sd_ref, array, nt_code, compress,
-                       chunk_dims):
+                       chunk_dims, sparse_origins=()):
         dims = list(array.shape)
         nt_size = self._nt_size(nt_code)
         if chunk_dims is None:
@@ -139,6 +175,13 @@ class Hdf4Writer:
         records = b''
         nvert = 0
         for origin in np.ndindex(*n_chunks):
+            if tuple(origin) in set(map(tuple, sparse_origins)):
+                # unwritten chunk: table record with null tag/ref
+                records += b''.join(struct.pack('>i', o)
+                                    for o in origin)
+                records += struct.pack('>HH', 0, 0)
+                nvert += 1
+                continue
             sl = tuple(slice(o * c, (o + 1) * c)
                        for o, c in zip(origin, chunk_dims))
             chunk = np.zeros(chunk_dims, dtype=be.dtype)
@@ -191,22 +234,35 @@ class Hdf4Writer:
             header += struct.pack('>iii', 1, d, c)
         self._add(H.DFTAG_SD | H.EXT_TAG_BIT, sd_ref, header)
 
-    def save(self, path):
-        # layout: magic | DD block | element data
-        n = len(self._elements)
-        header_size = 4 + 6 + 12 * n
-        offset = header_size
-        dd = struct.pack('>HI', n, 0)
-        blobs = []
-        for tag, ref, data in self._elements:
-            dd += struct.pack('>HHII', tag, ref, offset, len(data))
-            blobs.append(data)
-            offset += len(data)
+    def save(self, path, dd_block_size=None):
+        # layout: magic | DD block chain | element data. The real HDF4
+        # library grows the DD list in fixed-size blocks linked by the
+        # next-offset field; dd_block_size emulates that chain.
+        elems = self._elements
+        n = len(elems)
+        size = dd_block_size or max(n, 1)
+        groups = [elems[i:i + size] for i in range(0, n, size)] or [[]]
+        block_offsets = []
+        off = 4
+        for g in groups:
+            block_offsets.append(off)
+            off += 6 + 12 * len(g)
+        data_offset = off
+        dd_blocks = []
+        for bi, g in enumerate(groups):
+            nxt = block_offsets[bi + 1] if bi + 1 < len(groups) else 0
+            dd = struct.pack('>HI', len(g), nxt)
+            for tag, ref, data in g:
+                dd += struct.pack('>HHII', tag, ref, data_offset,
+                                  len(data))
+                data_offset += len(data)
+            dd_blocks.append(dd)
         with open(path, 'wb') as fh:
             fh.write(H.HDF4_MAGIC)
-            fh.write(dd)
-            for b in blobs:
-                fh.write(b)
+            for d in dd_blocks:
+                fh.write(d)
+            for _, _, data in elems:
+                fh.write(data)
         return path
 
 

@@ -57,6 +57,54 @@ def test_sds_dtypes(tmp_path, dtype):
         np.testing.assert_array_equal(got, arr)
 
 
+def test_linked_block_layouts(tmp_path):
+    """Spec 'Linked Block Elements' (hblocks): block tables chaining
+    data blocks, for both a plain SDS and the compressed stream of a
+    DEFLATE SDS (the appendable-element layout real HDF4 produces when
+    an element grows incrementally)."""
+    arr = RNG.integers(-5000, 15000, (90, 77)).astype(np.int16)
+    for kw in ({'compress': False, 'linked': True},
+               {'compress': True, 'linked_comp': True}):
+        w = Hdf4Writer()
+        w.add_sds('band02', arr, **kw)
+        path = str(tmp_path / 'l.hdf')
+        w.save(path)
+        with hdf4.Hdf4File(path) as f:
+            np.testing.assert_array_equal(f.read_sds('band02'), arr)
+
+
+def test_multiblock_dd_chain(tmp_path):
+    """DD lists split across several linked DD blocks (the real
+    library grows the list in fixed-size blocks)."""
+    w = Hdf4Writer()
+    arrs = {}
+    for i in range(4):
+        arrs[f'b{i}'] = RNG.integers(0, 1000, (40, 33)).astype(np.int16)
+        w.add_sds(f'b{i}', arrs[f'b{i}'], compress=(i % 2 == 0))
+    w.add_global_attr('SENSING_TIME', '2020-01-01T00:00:00Z')
+    path = str(tmp_path / 'm.hdf')
+    w.save(path, dd_block_size=3)
+    with hdf4.Hdf4File(path) as f:
+        for name, arr in arrs.items():
+            np.testing.assert_array_equal(f.read_sds(name), arr)
+        assert f.global_attributes()['SENSING_TIME'].startswith('2020')
+
+
+def test_sparse_chunked_sds(tmp_path):
+    """Chunk-table records with null tag/ref (unwritten chunks) read
+    back as zeros instead of raising."""
+    w = Hdf4Writer()
+    arr = RNG.integers(1, 100, (100, 100)).astype(np.int16)
+    w.add_sds('band02', arr, compress=True, chunked=True,
+              chunk_dims=[64, 64], sparse_origins=[(1, 1)])
+    path = str(tmp_path / 's.hdf')
+    w.save(path)
+    want = arr.copy()
+    want[64:, 64:] = 0
+    with hdf4.Hdf4File(path) as f:
+        np.testing.assert_array_equal(f.read_sds('band02'), want)
+
+
 def test_struct_metadata_parse():
     text = make_struct_metadata(699960.0, 3300000.0, 809760.0,
                                 3190200.0, 3660, 3660, 15)
