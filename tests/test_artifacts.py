@@ -51,6 +51,22 @@ def test_scaled_parity_artifact():
             assert val['mismatches'] == 0, (key, val)
 
 
+def test_hillshade_parity_artifact():
+    d = _load('HILLSHADE_TPU_PARITY.json')
+    assert d['platform'] == 'axon' or 'TPU' in d.get('device', '')
+    assert d['size'] >= 3660
+    assert d['total_mismatches'] == 0
+    terrains = {c['terrain'] for c in d['cases']}
+    # must cover the worst-cancellation plateau and NaN-holed DEMs
+    assert {'smooth', 'plateau_6000m', 'nan_holed'} <= terrains
+    assert len(d['cases']) >= 9
+    for c in d['cases']:
+        assert c['mismatched_bytes'] == 0, c
+        assert c['otsu_mask_mismatches'] == 0, c
+        # the dd band stays tiny at every elevation (design invariant)
+        assert c['band_frac'] < 1e-4, c
+
+
 def test_multichip_artifact():
     d = _load('MULTICHIP_r02.json')
     assert d.get('ok') is True
