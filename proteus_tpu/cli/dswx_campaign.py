@@ -48,6 +48,12 @@ def get_parser():
     parser.add_argument('--mask-adjacent-to-cloud-mode', type=str,
                         choices=['mask', 'ignore', 'cover'],
                         default='mask')
+    parser.add_argument('--shadow-masking-algorithm', type=str,
+                        choices=['sun_local_inc_angle', 'otsu'],
+                        default='sun_local_inc_angle',
+                        help='Terrain shadow algorithm for the SHAD '
+                             'layer (reference shadow_masking_'
+                             'algorithm runconfig key)')
     parser.add_argument('--dem', dest='dem_file', type=str,
                         help='Shared DEM covering all tiles (enables the '
                              'SHAD + DEM layers)')
@@ -130,7 +136,9 @@ def main(argv=None):
             scratch_dir=os.path.join(args.output_dir, '.dispatch'),
             config_kwargs=dict(
                 mask_adjacent_to_cloud_mode=
-                args.mask_adjacent_to_cloud_mode),
+                args.mask_adjacent_to_cloud_mode,
+                shadow_masking_algorithm=
+                args.shadow_masking_algorithm),
             save_browse=args.save_browse,
             platform=os.environ.get('PROTEUS_TPU_PLATFORM'),
             runner_kwargs=dict(
@@ -146,7 +154,8 @@ def main(argv=None):
 
     config = DswxChainConfig(
         thresholds=HlsThresholds(),
-        mask_adjacent_to_cloud_mode=args.mask_adjacent_to_cloud_mode)
+        mask_adjacent_to_cloud_mode=args.mask_adjacent_to_cloud_mode,
+        shadow_masking_algorithm=args.shadow_masking_algorithm)
     runner = CampaignRunner(config=config, manifest_path=manifest,
                             max_retries=args.max_retries,
                             reader_threads=args.reader_threads,

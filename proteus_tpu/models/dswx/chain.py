@@ -44,6 +44,7 @@ class DswxChainConfig:
     # builders, not by the per-pixel chain itself)
     min_slope_angle: float = -5.0
     max_sun_local_inc_angle: float = 40.0
+    shadow_masking_algorithm: str = 'sun_local_inc_angle'
     forest_mask_landcover_classes: Tuple[int, ...] = \
         (20, 50, 111, 113, 115, 116, 121, 123, 125, 126)
     # browse options

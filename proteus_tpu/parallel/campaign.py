@@ -650,8 +650,9 @@ def _read_tile(job, flag_debug=False, config=None, scaled=False,
 
     if job.dem_file:
         from proteus_tpu.geo.warp import warp_to_grid_device
-        from proteus_tpu.models.dswx.shadow import \
-            compute_opera_shadow_layer_exact
+        from proteus_tpu.models.dswx.shadow import (
+            compute_opera_shadow_layer_exact,
+            compute_otsu_shadow_layer_exact)
         from proteus_tpu.runtime.orchestrator import _mean_angle
         with STAGE_TIMES.stage('read_dem_shadow'):
             az = _mean_angle(metadata.get('MEAN_SUN_AZIMUTH_ANGLE', '0'))
@@ -660,6 +661,10 @@ def _read_tile(job, flag_debug=False, config=None, scaled=False,
                          if config is not None else -5.0)
             max_inc = (config.max_sun_local_inc_angle
                        if config is not None else 40.0)
+            shadow_alg = (config.shadow_masking_algorithm
+                          if config is not None and
+                          config.shadow_masking_algorithm else
+                          'sun_local_inc_angle')
             m = C.DEM_MARGIN_IN_PIXELS
             import jax.numpy as jnp
             dkey = ('dem_warp', _fsig(job.dem_file), gt, proj, length,
@@ -681,15 +686,24 @@ def _read_tile(job, flag_debug=False, config=None, scaled=False,
             image_dict['dem'] = dem_crop
 
             def _shadow():
-                shad = compute_opera_shadow_layer_exact(
-                    dem_m, az, 90.0 - zen, min_slope, max_inc,
-                    as_device=True)
+                if shadow_alg == 'otsu':
+                    # reference dswx_hls.py:4430-4436: hillshade over
+                    # the margined DEM + global-histogram Otsu cut
+                    shad = compute_otsu_shadow_layer_exact(
+                        dem_m, az, 90.0 - zen,
+                        pixel_spacing_x=gt[1], pixel_spacing_y=gt[5],
+                        as_device=True)
+                else:
+                    shad = compute_opera_shadow_layer_exact(
+                        dem_m, az, 90.0 - zen, min_slope, max_inc,
+                        as_device=True)
                 shad_crop = jnp.asarray(shad[m:-m, m:-m], jnp.uint8)
                 # the writer only needs the binary SHAD values: ship
                 # 1 bit/px (1.7 MB instead of 13.4) over the slow d2h
                 return shad_crop, pack_bits_device(shad_crop)
 
-            skey = ('shadow', dkey, az, zen, min_slope, max_inc)
+            skey = ('shadow', dkey, az, zen, min_slope, max_inc,
+                    shadow_alg)
             shad_crop, shad_packed = ANCILLARY_CACHE.get(skey, _shadow)
             image_dict['shadow_layer'] = shad_crop
             image_dict['shadow_packed'] = shad_packed

@@ -302,6 +302,47 @@ def test_campaign_cli(tmp_path):
     assert os.path.isfile(os.path.join(out, 'campaign_manifest.json'))
 
 
+def test_campaign_otsu_shadow_algorithm(tmp_path):
+    """The campaign reader honors shadow_masking_algorithm='otsu': its
+    SHAD equals the exact otsu chain over the same warped (margined)
+    DEM and differs from the default algorithm's; the cache keys the
+    two algorithms separately."""
+    from proteus_tpu.core import constants as C
+    from proteus_tpu.geo.warp import warp_to_grid_device
+    from proteus_tpu.models.dswx.shadow import (
+        compute_otsu_shadow_layer_exact)
+    from proteus_tpu.parallel import campaign as camp
+    camp.ANCILLARY_CACHE.clear()
+    d = str(tmp_path / 'in')
+    files, _ = synthetic.make_hls_v2_dataset(d, size=96)
+    dem = synthetic.make_dem(str(tmp_path), size=96)
+    job = TileJob('c0', files, str(tmp_path / 'o'), dem_file=dem)
+
+    d_otsu = camp._read_tile(job, config=DswxChainConfig(
+        shadow_masking_algorithm='otsu'))
+    d_def = camp._read_tile(job, config=DswxChainConfig())
+    got = np.asarray(d_otsu['shadow_layer'])
+    default = np.asarray(d_def['shadow_layer'])
+    assert (got != default).any()
+
+    from proteus_tpu.runtime.orchestrator import _mean_angle
+    gt = d_otsu['geotransform']
+    proj = d_otsu['projection']
+    length, width = d_otsu['length'], d_otsu['width']
+    md = d_otsu['hls_metadata']
+    az = _mean_angle(md.get('MEAN_SUN_AZIMUTH_ANGLE', '0'))
+    zen = _mean_angle(md.get('MEAN_SUN_ZENITH_ANGLE', '0'))
+    m = C.DEM_MARGIN_IN_PIXELS
+    dem_m = warp_to_grid_device(dem, gt, proj, length, width,
+                                resample_algorithm='cubic',
+                                margin_in_pixels=m)
+    want = np.asarray(compute_otsu_shadow_layer_exact(
+        dem_m, az, 90.0 - zen, pixel_spacing_x=gt[1],
+        pixel_spacing_y=gt[5], as_device=True))[m:-m, m:-m]
+    np.testing.assert_array_equal(got.astype(bool), want)
+    camp.ANCILLARY_CACHE.clear()
+
+
 def test_campaign_cli_dispatch_forwards_scaled(tmp_path, monkeypatch):
     """Regression: the --hosts>1 dispatch branch must forward --scaled
     into every worker's runner_kwargs (it used to drop it, silently
