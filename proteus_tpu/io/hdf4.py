@@ -318,7 +318,13 @@ class Hdf4File:
         unused table slots."""
         out = bytearray()
         tbl_ref = link_ref
+        seen = set()
         while tbl_ref:
+            if tbl_ref in seen:
+                raise ValueError(
+                    f'cyclic HDF4 linked-block table chain at ref '
+                    f'{tbl_ref}')
+            seen.add(tbl_ref)
             tbl = self._read(DFTAG_LINKED, tbl_ref)
             next_ref = struct.unpack('>H', tbl[:2])[0]
             n = (len(tbl) - 2) // 2
