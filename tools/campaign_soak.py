@@ -83,17 +83,23 @@ def main():
     ap.add_argument('--scaled', action='store_true', default=False,
                     help='soak the scaled-reflectance campaign (float32'
                          ' chain; on TPU the device-side cast path)')
+    ap.add_argument('--otsu', action='store_true', default=False,
+                    help='Run the campaign with '
+                         '--shadow-masking-algorithm otsu (soaks the '
+                         'dd-f32 hillshade + global-histogram SHAD '
+                         'path)')
     ap.add_argument('--timeout', type=int, default=3600)
     args = ap.parse_args()
     if args.out is None:
         args.out = os.path.join(
-            REPO, 'SOAK_CAMPAIGN_SCALED.json' if args.scaled
+            REPO, 'SOAK_CAMPAIGN_OTSU.json' if args.otsu
+            else 'SOAK_CAMPAIGN_SCALED.json' if args.scaled
             else 'SOAK_CAMPAIGN.json')
 
     report = {'generated': time.strftime('%Y-%m-%dT%H:%M:%SZ',
                                          time.gmtime()),
               'tiles': args.tiles, 'size': args.size,
-              'scaled': args.scaled}
+              'scaled': args.scaled, 'otsu': args.otsu}
 
     dirs, dem, lc, wc, shore = build_dataset(args.root, args.tiles,
                                              args.size)
@@ -112,6 +118,8 @@ def main():
            '--manifest', manifest]
     if args.scaled:
         cmd.append('--scaled')
+    if args.otsu:
+        cmd += ['--shadow-masking-algorithm', 'otsu']
     env = dict(os.environ)
     env['PROTEUS_TPU_FAULT_INJECT'] = f'{args.fault_tile}:1'
 
