@@ -135,13 +135,17 @@ def check_ancillary_inputs(check_ancillary_inputs_coverage,
                    f' (EPSG:{file_crs.epsg}): supported CRS are WGS84'
                    ' geographic (EPSG:4326), WGS84 UTM (EPSG:326xx/'
                    '327xx), NAD83/ETRS89 geographic+UTM (EPSG:4269/'
-                   '4258, 269xx/258xx), WGS84 polar stereographic'
-                   ' (EPSG:3031/3032/3413/3976), UPS (EPSG:5041/'
-                   '5042), Albers equal-area (EPSG:5070/3577), LAEA'
-                   ' (EPSG:3035/6931/6932), Lambert conformal conic'
-                   ' (EPSG:3978/2154), Mercator (EPSG:3857/3395), and'
-                   ' user-defined CRS in any of those projection'
-                   ' families.'
+                   '4258, 269xx/258xx), classical-datum grids with'
+                   ' their Helmert shifts (OSGB36 EPSG:27700/4277,'
+                   ' ED50 UTM EPSG:230xx/4230, NAD27 UTM EPSG:267xx/'
+                   '4267, Tokyo EPSG:4301, Pulkovo 1942 Gauss-Krueger'
+                   ' EPSG:284xx, CH1903 EPSG:21781/2056), WGS84 polar'
+                   ' stereographic (EPSG:3031/3032/3413/3976), UPS'
+                   ' (EPSG:5041/5042), Albers equal-area (EPSG:5070/'
+                   '3577), LAEA (EPSG:3035/6931/6932), Lambert'
+                   ' conformal conic (EPSG:3978/2154), Mercator'
+                   ' (EPSG:3857/3395), and user-defined CRS in any of'
+                   ' those projection families (TOWGS84 honored).'
                    f' File: {file_name}')
             logger.error(msg)
             raise ValueError(msg)

@@ -60,6 +60,13 @@ import numpy as np
 _ELLIPSOIDS = {
     'WGS84': (6378137.0, 298.257223563),
     'GRS80': (6378137.0, 298.257222101),  # NAD83 / ETRS89
+    # classical datum ellipsoids (EPSG ellipsoid codes in comments)
+    'AIRY1830': (6377563.396, 299.3249646),        # 7001 (OSGB36)
+    'BESSEL1841': (6377397.155, 299.1528128),      # 7004 (CH1903, Tokyo)
+    'CLARKE1866': (6378206.4, 294.9786982139006),  # 7008 (NAD27)
+    'INTL1924': (6378388.0, 297.0),                # 7022 (ED50)
+    'KRASS1940': (6378245.0, 298.3),               # 7024 (Pulkovo 1942)
+    'EVEREST1967': (6377298.556, 300.8017),        # 7016 (Timbalai 1948)
 }
 
 # WGS84 ellipsoid (module-level: the polar-stereo code and external
@@ -434,6 +441,148 @@ def _ensure_ellipsoid(a, invf):
     return name
 
 
+# --------------------------------------------------------------------------
+# Datum transformations (TOWGS84 / Helmert).
+#
+# The reference resolves ANY OSR SRS (dswx_hls.py:3385-3461); for CRS on
+# classical datums OSR applies the parametric Helmert transformation the
+# SRS carries (the WKT TOWGS84[] clause / proj4 +towgs84=). We implement
+# the same chain: geodetic (h=0) -> geocentric cartesian -> 7-parameter
+# position-vector transformation (EPSG method 9606; the 3-parameter
+# geocentric translation 9603 is its rx=ry=rz=ds=0 case, which is also
+# the TOWGS84 convention) -> geodetic on the target ellipsoid. 2D
+# transforms take h=0 on the source datum and discard the output height,
+# exactly as OSR does for 2D points. Grid-based transformations (NTv2,
+# OSTN15, NADCON) need grid files neither we nor a grid-less OSR have —
+# the parametric path below is what GDAL applies without them.
+# Verified against the EPSG Guidance Note 7-2 worked examples
+# (geographic/geocentric conversion and the WGS72->WGS84 position-vector
+# example) in tests/test_crs_datum.py.
+
+def geodetic_to_geocentric(lat_deg, lon_deg, ell, h=0.0):
+    """Geodetic (degrees, ellipsoidal height m) -> geocentric X,Y,Z (m).
+
+    EPSG Guidance Note 7-2 §2.2 (method 9602 one-way)."""
+    a, e2, _e = _ell_consts(ell) if isinstance(ell, str) else (
+        float(ell), 0.0, 0.0)
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    sin_lat = np.sin(lat)
+    nu = a / np.sqrt(1.0 - e2 * sin_lat * sin_lat)
+    cos_lat = np.cos(lat)
+    x = (nu + h) * cos_lat * np.cos(lon)
+    y = (nu + h) * cos_lat * np.sin(lon)
+    z = (nu * (1.0 - e2) + h) * sin_lat
+    return x, y, z
+
+
+def geocentric_to_geodetic(x, y, z, ell):
+    """Geocentric X,Y,Z (m) -> geodetic (lat, lon degrees; height
+    discarded — 2D transform semantics)."""
+    a, e2, _e = _ell_consts(ell) if isinstance(ell, str) else (
+        float(ell), 0.0, 0.0)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
+    p = np.hypot(x, y)
+    # fixed-point iteration on the standard closed form; converges to
+    # float64 roundoff in < 6 iterations for |h| << a (h here is the
+    # small height the Helmert shift introduces on the target datum)
+    lat = np.arctan2(z, p * (1.0 - e2))
+    for _ in range(8):
+        sin_lat = np.sin(lat)
+        nu = a / np.sqrt(1.0 - e2 * sin_lat * sin_lat)
+        h = np.where(np.abs(np.cos(lat)) > 1e-10,
+                     p / np.cos(lat) - nu,
+                     np.abs(z) / np.maximum(np.abs(sin_lat), 1e-300)
+                     - nu * (1.0 - e2))
+        lat = np.arctan2(z, p * (1.0 - e2 * nu / (nu + h)))
+    return np.degrees(lat), np.degrees(np.arctan2(y, x))
+
+
+def _towgs84_matrix(p7):
+    """(t vector, M matrix) of the position-vector transformation."""
+    tx, ty, tz, rx, ry, rz, ds = [float(v) for v in p7]
+    s = 1.0 + ds * 1e-6
+    arc = np.pi / (180.0 * 3600.0)      # arc-seconds -> radians
+    rx, ry, rz = rx * arc, ry * arc, rz * arc
+    m = s * np.array([[1.0, -rz, ry],
+                      [rz, 1.0, -rx],
+                      [-ry, rx, 1.0]], dtype=np.float64)
+    return np.array([tx, ty, tz], dtype=np.float64), m
+
+
+def helmert_position_vector(x, y, z, p7, inverse=False):
+    """7-parameter position-vector Helmert transformation (EPSG 9606,
+    the TOWGS84 convention: rotations in arc-seconds, scale in ppm).
+    ``inverse=True`` applies the exact inverse (solves the forward
+    relation rather than negating the parameters)."""
+    t, m = _towgs84_matrix(p7)
+    v = np.stack([np.asarray(x, dtype=np.float64).ravel(),
+                  np.asarray(y, dtype=np.float64).ravel(),
+                  np.asarray(z, dtype=np.float64).ravel()])
+    if inverse:
+        out = np.linalg.solve(m, v - t[:, None])
+    else:
+        out = m @ v + t[:, None]
+    shape = np.shape(x)
+    return (out[0].reshape(shape), out[1].reshape(shape),
+            out[2].reshape(shape))
+
+
+def _effective_shift(p7):
+    """None for the null transformation (absent or all-zero TOWGS84)."""
+    if p7 is None or all(float(v) == 0.0 for v in p7):
+        return None
+    return tuple(float(v) for v in p7)
+
+
+def shift_datum(lat, lon, src_ell, src_p7, dst_ell, dst_p7):
+    """Geodetic datum shift src -> WGS84 -> dst via geocentric Helmert
+    (h=0 on the source datum; output height discarded)."""
+    src_p7 = _effective_shift(src_p7)
+    dst_p7 = _effective_shift(dst_p7)
+    if src_p7 == dst_p7:
+        return (np.asarray(lat, dtype=np.float64),
+                np.asarray(lon, dtype=np.float64))
+    x, y, z = geodetic_to_geocentric(lat, lon, src_ell)
+    if src_p7 is not None:
+        x, y, z = helmert_position_vector(x, y, z, src_p7)
+    if dst_p7 is not None:
+        x, y, z = helmert_position_vector(x, y, z, dst_p7, inverse=True)
+    return geocentric_to_geodetic(x, y, z, dst_ell)
+
+
+def _norm_towgs84(vals):
+    """Normalize a parsed TOWGS84 parameter list: pad 3-parameter form
+    with zero rotations/scale; all-zero (the explicit null
+    transformation) stays as a 7-tuple of zeros so it can OVERRIDE a
+    registry default."""
+    vals = [float(v) for v in vals]
+    if len(vals) == 3:
+        vals += [0.0, 0.0, 0.0, 0.0]
+    if len(vals) != 7:
+        raise ValueError(
+            f'TOWGS84 needs 3 or 7 parameters, got {len(vals)}')
+    return tuple(vals)
+
+
+# registry datum shifts to WGS84 (TOWGS84 convention), applied to CRS
+# whose datum is not WGS84-equivalent. EPSG transformation cited per
+# entry; an explicit TOWGS84[]/+towgs84= in the file overrides these.
+_SHIFT_OSGB36 = (446.448, -125.157, 542.06, 0.15, 0.247, 0.842,
+                 -20.489)                    # EPSG 1314 (Petroleum, 2m)
+_SHIFT_ED50 = (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0)   # EPSG 1133
+_SHIFT_NAD27 = (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0)    # EPSG 1173
+_SHIFT_TOKYO = (-146.414, 507.337, 680.507, 0.0, 0.0, 0.0,
+                0.0)                         # Japan GSI / GDAL default
+_SHIFT_PULKOVO42 = (28.0, -130.0, -95.0, 0.0, 0.0, 0.0, 0.0)  # EPSG 1254
+_SHIFT_CH1903 = (674.4, 15.1, 405.3, 0.0, 0.0, 0.0, 0.0)    # EPSG 1753
+_SHIFT_CH1903P = (674.374, 15.056, 405.346, 0.0, 0.0, 0.0,
+                  0.0)                       # EPSG 1676 (CH1903+)
+_SHIFT_TIMBALAI = (-679.0, 669.0, -48.0, 0.0, 0.0, 0.0, 0.0)  # EPSG 1236
+
+
 def _merc_k0_from_lat_ts(lat_ts, ell):
     """Mercator variant B -> variant A: equivalent scale at the equator
     k0 = m(lat_ts) = cos(lat_ts)/sqrt(1 - e2 sin^2 lat_ts)."""
@@ -479,6 +628,10 @@ _GEOGCS_ELL = {
     4326: 'WGS84', 4322: 'WGS84',
     4269: 'GRS80', 4258: 'GRS80', 4283: 'GRS80', 4171: 'GRS80',
     4617: 'GRS80', 4759: 'GRS80', 4167: 'GRS80',
+    # classical datums (their Helmert shifts live in _EPSG_TOWGS84)
+    4277: 'AIRY1830', 4230: 'INTL1924', 4267: 'CLARKE1866',
+    4301: 'BESSEL1841', 4284: 'KRASS1940',
+    4149: 'BESSEL1841', 4150: 'BESSEL1841',
 }
 
 
@@ -1021,15 +1174,190 @@ def cea_inverse(x, y, ell, lat_ts, lon0, fe, fn):
     return np.degrees(lat), np.degrees(_wrap_pi(lon))
 
 
-def _custom_geogcs_wkt(ell):
+# --------------------------------------------------------------------------
+# Hotine Oblique Mercator (EPSG methods 9812 variant A / 9815 variant B
+# "azimuth center") — the projection of the US State Plane Alaska
+# zone 1, Malaysian RSO and Timbalai (Borneo) grids — and the Swiss
+# Oblique Mercator / Rosenmund double projection (PROJ ``somerc``) used
+# by CH1903 LV03 / CH1903+ LV95. The reference reaches all of these
+# through OSR (any-SRS contract, dswx_hls.py:3385-3461). Formulas per
+# EPSG Guidance Note 7-2 (verified against its Timbalai 1948 RSO Borneo
+# worked example) and PROJ's somerc derivation (conformal
+# sphere double projection), tests/test_crs_omerc.py.
+
+def _isometric_lat(lat, e):
+    """Isometric latitude psi(phi) (radians in, unitless out)."""
+    esp = e * np.sin(lat)
+    return (np.log(np.tan(np.pi / 4.0 + lat / 2.0))
+            - (e / 2.0) * np.log((1.0 + esp) / (1.0 - esp)))
+
+
+def _lat_from_isometric(psi, e):
+    """Invert the isometric latitude by Newton iteration."""
+    lat = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2.0
+    e2 = e * e
+    for _ in range(8):
+        sin_lat = np.sin(lat)
+        f = _isometric_lat(lat, e) - psi
+        dpsi = (1.0 - e2) / ((1.0 - e2 * sin_lat * sin_lat)
+                             * np.cos(lat))
+        lat = lat - f / dpsi
+    return lat
+
+
+def _omerc_consts(ell, latc, lonc, alpha, gamma, k0):
+    a, e2, e = _ell_consts(ell)
+    phic = np.radians(latc)
+    alphac = np.radians(alpha)
+    sin_c, cos_c = np.sin(phic), np.cos(phic)
+    B = np.sqrt(1.0 + e2 * cos_c ** 4 / (1.0 - e2))
+    A = a * B * k0 * np.sqrt(1.0 - e2) / (1.0 - e2 * sin_c * sin_c)
+    t0 = np.tan(np.pi / 4.0 - phic / 2.0) / (
+        (1.0 - e * sin_c) / (1.0 + e * sin_c)) ** (e / 2.0)
+    D = B * np.sqrt(1.0 - e2) / (
+        cos_c * np.sqrt(1.0 - e2 * sin_c * sin_c))
+    D2 = max(D * D, 1.0)
+    sign = 1.0 if latc >= 0 else -1.0
+    F = D + np.sqrt(D2 - 1.0) * sign
+    H = F * t0 ** B
+    G = (F - 1.0 / F) / 2.0
+    gamma0 = np.arcsin(np.sin(alphac) / D)
+    lam0 = np.radians(lonc) - np.arcsin(
+        np.clip(G * np.tan(gamma0), -1.0, 1.0)) / B
+    if abs(abs(alpha) - 90.0) < 1e-9:
+        raise ValueError(
+            'Hotine oblique Mercator with azimuth 90 degrees is the '
+            'Swiss oblique Mercator — use the somerc family')
+    uc = (A / B) * np.arctan2(np.sqrt(D2 - 1.0),
+                              np.cos(alphac)) * sign
+    return A, B, e, H, gamma0, lam0, uc, sign
+
+
+def omerc_forward(lat_deg, lon_deg, ell, latc, lonc, alpha, gamma,
+                  k0, fe, fn, variant_b):
+    """Hotine Oblique Mercator geographic degrees -> E/N (EPSG 9812
+    variant A when ``variant_b`` is false, 9815 'azimuth center' when
+    true; ``gamma`` is the rectified-grid angle)."""
+    A, B, e, H, gamma0, lam0, uc, sign = _omerc_consts(
+        ell, latc, lonc, alpha, gamma, k0)
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    t = np.tan(np.pi / 4.0 - lat / 2.0) / (
+        (1.0 - e * np.sin(lat)) / (1.0 + e * np.sin(lat))) ** (e / 2.0)
+    Q = H / t ** B
+    S = (Q - 1.0 / Q) / 2.0
+    T = (Q + 1.0 / Q) / 2.0
+    dlam = _wrap_pi(lon - lam0)
+    V = np.sin(B * dlam)
+    U = (-V * np.cos(gamma0) + S * np.sin(gamma0)) / T
+    v = A * np.log((1.0 - U) / (1.0 + U)) / (2.0 * B)
+    u = A * np.arctan2(S * np.cos(gamma0) + V * np.sin(gamma0),
+                       np.cos(B * dlam)) / B
+    if variant_b:
+        u = u - abs(uc) * sign
+    gam = np.radians(gamma)
+    E = v * np.cos(gam) + u * np.sin(gam) + fe
+    N = u * np.cos(gam) - v * np.sin(gam) + fn
+    return E, N
+
+
+def omerc_inverse(x, y, ell, latc, lonc, alpha, gamma, k0, fe, fn,
+                  variant_b):
+    """Hotine Oblique Mercator E/N -> geographic degrees."""
+    A, B, e, H, gamma0, lam0, uc, sign = _omerc_consts(
+        ell, latc, lonc, alpha, gamma, k0)
+    gam = np.radians(gamma)
+    x = np.asarray(x, dtype=np.float64) - fe
+    y = np.asarray(y, dtype=np.float64) - fn
+    v = x * np.cos(gam) - y * np.sin(gam)
+    u = y * np.cos(gam) + x * np.sin(gam)
+    if variant_b:
+        u = u + abs(uc) * sign
+    Q = np.exp(-B * v / A)
+    S = (Q - 1.0 / Q) / 2.0
+    T = (Q + 1.0 / Q) / 2.0
+    V = np.sin(B * u / A)
+    U = (V * np.cos(gamma0) + S * np.sin(gamma0)) / T
+    t = (H / np.sqrt((1.0 + U) / (1.0 - U))) ** (1.0 / B)
+    # invert t = tan(pi/4 - phi/2)/((1-e sin phi)/(1+e sin phi))^(e/2):
+    # psi = -ln t is the isometric latitude
+    lat = _lat_from_isometric(-np.log(t), e)
+    lon = lam0 - np.arctan2(S * np.cos(gamma0) - V * np.sin(gamma0),
+                            np.cos(B * u / A)) / B
+    return np.degrees(lat), np.degrees(_wrap_pi(lon))
+
+
+def _somerc_consts(ell, lat0, k0):
+    a, e2, e = _ell_consts(ell)
+    phi0 = np.radians(lat0)
+    sp, cp = np.sin(phi0), np.cos(phi0)
+    c = np.sqrt(1.0 + e2 * cp ** 4 / (1.0 - e2))
+    sinp0 = sp / c
+    phip0 = np.arcsin(sinp0)
+    K = (np.log(np.tan(np.pi / 4.0 + phip0 / 2.0))
+         - c * _isometric_lat(phi0, e))
+    kR = k0 * a * np.sqrt(1.0 - e2) / (1.0 - e2 * sp * sp)
+    return e, c, sinp0, np.cos(phip0), K, kR
+
+
+def somerc_forward(lat_deg, lon_deg, ell, lat0, lon0, k0, fe, fn):
+    """Swiss Oblique Mercator (Rosenmund double projection, PROJ
+    ``somerc``; EPSG 9815 with azimuth 90 as the CH1903 grids use it):
+    geographic degrees -> E/N."""
+    e, c, sinp0, cosp0, K, kR = _somerc_consts(ell, lat0, k0)
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lon = _wrap_pi(np.radians(np.asarray(lon_deg, dtype=np.float64))
+                   - np.radians(lon0))
+    phip = 2.0 * np.arctan(
+        np.exp(c * _isometric_lat(lat, e) + K)) - np.pi / 2.0
+    lamp = c * lon
+    cp = np.cos(phip)
+    phipp = np.arcsin(cosp0 * np.sin(phip)
+                      - sinp0 * cp * np.cos(lamp))
+    lampp = np.arcsin(np.clip(cp * np.sin(lamp) / np.cos(phipp),
+                              -1.0, 1.0))
+    E = kR * lampp + fe
+    N = kR * np.log(np.tan(np.pi / 4.0 + phipp / 2.0)) + fn
+    return E, N
+
+
+def somerc_inverse(x, y, ell, lat0, lon0, k0, fe, fn):
+    """Swiss Oblique Mercator E/N -> geographic degrees."""
+    e, c, sinp0, cosp0, K, kR = _somerc_consts(ell, lat0, k0)
+    x = np.asarray(x, dtype=np.float64) - fe
+    y = np.asarray(y, dtype=np.float64) - fn
+    phipp = 2.0 * np.arctan(np.exp(y / kR)) - np.pi / 2.0
+    lampp = x / kR
+    cp = np.cos(phipp)
+    phip = np.arcsin(cosp0 * np.sin(phipp)
+                     + sinp0 * cp * np.cos(lampp))
+    lamp = np.arcsin(np.clip(cp * np.sin(lampp) / np.cos(phip),
+                             -1.0, 1.0))
+    # invert phip = 2 atan(exp(c psi(phi) + K)) - pi/2
+    psi = (np.log(np.tan(np.pi / 4.0 + phip / 2.0)) - K) / c
+    lat = _lat_from_isometric(psi, e)
+    lon = np.radians(lon0) + lamp / c
+    return np.degrees(lat), np.degrees(_wrap_pi(lon))
+
+
+def _towgs84_wkt(towgs84):
+    """',TOWGS84[...]' fragment (empty for the null transformation)."""
+    if _effective_shift(towgs84) is None and towgs84 is None:
+        return ''
+    body = ','.join(f'{float(v)!r}' for v in towgs84)
+    return f',TOWGS84[{body}]'
+
+
+def _custom_geogcs_wkt(ell, towgs84=None):
+    tw = _towgs84_wkt(towgs84)
     if not isinstance(ell, str):    # sphere radius (sinusoidal/MODIS)
         return ('GEOGCS["unknown",DATUM["unknown",'
-                f'SPHEROID["unknown",{float(ell)!r},0]],'
+                f'SPHEROID["unknown",{float(ell)!r},0]{tw}],'
                 'PRIMEM["Greenwich",0],'
                 'UNIT["degree",0.0174532925199433]]')
     a, invf = _ELLIPSOIDS[ell]
     return ('GEOGCS["unknown",DATUM["unknown",'
-            f'SPHEROID["unknown",{a:.10g},{invf:.12g}]],'
+            f'SPHEROID["unknown",{a:.10g},{invf:.12g}]{tw}],'
             'PRIMEM["Greenwich",0],'
             'UNIT["degree",0.0174532925199433]]')
 
@@ -1039,8 +1367,10 @@ def _unit_wkt(unit):
     return f'UNIT["{name}",{lit}]'
 
 
-def _custom_to_wkt(custom, unit=1.0):
+def _custom_to_wkt(custom, unit=1.0, towgs84=None):
     fam = custom[0]
+    if fam == 'geog':
+        return _custom_geogcs_wkt(custom[1], towgs84)
     if fam == 'ps':
         lat_ts, lon0, fe, fn, north, k0, ell = custom[1:]
         params = [('latitude_of_origin',
@@ -1091,6 +1421,27 @@ def _custom_to_wkt(custom, unit=1.0):
             params = [('central_meridian', lon0),
                       ('scale_factor', k0),
                       ('false_easting', fe), ('false_northing', fn)]
+        elif fam == 'omerc':
+            latc, lonc, alpha, gamma, k0, fe, fn, vb = custom[2:]
+            proj = ('Hotine_Oblique_Mercator_Azimuth_Center' if vb
+                    else 'Hotine_Oblique_Mercator')
+            params = [('latitude_of_center', latc),
+                      ('longitude_of_center', lonc),
+                      ('azimuth', alpha),
+                      ('rectified_grid_angle', gamma),
+                      ('scale_factor', k0),
+                      ('false_easting', fe), ('false_northing', fn)]
+        elif fam == 'somerc':
+            lat0, lon0, k0, fe, fn = custom[2:]
+            # GDAL encodes the Swiss oblique Mercator as Hotine
+            # azimuth-center with azimuth = rectified grid angle = 90
+            proj = 'Hotine_Oblique_Mercator_Azimuth_Center'
+            params = [('latitude_of_center', lat0),
+                      ('longitude_of_center', lon0),
+                      ('azimuth', 90.0),
+                      ('rectified_grid_angle', 90.0),
+                      ('scale_factor', k0),
+                      ('false_easting', fe), ('false_northing', fn)]
         else:   # lcc
             lat0, lon0, sp1, sp2, fe, fn = custom[2:8]
             k0 = custom[8] if len(custom) > 8 else 1.0
@@ -1105,7 +1456,7 @@ def _custom_to_wkt(custom, unit=1.0):
     # repr = shortest exact round-trip float text (PARAMETER values are
     # in the PROJCS's UNIT, e.g. feet for State Plane grids)
     body = ','.join(f'PARAMETER["{k}",{float(v)!r}]' for k, v in params)
-    return (f'PROJCS["unnamed",{_custom_geogcs_wkt(ell)},'
+    return (f'PROJCS["unnamed",{_custom_geogcs_wkt(ell, towgs84)},'
             f'PROJECTION["{proj}"],{body},{_unit_wkt(unit)}]')
 
 
@@ -1119,7 +1470,15 @@ def _unit_proj4(unit):
     return f'+to_meter={unit:.17g}'
 
 
-def _custom_to_proj4(custom, unit=1.0):
+def _custom_to_proj4(custom, unit=1.0, towgs84=None):
+    p4 = _custom_to_proj4_base(custom, unit)
+    if _effective_shift(towgs84) is not None or towgs84 is not None:
+        tw = ','.join(f'{float(v):g}' for v in towgs84)
+        p4 = p4.replace(' +no_defs', f' +towgs84={tw} +no_defs')
+    return p4
+
+
+def _custom_to_proj4_base(custom, unit=1.0):
     fam = custom[0]
     if unit != 1.0:
         # proj4 +x_0/+y_0 are always metres (PROJ's fr_meter applies
@@ -1133,9 +1492,14 @@ def _custom_to_proj4(custom, unit=1.0):
         a, invf = _ELLIPSOIDS[ell]
         if ell in ('WGS84', 'GRS80'):
             return f'+ellps={ell}'
+        name = _ELLPS_PROJ4_NAME.get(ell)
+        if name:
+            return f'+ellps={name}'
         return f'+a={a:.10g} +rf={invf:.12g}'
 
     un = _unit_proj4(unit)
+    if fam == 'geog':
+        return f'+proj=longlat {ell_frag(custom[1])} +no_defs'
     if fam == 'sinu':
         ell, lon0, fe, fn = custom[1:]
         ef = (f'+R={float(ell)!r}' if not isinstance(ell, str)
@@ -1176,6 +1540,18 @@ def _custom_to_proj4(custom, unit=1.0):
         return (f'+proj=merc +lon_0={lon0!r} +k={k0!r} '
                 f'+x_0={fe!r} +y_0={fn!r} {ell_frag(ell)} {un} '
                 '+no_defs')
+    if fam == 'omerc':
+        latc, lonc, alpha, gamma, k0, fe, fn, vb = custom[2:]
+        nu = '' if vb else '+no_uoff '   # PROJ: variant A flag
+        return (f'+proj=omerc +lat_0={latc!r} +lonc={lonc!r} '
+                f'+alpha={alpha!r} +gamma={gamma!r} +k_0={k0!r} '
+                f'{nu}+x_0={fe!r} +y_0={fn!r} {ell_frag(ell)} {un} '
+                '+no_defs')
+    if fam == 'somerc':
+        lat0, lon0, k0, fe, fn = custom[2:]
+        return (f'+proj=somerc +lat_0={lat0!r} +lon_0={lon0!r} '
+                f'+k_0={k0!r} +x_0={fe!r} +y_0={fn!r} '
+                f'{ell_frag(ell)} {un} +no_defs')
     lat0, lon0, sp1, sp2, fe, fn = custom[2:8]
     k0 = custom[8] if len(custom) > 8 else 1.0
     kf = f' +k_0={k0!r}' if k0 != 1.0 else ''
@@ -1195,9 +1571,15 @@ def _custom_to_proj4(custom, unit=1.0):
 #   ('merc', ell, lon0, k0, fe, fn)
 #   ('sinu', ell|sphere_radius, lon0, fe, fn)    (MODIS grid)
 #   ('cea', ell, lat_ts, lon0, fe, fn)           (EASE-Grid 2.0 style)
+#   ('geog', ell)                                (geographic lat/lon on
+#                                                 a classical ellipsoid;
+#                                                 datum via towgs84)
+#   ('omerc', ell, latc, lonc, alpha, gamma, k0, fe, fn, variant_b)
+#   ('somerc', ell, lat0, lon0, k0, fe, fn)      (Swiss CH1903 grids)
 _CUSTOM_FAMILIES = {
     'tm': None, 'aea': None, 'laea': None, 'lcc': None, 'ps': None,
-    'merc': None, 'sinu': None, 'cea': None,
+    'merc': None, 'sinu': None, 'cea': None, 'geog': None,
+    'omerc': None, 'somerc': None,
 }
 
 
@@ -1208,7 +1590,13 @@ _PROJ4_ELLPS = {
     'intl': (6378388.0, 297.0),
     'krass': (6378245.0, 298.3),
     'bessel': (6377397.155, 299.1528128),
+    'evrstSS': (6377298.556, 300.8017),   # Everest 1830 (1967 Def.)
 }
+# registry ellipsoid -> canonical +ellps name (values match
+# _PROJ4_ELLPS so the pair round-trips through _ensure_ellipsoid)
+_ELLPS_PROJ4_NAME = {'AIRY1830': 'airy', 'BESSEL1841': 'bessel',
+                     'CLARKE1866': 'clrk66', 'INTL1924': 'intl',
+                     'KRASS1940': 'krass', 'EVEREST1967': 'evrstSS'}
 
 
 def _proj4_ellipsoid(proj4):
@@ -1247,19 +1635,27 @@ def _proj4_ellipsoid(proj4):
 
 def _custom_forward(lat, lon, custom):
     fam = custom[0]
+    if fam == 'geog':   # geographic: (x, y) = (lon, lat) degrees
+        return (np.asarray(lon, dtype=np.float64),
+                np.asarray(lat, dtype=np.float64))
     fwd = {'tm': tm_forward_general, 'aea': albers_forward,
            'laea': laea_forward, 'lcc': lcc_forward,
            'ps': polar_stereo_forward, 'merc': mercator_forward,
-           'sinu': sinusoidal_forward, 'cea': cea_forward}[fam]
+           'sinu': sinusoidal_forward, 'cea': cea_forward,
+           'omerc': omerc_forward, 'somerc': somerc_forward}[fam]
     return fwd(lat, lon, *custom[1:])
 
 
 def _custom_inverse(x, y, custom):
     fam = custom[0]
+    if fam == 'geog':
+        return (np.asarray(y, dtype=np.float64),
+                np.asarray(x, dtype=np.float64))
     inv = {'tm': tm_inverse_general, 'aea': albers_inverse,
            'laea': laea_inverse, 'lcc': lcc_inverse,
            'ps': polar_stereo_inverse, 'merc': mercator_inverse,
-           'sinu': sinusoidal_inverse, 'cea': cea_inverse}[fam]
+           'sinu': sinusoidal_inverse, 'cea': cea_inverse,
+           'omerc': omerc_inverse, 'somerc': somerc_inverse}[fam]
     return inv(x, y, *custom[1:])
 
 
@@ -1267,7 +1663,77 @@ def _custom_inverse(x, y, custom):
 # tuple — the only parameters expressed in the CRS's linear unit
 _FEFN_IDX = {'tm': (5, 6), 'aea': (6, 7), 'laea': (4, 5),
              'lcc': (6, 7), 'ps': (3, 4), 'merc': (4, 5),
-             'sinu': (3, 4), 'cea': (4, 5)}
+             'sinu': (3, 4), 'cea': (4, 5), 'geog': (),
+             'omerc': (7, 8), 'somerc': (5, 6)}
+
+
+# registry projected CRS on classical datums, expressed as family
+# tuples (same encoding as CRS.custom) + the _EPSG_TOWGS84 datum shift.
+# Grids a legacy DEM/ancillary raster realistically ships in.
+_GENERAL = {
+    # OSGB36 / British National Grid (EPSG 27700): TM on Airy 1830
+    27700: ('tm', 'AIRY1830', 49.0, -2.0, 0.9996012717,
+            400000.0, -100000.0),
+    # Timbalai 1948 / RSO Borneo (m) (EPSG 29873): Hotine Oblique
+    # Mercator variant B (9815) — the EPSG GN7-2 worked example grid
+    29873: ('omerc', 'EVEREST1967', 4.0, 115.0,
+            53.0 + 18.0 / 60 + 56.9537 / 3600,     # azimuth
+            53.0 + 7.0 / 60 + 48.3685 / 3600,      # rectified grid
+            0.99984, 590476.87, 442857.65, True),
+    # NAD83 / Alaska zone 1 (EPSG 26931): Hotine variant A (9812,
+    # false coordinates at the natural origin — PROJ +no_uoff)
+    26931: ('omerc', 'GRS80', 57.0, -(133.0 + 40.0 / 60),
+            -(36.0 + 52.0 / 60 + 11.6315 / 3600),
+            -(36.0 + 52.0 / 60 + 11.6315 / 3600),
+            0.9999, 5000000.0, -5000000.0, False),
+    # CH1903 / LV03 (EPSG 21781) + CH1903+ / LV95 (EPSG 2056): Swiss
+    # Oblique Mercator (EPSG 9815 with azimuth 90 = PROJ somerc)
+    21781: ('somerc', 'BESSEL1841',
+            46.0 + 57.0 / 60 + 8.66 / 3600,
+            7.0 + 26.0 / 60 + 22.50 / 3600,
+            1.0, 600000.0, 200000.0),
+    2056: ('somerc', 'BESSEL1841',
+           46.0 + 57.0 / 60 + 8.66 / 3600,
+           7.0 + 26.0 / 60 + 22.50 / 3600,
+           1.0, 2600000.0, 1200000.0),
+}
+# Pulkovo 1942 / Gauss-Krueger 6-degree zones 2-32 (EPSG 28402-28432):
+# TM k0=1 on Krassowsky 1940, FE = zone*1e6 + 500000 (zoned easting)
+for _z in range(2, 33):
+    _GENERAL[28400 + _z] = ('tm', 'KRASS1940', 0.0, 6.0 * _z - 3.0,
+                            1.0, _z * 1e6 + 500000.0, 0.0)
+
+# geographic CRS of the classical datums (lat/lon degrees)
+_GEOGRAPHIC_ELL = {
+    4326: 'WGS84', 4269: 'GRS80', 4258: 'GRS80',
+    4277: 'AIRY1830',      # OSGB36
+    4230: 'INTL1924',      # ED50
+    4267: 'CLARKE1866',    # NAD27
+    4301: 'BESSEL1841',    # Tokyo
+    4284: 'KRASS1940',     # Pulkovo 1942
+    4149: 'BESSEL1841',    # CH1903
+    4150: 'BESSEL1841',    # CH1903+
+}
+
+# datum shift to WGS84 per EPSG code (see _SHIFT_* for the EPSG
+# transformation each value cites). NAD83/ETRS89/GDA94 datums stay on
+# the null transformation (true offsets 1-2 m, below the 30 m grid).
+_EPSG_TOWGS84 = {
+    27700: _SHIFT_OSGB36, 4277: _SHIFT_OSGB36,
+    4230: _SHIFT_ED50,
+    4267: _SHIFT_NAD27,
+    4301: _SHIFT_TOKYO,
+    4284: _SHIFT_PULKOVO42,
+    4149: _SHIFT_CH1903, 21781: _SHIFT_CH1903,
+    4150: _SHIFT_CH1903P, 2056: _SHIFT_CH1903P,
+    29873: _SHIFT_TIMBALAI,
+}
+for _z in range(28, 39):    # ED50 / UTM zones 28-38 (EPSG 23028-23038)
+    _EPSG_TOWGS84[23000 + _z] = _SHIFT_ED50
+for _z in range(3, 23):     # NAD27 / UTM zones 3-22 (EPSG 26703-26722)
+    _EPSG_TOWGS84[26700 + _z] = _SHIFT_NAD27
+for _z in range(2, 33):     # Pulkovo 1942 / Gauss-Krueger zones
+    _EPSG_TOWGS84[28400 + _z] = _SHIFT_PULKOVO42
 
 
 @dataclasses.dataclass(frozen=True)
@@ -1281,6 +1747,29 @@ class CRS:
     # custom tuple keeps fe/fn in NATIVE units so serialization
     # round-trips exactly; transform_points converts via metric_custom.
     unit: float = 1.0
+    # explicit datum shift to WGS84 (7-tuple, TOWGS84 convention) parsed
+    # from WKT TOWGS84[] / proj4 +towgs84= / geokey 2062; None = use the
+    # _EPSG_TOWGS84 registry default (or the null transformation). An
+    # all-zero tuple is the EXPLICIT null transformation and overrides
+    # the registry.
+    towgs84: tuple = None
+
+    @property
+    def datum_shift(self):
+        """The 7-parameter shift to WGS84 this CRS's datum carries
+        (None = null transformation / WGS84-equivalent datum)."""
+        if self.towgs84 is not None:
+            return self.towgs84
+        return _EPSG_TOWGS84.get(self.epsg)
+
+    @property
+    def datum_ellipsoid(self):
+        """Ellipsoid of the DATUM (for geocentric conversion). Equals
+        the projection ellipsoid; custom CRS carry it in the tuple."""
+        if self.custom is not None:
+            fam = self.custom[0]
+            return self.custom[-1] if fam == 'ps' else self.custom[1]
+        return self.ellipsoid
 
     @property
     def metric_custom(self):
@@ -1302,8 +1791,12 @@ class CRS:
         """Geographic (lat/lon degree) CRS. NAD83 (4269) and ETRS89
         (4258) coordinates are taken as WGS84 (the null datum
         transformation OSR applies without datum grids; ~1-2 m true
-        offset, far below the 30 m pixel grid)."""
-        return self.epsg in (4326, 4269, 4258)
+        offset, far below the 30 m pixel grid); the classical datums
+        (OSGB36/ED50/NAD27/Tokyo/Pulkovo/CH1903) carry their
+        _EPSG_TOWGS84 Helmert shifts."""
+        return (self.epsg in _GEOGRAPHIC_ELL
+                or (self.custom is not None
+                    and self.custom[0] == 'geog'))
 
     @property
     def utm(self):
@@ -1316,15 +1809,33 @@ class CRS:
             return self.epsg - 26900, True
         if 25828 <= self.epsg <= 25838:   # ETRS89 UTM (north only)
             return self.epsg - 25800, True
+        if 23028 <= self.epsg <= 23038:   # ED50 UTM (Intl 1924)
+            return self.epsg - 23000, True
+        if 26703 <= self.epsg <= 26722:   # NAD27 UTM (Clarke 1866)
+            return self.epsg - 26700, True
         return None
 
     @property
     def ellipsoid(self):
         """Ellipsoid name for the projection math."""
-        if (26901 <= self.epsg <= 26923 or 25828 <= self.epsg <= 25838
-                or self.epsg in (4269, 4258)):
+        if (26901 <= self.epsg <= 26923
+                or 25828 <= self.epsg <= 25838):
             return 'GRS80'
-        return 'WGS84'
+        if 23028 <= self.epsg <= 23038:
+            return 'INTL1924'
+        if 26703 <= self.epsg <= 26722:
+            return 'CLARKE1866'
+        g = _GENERAL.get(self.epsg)
+        if g is not None:
+            return g[-1] if g[0] == 'ps' else g[1]
+        return _GEOGRAPHIC_ELL.get(self.epsg, 'WGS84')
+
+    @property
+    def general(self):
+        """Family tuple (CRS.custom encoding) for registry projected
+        CRS outside the zoned/per-family tables (e.g. British National
+        Grid, Pulkovo Gauss-Krueger), else None."""
+        return _GENERAL.get(self.epsg)
 
     @classmethod
     def from_utm(cls, zone, north):
@@ -1419,11 +1930,41 @@ class CRS:
             custom = ('sinu', ell, g(3088, lon0), fe, fn)
         elif ct == 28:  # CT_CylindricalEqualArea
             custom = ('cea', ell, sp1, lon0, fe, fn)
+        elif ct == 3:   # CT_ObliqueMercator (Hotine)
+            latc, lonc = g(3089), g(3088)
+            az = g(3094, 90.0)
+            rga = g(3096, az)      # ProjRectifiedGridAngleGeoKey
+            kc = g(3093, 1.0)      # ProjScaleAtCenterGeoKey
+            # center easting/northing keys (3090/3091) mark the
+            # azimuth-center variant (false coords at the projection
+            # center); 3082/3083 the natural-origin variant A
+            if 3090 in keys or 3091 in keys:
+                fe, fn, vb = g(3090), g(3091), True
+            else:
+                vb = False
+            if abs(az - 90.0) < 1e-9 and abs(rga - 90.0) < 1e-9:
+                custom = ('somerc', ell, latc, lonc, kc, fe, fn)
+            else:
+                custom = ('omerc', ell, latc, lonc, az, rga, kc,
+                          fe, fn, vb)
+        elif ct == 5:   # CT_ObliqueMercator_Rosenmund (Swiss)
+            custom = ('somerc', ell, g(3089), g(3088), g(3093, 1.0),
+                      fe, fn)
         else:
             raise ValueError(
                 f'unsupported user-defined projection method '
                 f'(ProjCoordTransGeoKey {ct})')
-        return cls(32767, custom, unit)
+        # datum shift: explicit GeogTOWGS84GeoKey (2062, GeoTIFF 1.1)
+        # wins; else the base GCS's registry shift (e.g. a custom TM
+        # on an OSGB36 GCS inherits the OSGB36 Helmert parameters)
+        towgs84 = None
+        if 2062 in keys:
+            raw = keys[2062]
+            towgs84 = _norm_towgs84(
+                raw if isinstance(raw, tuple) else (raw,))
+        elif gcs in _EPSG_TOWGS84:
+            towgs84 = _EPSG_TOWGS84[gcs]
+        return cls(32767, custom, unit, towgs84)
 
     @property
     def polar_stereo(self):
@@ -1473,14 +2014,35 @@ class CRS:
                 or self.polar_stereo is not None
                 or self.albers is not None or self.laea is not None
                 or self.lcc is not None or self.mercator is not None
-                or self.is_web_mercator or self.cea is not None)
+                or self.is_web_mercator or self.cea is not None
+                or self.general is not None)
+
+    def _authority_wkt(self, body):
+        """Append the EPSG authority so from_wkt round-trips to the
+        registry code."""
+        return body[:-1] + f',AUTHORITY["EPSG","{self.epsg}"]]'
 
     def to_wkt(self):
         if self.custom is not None:
-            return _custom_to_wkt(self.custom, self.unit)
+            return _custom_to_wkt(self.custom, self.unit, self.towgs84)
+        general = self.general
+        if general is not None:
+            return self._authority_wkt(
+                _custom_to_wkt(general, self.unit, self.datum_shift))
+        if self.epsg in _GEOGRAPHIC_ELL and self.epsg not in (
+                4326, 4269, 4258):
+            return self._authority_wkt(_custom_geogcs_wkt(
+                self.ellipsoid, self.datum_shift))
         utm = self.utm
         if utm is not None:
             zone, north = utm
+            if self.ellipsoid in ('INTL1924', 'CLARKE1866'):
+                # ED50 / NAD27 UTM: emit the equivalent TM PROJCS with
+                # the datum's TOWGS84 + the EPSG authority
+                tm = ('tm', self.ellipsoid, 0.0, zone * 6.0 - 183.0,
+                      0.9996, 500000.0, 0.0)
+                return self._authority_wkt(
+                    _custom_to_wkt(tm, self.unit, self.datum_shift))
             if self.ellipsoid == 'GRS80':
                 nad = 26901 <= self.epsg <= 26923
                 return _WKT_UTM_GRS80_TEMPLATE.format(
@@ -1560,11 +2122,27 @@ class CRS:
 
     def to_proj4(self):
         if self.custom is not None:
-            return _custom_to_proj4(self.custom, self.unit)
+            return _custom_to_proj4(self.custom, self.unit,
+                                    self.towgs84)
+        general = self.general
+        if general is not None:
+            return _custom_to_proj4(general, self.unit,
+                                    self.datum_shift)
+        if self.epsg in _GEOGRAPHIC_ELL and self.epsg not in (
+                4326, 4269, 4258):
+            return _custom_to_proj4(('geog', self.ellipsoid), 1.0,
+                                    self.datum_shift)
         utm = self.utm
         if utm is not None:
             zone, north = utm
             south = '' if north else ' +south'
+            if self.ellipsoid in ('INTL1924', 'CLARKE1866'):
+                ellps = _ELLPS_PROJ4_NAME[self.ellipsoid]
+                tw = ','.join(f'{float(v):g}'
+                              for v in self.datum_shift)
+                return (f'+proj=utm +zone={zone}{south} '
+                        f'+ellps={ellps} +towgs84={tw} +units=m '
+                        '+no_defs')
             if self.ellipsoid == 'GRS80':
                 datum = ('NAD83' if 26901 <= self.epsg <= 26923
                          else 'ETRS89')
@@ -1631,6 +2209,21 @@ class CRS:
 
     @classmethod
     def from_wkt(cls, wkt):
+        """Parse WKT1. An explicit TOWGS84[] clause overrides the
+        registry datum shift (the OSR contract: the SRS the file
+        carries wins)."""
+        crs = cls._from_wkt_base(wkt)
+        m = re.search(r'TOWGS84\[([^\]]*)\]', wkt)
+        if m:
+            tw = _norm_towgs84(
+                [float(v) for v in m.group(1).split(',')])
+            if (_effective_shift(tw)
+                    != _effective_shift(crs.datum_shift)):
+                crs = dataclasses.replace(crs, towgs84=tw)
+        return crs
+
+    @classmethod
+    def _from_wkt_base(cls, wkt):
         wkt = wkt.strip()
         # the OUTERMOST authority closes the WKT1 string; an inner
         # authority (spheroid/unit/geogcs) with no outer one means a
@@ -1649,6 +2242,12 @@ class CRS:
                           or 'European_Terrestrial_Reference_System'
                           in wkt):
                 return cls(25800 + zone)
+            if north and ('ED50' in wkt
+                          or 'European_Datum_1950' in wkt):
+                return cls(23000 + zone)
+            if north and ('NAD27' in wkt
+                          or 'North_American_Datum_1927' in wkt):
+                return cls(26700 + zone)
             return cls.from_utm(zone, north)
         m = re.search(r'UPS\s+(North|South)', wkt)
         if m:
@@ -1722,6 +2321,27 @@ class CRS:
             custom = (('lcc', ell, *cand) if k0 == 1.0
                       else ('lcc', ell, *cand, k0))
             return cls(32767, custom, unit)
+        if ('Oblique_Mercator' in wkt or 'Oblique Mercator' in wkt
+                or 'somerc' in wkt):
+            if 'Laborde' in wkt:
+                raise ValueError(
+                    'Laborde oblique Mercator is not supported')
+            az = _param('azimuth', 90.0)
+            rga = _param('rectified_grid_angle', az)
+            k0 = _param('scale_factor', 1.0)
+            ell = _ell()
+            if (abs(az - 90.0) < 1e-9 and abs(rga - 90.0) < 1e-9) \
+                    or 'Swiss' in wkt or 'Rosenmund' in wkt:
+                cand = ('somerc', ell, _lat0(), _lon0(), k0, *fe_fn)
+            else:
+                vb = 'Azimuth_Center' in wkt or 'Azimuth Center' in wkt
+                cand = ('omerc', ell, _lat0(), _lon0(), az, rga, k0,
+                        *fe_fn, vb)
+            if metric:
+                for epsg, params in _GENERAL.items():
+                    if params == cand:
+                        return cls(epsg)
+            return cls(32767, cand, unit)
         if 'Transverse_Mercator' in wkt:
             custom = ('tm', _ell(), _lat0(), _lon0(),
                       _param('scale_factor', 1.0), *fe_fn)
@@ -1780,16 +2400,59 @@ class CRS:
                     if params[1:] == cand and ell == params[0]:
                         return cls(epsg)
             return cls(32767, ('merc', ell, *cand), unit)
-        if 'WGS 84' in wkt or 'WGS_1984' in wkt:
-            return cls(4326)
-        if 'NAD83' in wkt or 'North_American_Datum_1983' in wkt:
-            return cls(4269)
-        if 'ETRS89' in wkt or 'ETRS_1989' in wkt:
-            return cls(4258)
+        if 'PROJCS' not in wkt:
+            # geographic-only WKT, matched by datum name (a PROJCS
+            # with an unrecognized projection must NOT fall through to
+            # its GEOGCS and silently misread as geographic)
+            if 'WGS 84' in wkt or 'WGS_1984' in wkt:
+                return cls(4326)
+            if 'NAD83' in wkt or 'North_American_Datum_1983' in wkt:
+                return cls(4269)
+            if 'ETRS89' in wkt or 'ETRS_1989' in wkt:
+                return cls(4258)
+            if 'OSGB 1936' in wkt or 'OSGB_1936' in wkt \
+                    or 'OSGB36' in wkt:
+                return cls(4277)
+            if 'ED50' in wkt or 'European_Datum_1950' in wkt:
+                return cls(4230)
+            if 'NAD27' in wkt or 'North_American_Datum_1927' in wkt:
+                return cls(4267)
+            if 'Tokyo' in wkt:
+                return cls(4301)
+            if 'Pulkovo 1942' in wkt or 'Pulkovo_1942' in wkt:
+                return cls(4284)
+            if 'CH1903+' in wkt:
+                return cls(4150)
+            if 'CH1903' in wkt:
+                return cls(4149)
+            if 'GEOGCS' in wkt:
+                # unknown datum name: geographic on the SPHEROID it
+                # declares (datum shift from its TOWGS84, if any)
+                sm = re.search(
+                    rf'SPHEROID\[\s*"[^"]*"\s*,\s*{_NUM_RE}\s*,'
+                    rf'\s*{_NUM_RE}', wkt)
+                if sm:
+                    return cls(32767, ('geog', _ensure_ellipsoid(
+                        float(sm.group(1)), float(sm.group(2)))))
         raise ValueError(f'cannot parse WKT: {wkt[:120]}...')
 
     @classmethod
     def from_proj4(cls, proj4):
+        """Parse a proj4 string. An explicit +towgs84= overrides the
+        registry datum shift (like OSR, the SRS the file carries
+        wins)."""
+        crs = cls._from_proj4_base(proj4)
+        m = re.search(r'\+towgs84=([-\d.,eE+]+)', proj4)
+        if m:
+            tw = _norm_towgs84(
+                [float(v) for v in m.group(1).split(',')])
+            if (_effective_shift(tw)
+                    != _effective_shift(crs.datum_shift)):
+                crs = dataclasses.replace(crs, towgs84=tw)
+        return crs
+
+    @classmethod
+    def _from_proj4_base(cls, proj4):
         # proj4 +x_0/+y_0 are ALWAYS metres; +units/+to_meter scale the
         # output coordinates (PROJ applies fr_meter*(proj + x_0)). The
         # custom tuple stores fe/fn in native units, so divide here.
@@ -1820,12 +2483,27 @@ class CRS:
                 return cls(26900 + zone)
             if north and '+datum=ETRS89' in proj4:
                 return cls(25800 + zone)
+            ell = _proj4_ellipsoid(proj4)
+            if ell not in ('WGS84', 'GRS80'):
+                if north and ell == 'INTL1924' and 28 <= zone <= 38:
+                    return cls(23000 + zone)      # ED50 / UTM
+                if north and ell == 'CLARKE1866' and 3 <= zone <= 22:
+                    return cls(26700 + zone)      # NAD27 / UTM
+                # UTM on another classical ellipsoid: general TM
+                return cls(32767, ('tm', ell, 0.0, zone * 6.0 - 183.0,
+                                   0.9996, 500000.0,
+                                   0.0 if north else 10000000.0))
             return cls.from_utm(zone, north)
         if '+proj=longlat' in proj4 or '+proj=latlong' in proj4:
             if '+datum=NAD83' in proj4:
                 return cls(4269)
             if '+datum=ETRS89' in proj4:
                 return cls(4258)
+            ell = _proj4_ellipsoid(proj4)
+            if ell != 'WGS84':
+                # geographic on a classical ellipsoid; the datum shift
+                # (if any) comes from the +towgs84 the string carries
+                return cls(32767, ('geog', ell))
             return cls(4326)
         if '+proj=webmerc' in proj4 or \
                 ('+proj=merc' in proj4
@@ -1928,6 +2606,32 @@ class CRS:
                                north,
                                (k0 or 1.0) if lat_ts is None else None,
                                ell), unit)
+        if '+proj=somerc' in proj4 or '+proj=omerc' in proj4:
+            def _p(key, default=0.0):
+                return _proj4_param(proj4, key, default)
+            ell = _proj4_ellipsoid(proj4)
+            k0 = _p('k_0', _p('k', 1.0))
+            fe, fn = _p('x_0') / unit, _p('y_0') / unit
+            if '+proj=somerc' in proj4:
+                cand = ('somerc', ell, _p('lat_0'), _p('lon_0'), k0,
+                        fe, fn)
+            else:
+                alpha = _p('alpha', 90.0)
+                gamma = _p('gamma', alpha)
+                if abs(alpha - 90.0) < 1e-9 and abs(gamma - 90.0) \
+                        < 1e-9:
+                    cand = ('somerc', ell, _p('lat_0'), _p('lonc'),
+                            k0, fe, fn)
+                else:
+                    vb = ('+no_uoff' not in proj4
+                          and '+no_off' not in proj4)
+                    cand = ('omerc', ell, _p('lat_0'), _p('lonc'),
+                            alpha, gamma, k0, fe, fn, vb)
+            if unit == 1.0:
+                for epsg, params in _GENERAL.items():
+                    if params == cand:
+                        return cls(epsg)
+            return cls(32767, cand, unit)
         m = re.search(r'EPSG:(\d+)', proj4)
         if m:
             return cls(int(m.group(1)))
@@ -1963,11 +2667,15 @@ def transform_points(src, dst, x, y):
     y = np.asarray(y, dtype=np.float64)
     if src == dst:
         return x, y
-    # to geographic (NAD83/ETRS89 <-> WGS84: null datum transformation)
+    # to geographic ON THE SOURCE DATUM (NAD83/ETRS89 <-> WGS84 ride
+    # the null transformation; classical datums get the Helmert shift
+    # below)
     if src.custom is not None:
         if src.unit != 1.0:     # foot-based grids -> metres
             x, y = x * src.unit, y * src.unit
         lat, lon = _custom_inverse(x, y, src.metric_custom)
+    elif src.general is not None:
+        lat, lon = _custom_inverse(x, y, src.general)
     elif src.utm is not None:
         lat, lon = utm_inverse(x, y, *src.utm, ell=src.ellipsoid)
     elif src.polar_stereo is not None:
@@ -1988,6 +2696,13 @@ def transform_points(src, dst, x, y):
         lon, lat = x, y
     else:
         raise ValueError(f'unsupported source CRS: EPSG:{src.epsg}')
+    # datum shift between the two geodetic frames (identity unless the
+    # effective TOWGS84 parameters differ)
+    if (_effective_shift(src.datum_shift)
+            != _effective_shift(dst.datum_shift)):
+        lat, lon = shift_datum(lat, lon, src.datum_ellipsoid,
+                               src.datum_shift, dst.datum_ellipsoid,
+                               dst.datum_shift)
     if dst.custom is not None:
         X, Y = _custom_forward(lat, lon, dst.metric_custom)
         if dst.unit != 1.0:     # metres -> the grid's native unit
@@ -1995,6 +2710,8 @@ def transform_points(src, dst, x, y):
         return X, Y
     if dst.is_geographic:
         return lon, lat
+    if dst.general is not None:
+        return _custom_forward(lat, lon, dst.general)
     if dst.utm is not None:
         return utm_forward(lat, lon, *dst.utm, ell=dst.ellipsoid)
     if dst.polar_stereo is not None:

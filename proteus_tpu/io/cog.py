@@ -91,6 +91,22 @@ def _geokey_directory(crs_or_epsg):
     else:
         from proteus_tpu.geo.crs import _ELLIPSOIDS
         fam = custom[0]
+        towgs84 = getattr(crs_or_epsg, 'towgs84', None)
+        if fam == 'geog':
+            # geographic on a classical ellipsoid: user-defined GCS
+            a, invf = _ELLIPSOIDS[custom[1]]
+            doubles = [float(a), float(invf)]
+            keys = [(1024, 0, 1, 2), (1025, 0, 1, 1),
+                    (2048, 0, 1, 32767), (2054, 0, 1, 9102),
+                    (2057, 34736, 1, 0), (2059, 34736, 1, 1)]
+            if towgs84 is not None:
+                keys.append((2062, 34736, len(towgs84), 2))
+                doubles.extend(float(v) for v in towgs84)
+            header = (1, 1, 0, len(keys))
+            flat = list(header)
+            for k in keys:
+                flat.extend(k)
+            return tuple(flat), tuple(doubles)
         if fam == 'ps':
             lat_ts, lon0, fe, fn, north, k0, ell = custom[1:]
             params = {3081: (lat_ts if lat_ts is not None
@@ -132,6 +148,22 @@ def _geokey_directory(crs_or_epsg):
             ell, lat_ts, lon0, fe, fn = custom[1:]
             params = {3078: lat_ts, 3080: lon0, 3082: fe, 3083: fn}
             ct = 28
+        elif fam == 'omerc':
+            ell, latc, lonc, alpha, gamma, k0, fe, fn, vb = custom[1:]
+            params = {3089: latc, 3088: lonc, 3094: alpha,
+                      3096: gamma, 3093: k0}
+            # azimuth-center variant: false coords at the projection
+            # center (3090/3091); variant A at the natural origin
+            if vb:
+                params[3090], params[3091] = fe, fn
+            else:
+                params[3082], params[3083] = fe, fn
+            ct = 3
+        elif fam == 'somerc':
+            ell, lat0, lon0, k0, fe, fn = custom[1:]
+            params = {3089: lat0, 3088: lon0, 3093: k0,
+                      3082: fe, 3083: fn}
+            ct = 5   # CT_ObliqueMercator_Rosenmund (Swiss)
         else:
             raise ValueError(f'unsupported custom CRS family: {fam}')
         from proteus_tpu.geo.crs import _UNIT_GEOKEY
@@ -154,6 +186,9 @@ def _geokey_directory(crs_or_epsg):
                                      **params}.items()):
             keys.append((key_id, 34736, 1, len(doubles)))
             doubles.append(float(value))
+        if towgs84 is not None:   # GeogTOWGS84GeoKey (GeoTIFF 1.1)
+            keys.append((2062, 34736, len(towgs84), len(doubles)))
+            doubles.extend(float(v) for v in towgs84)
         keys.sort()
         doubles = tuple(doubles)
     header = (1, 1, 0, len(keys))

@@ -869,14 +869,16 @@ class TestUserDefinedCrs:
         from proteus_tpu.geo.coverage import check_ancillary_inputs
         from proteus_tpu.io import tiff as tiffmod
         import synthetic
+        # CT 4 = Oblique Mercator Laborde (Hotine CT 3 is supported
+        # as of the datum/omerc widening)
         with pytest.raises(ValueError, match='unsupported'):
-            CRS.from_geokeys({1024: 1, 3072: 32767, 3075: 3,
+            CRS.from_geokeys({1024: 1, 3072: 32767, 3075: 4,
                               2048: 4326, 3076: 9001})
         with pytest.raises(ValueError, match='linear units'):
             CRS.from_geokeys({1024: 1, 3072: 32767, 3075: 1,
                               2048: 4326, 3076: 9005})
-        # end-to-end: a file carrying an unsupported method (CT 3,
-        # Oblique Mercator) is rejected inside check_ancillary_inputs
+        # end-to-end: a file carrying an unsupported method (CT 4,
+        # Laborde) is rejected inside check_ancillary_inputs
         size = 64
         dem = synthetic.make_dem(str(tmp_path), size=size)
         p = str(tmp_path / 'weird.tif')
@@ -885,13 +887,13 @@ class TestUserDefinedCrs:
                   epsg=CRS(32767, ('laea', 'WGS84', 45.0, -100.0,
                                    0.0, 0.0)),
                   overview_levels=())
-        # rewrite the method geokey to CT 3 (Oblique Mercator)
+        # rewrite the method geokey to CT 4 (Laborde)
         with open(p, 'rb') as fh:
             blob = bytearray(fh.read())
         with tiffmod.TiffReader(p) as r:
             kd = list(r.main.get(tiffmod.TAG_GEO_KEY_DIRECTORY))
         idx = kd.index(3075)
-        kd[idx + 3] = 3
+        kd[idx + 3] = 4
         import struct
         old = struct.pack('<%dH' % len(kd),
                           *r.main.get(tiffmod.TAG_GEO_KEY_DIRECTORY))
