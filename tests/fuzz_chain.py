@@ -271,10 +271,11 @@ def one_warp_iteration(seed, tmpdir):
     # projected (non-geographic) source CRS in ~30% of non-wrap
     # iterations: the round-3 widened grids whose domain covers the
     # fuzz tile (~31.5N 92.5W) — Conus Albers, Canada Atlas LCC,
-    # NAD83 UTM, EASE-Grid 2.0 North
+    # NAD83 UTM, EASE-Grid 2.0 North, and NAD27 UTM (26715: exercises
+    # the TOWGS84 Helmert datum path through the warp)
     src_epsg = 4326
     if not wrap_source and rng.random() < 0.3:
-        src_epsg = int(rng.choice([5070, 3978, 26915, 6931]))
+        src_epsg = int(rng.choice([5070, 3978, 26915, 6931, 26715]))
     if wrap_source:
         # global 360-deg raster (wraps in longitude) + a UTM zone-1
         # tile whose margin crosses the antimeridian

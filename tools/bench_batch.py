@@ -34,7 +34,15 @@ def main():
     ap.add_argument('--batches', type=int, nargs='*', default=[1, 2, 4])
     ap.add_argument('--out', default=os.path.join(REPO,
                                                   'BENCH_BATCH.json'))
+    ap.add_argument('--scaled', action='store_true',
+                    help='bench the scaled-reflectance path: raw int16 '
+                         'bands + [B,6] scale/offset device cast + '
+                         'float-input kernel (the production '
+                         'device_scale campaign pattern)')
     args = ap.parse_args()
+    if args.scaled and args.out.endswith('BENCH_BATCH.json'):
+        args.out = args.out.replace('BENCH_BATCH.json',
+                                    'BENCH_BATCH_SCALED.json')
 
     import jax
     import jax.numpy as jnp
@@ -49,10 +57,12 @@ def main():
     rng = np.random.default_rng(0)
     cfg = DswxChainConfig()
     kernel = make_wtr_kernel(cfg, minimal_outputs=True,
-                             interpret=not on_tpu)
+                             interpret=not on_tpu,
+                             float_inputs=args.scaled)
 
     results = {'device': str(jax.devices()[0]), 'size': args.size,
-               'iters': args.iters, 'passes': args.passes, 'points': []}
+               'iters': args.iters, 'passes': args.passes,
+               'scaled': bool(args.scaled), 'points': []}
 
     for B in args.batches:
         bands = [np.clip(rng.integers(-2000, 15000, (B, H, W)), 1,
@@ -60,13 +70,28 @@ def main():
         fmask = rng.integers(0, 256, (B, H, W)).astype(np.uint8)
         invalid = (rng.random((B, H, W)) < 0.02).astype(np.uint8)
         dev = [jax.device_put(a) for a in bands + [fmask, invalid]]
+        if args.scaled:
+            # the production device_scale pattern: raw int16 bands +
+            # [B, 6] scale/offset vectors, cast on device
+            scales = np.full((B, 6), 1e-4, np.float32)
+            offsets = np.zeros((B, 6), np.float32)
+            dev += [jax.device_put(scales), jax.device_put(offsets)]
         jax.block_until_ready(dev)
 
         def batched(k, arrays):
             b0 = arrays[0] + k.astype(arrays[0].dtype)
+            six = (b0,) + tuple(arrays[1:6])
+            fm, inv = arrays[6], arrays[7]
+            if args.scaled:
+                scales, offsets = arrays[8], arrays[9]
+                six = tuple(
+                    scales[:, j, None, None]
+                    * (x.astype(jnp.float32)
+                       - offsets[:, j, None, None])
+                    for j, x in enumerate(six))
             acc = jnp.int32(0)
             for i in range(B):
-                out = kernel(b0[i], *[a[i] for a in arrays[1:]])
+                out = kernel(*[a[i] for a in six], fm[i], inv[i])
                 acc = acc + jnp.sum(out['PACKED_A'].astype(jnp.int32)) \
                     + jnp.sum(out['PACKED_B'].astype(jnp.int32))
             return acc
