@@ -581,6 +581,7 @@ _SHIFT_CH1903 = (674.4, 15.1, 405.3, 0.0, 0.0, 0.0, 0.0)    # EPSG 1753
 _SHIFT_CH1903P = (674.374, 15.056, 405.346, 0.0, 0.0, 0.0,
                   0.0)                       # EPSG 1676 (CH1903+)
 _SHIFT_TIMBALAI = (-679.0, 669.0, -48.0, 0.0, 0.0, 0.0, 0.0)  # EPSG 1236
+_SHIFT_SJTSK = (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)      # EPSG 1623
 
 
 def _merc_k0_from_lat_ts(lat_ts, ell):
@@ -631,7 +632,7 @@ _GEOGCS_ELL = {
     # classical datums (their Helmert shifts live in _EPSG_TOWGS84)
     4277: 'AIRY1830', 4230: 'INTL1924', 4267: 'CLARKE1866',
     4301: 'BESSEL1841', 4284: 'KRASS1940',
-    4149: 'BESSEL1841', 4150: 'BESSEL1841',
+    4149: 'BESSEL1841', 4150: 'BESSEL1841', 4156: 'BESSEL1841',
 }
 
 
@@ -1340,6 +1341,84 @@ def somerc_inverse(x, y, ell, lat0, lon0, k0, fe, fn):
     return np.degrees(lat), np.degrees(_wrap_pi(lon))
 
 
+# --------------------------------------------------------------------------
+# Krovak (EPSG method 9819) — the S-JTSK oblique conformal conic of the
+# Czech and Slovak national grids (EPSG:5514 Krovak East North, the CRS
+# Czech DEM/landcover deliveries ship in). Formulas per EPSG Guidance
+# Note 7-2; east-north axis convention (southing/westing negated), the
+# way GDAL presents EPSG:5514 rasters.
+
+def _krovak_consts(ell, latc, lonc, alphac, latp, k0):
+    a, e2, e = _ell_consts(ell)
+    phic = np.radians(latc)
+    sin_c = np.sin(phic)
+    A = a * np.sqrt(1.0 - e2) / (1.0 - e2 * sin_c * sin_c)
+    B = np.sqrt(1.0 + e2 * np.cos(phic) ** 4 / (1.0 - e2))
+    gamma0 = np.arcsin(sin_c / B)
+    t0 = (np.tan(np.pi / 4.0 + gamma0 / 2.0)
+          * ((1.0 + e * sin_c) / (1.0 - e * sin_c)) ** (e * B / 2.0)
+          / np.tan(np.pi / 4.0 + phic / 2.0) ** B)
+    phip = np.radians(latp)
+    n = np.sin(phip)
+    r0 = k0 * A / np.tan(phip)
+    return e, A, B, gamma0, t0, n, r0, phip
+
+
+def krovak_forward(lat_deg, lon_deg, ell, latc, lonc, alphac, latp,
+                   k0, fe, fn):
+    """Krovak geographic degrees -> E/N (east-north convention:
+    E = -westing + fe, N = -southing + fn)."""
+    e, _A, B, _g0, t0, n, r0, phip = _krovak_consts(
+        ell, latc, lonc, alphac, latp, k0)
+    ac = np.radians(alphac)
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    esp = e * np.sin(lat)
+    U = 2.0 * (np.arctan(
+        t0 * np.tan(lat / 2.0 + np.pi / 4.0) ** B
+        / ((1.0 + esp) / (1.0 - esp)) ** (e * B / 2.0)) - np.pi / 4.0)
+    V = B * _wrap_pi(np.radians(lonc) - lon)
+    T = np.arcsin(np.cos(ac) * np.sin(U)
+                  + np.sin(ac) * np.cos(U) * np.cos(V))
+    D = np.arcsin(np.clip(np.cos(U) * np.sin(V) / np.cos(T),
+                          -1.0, 1.0))
+    theta = n * D
+    r = (r0 * np.tan(np.pi / 4.0 + phip / 2.0) ** n
+         / np.tan(T / 2.0 + np.pi / 4.0) ** n)
+    southing = r * np.cos(theta)
+    westing = r * np.sin(theta)
+    return -westing + fe, -southing + fn
+
+
+def krovak_inverse(x, y, ell, latc, lonc, alphac, latp, k0, fe, fn):
+    """Krovak E/N (east-north convention) -> geographic degrees."""
+    e, _A, B, _g0, t0, n, r0, phip = _krovak_consts(
+        ell, latc, lonc, alphac, latp, k0)
+    ac = np.radians(alphac)
+    westing = -(np.asarray(x, dtype=np.float64) - fe)
+    southing = -(np.asarray(y, dtype=np.float64) - fn)
+    r = np.hypot(southing, westing)
+    theta = np.arctan2(westing, southing)
+    D = theta / n
+    T = 2.0 * (np.arctan(
+        (r0 / r) ** (1.0 / n)
+        * np.tan(np.pi / 4.0 + phip / 2.0)) - np.pi / 4.0)
+    U = np.arcsin(np.cos(ac) * np.sin(T)
+                  - np.sin(ac) * np.cos(T) * np.cos(D))
+    V = np.arcsin(np.clip(np.cos(T) * np.sin(D) / np.cos(U),
+                          -1.0, 1.0))
+    # latitude from U by the EPSG fixed-point iteration
+    lat = U
+    for _ in range(10):
+        esp = e * np.sin(lat)
+        lat = 2.0 * (np.arctan(
+            t0 ** (-1.0 / B)
+            * np.tan(U / 2.0 + np.pi / 4.0) ** (1.0 / B)
+            * ((1.0 + esp) / (1.0 - esp)) ** (e / 2.0)) - np.pi / 4.0)
+    lon = np.radians(lonc) - V / B
+    return np.degrees(lat), np.degrees(_wrap_pi(lon))
+
+
 def _towgs84_wkt(towgs84):
     """',TOWGS84[...]' fragment (empty for the null transformation)."""
     if _effective_shift(towgs84) is None and towgs84 is None:
@@ -1440,6 +1519,15 @@ def _custom_to_wkt(custom, unit=1.0, towgs84=None):
                       ('longitude_of_center', lon0),
                       ('azimuth', 90.0),
                       ('rectified_grid_angle', 90.0),
+                      ('scale_factor', k0),
+                      ('false_easting', fe), ('false_northing', fn)]
+        elif fam == 'krovak':
+            latc, lonc, alphac, latp, k0, fe, fn = custom[2:]
+            proj = 'Krovak'
+            params = [('latitude_of_center', latc),
+                      ('longitude_of_center', lonc),
+                      ('azimuth', alphac),
+                      ('pseudo_standard_parallel_1', latp),
                       ('scale_factor', k0),
                       ('false_easting', fe), ('false_northing', fn)]
         else:   # lcc
@@ -1552,6 +1640,13 @@ def _custom_to_proj4_base(custom, unit=1.0):
         return (f'+proj=somerc +lat_0={lat0!r} +lon_0={lon0!r} '
                 f'+k_0={k0!r} +x_0={fe!r} +y_0={fn!r} '
                 f'{ell_frag(ell)} {un} +no_defs')
+    if fam == 'krovak':
+        latc, lonc, alphac, latp, k0, fe, fn = custom[2:]
+        # PROJ's krovak hardcodes the 78.5-deg pseudo standard
+        # parallel; +alpha carries the cone azimuth
+        return (f'+proj=krovak +lat_0={latc!r} +lon_0={lonc!r} '
+                f'+alpha={alphac!r} +k={k0!r} +x_0={fe!r} '
+                f'+y_0={fn!r} {ell_frag(ell)} {un} +no_defs')
     lat0, lon0, sp1, sp2, fe, fn = custom[2:8]
     k0 = custom[8] if len(custom) > 8 else 1.0
     kf = f' +k_0={k0!r}' if k0 != 1.0 else ''
@@ -1576,10 +1671,12 @@ def _custom_to_proj4_base(custom, unit=1.0):
 #                                                 datum via towgs84)
 #   ('omerc', ell, latc, lonc, alpha, gamma, k0, fe, fn, variant_b)
 #   ('somerc', ell, lat0, lon0, k0, fe, fn)      (Swiss CH1903 grids)
+#   ('krovak', ell, latc, lonc, alphac, latp, k0, fe, fn)  (S-JTSK,
+#                                                 east-north axes)
 _CUSTOM_FAMILIES = {
     'tm': None, 'aea': None, 'laea': None, 'lcc': None, 'ps': None,
     'merc': None, 'sinu': None, 'cea': None, 'geog': None,
-    'omerc': None, 'somerc': None,
+    'omerc': None, 'somerc': None, 'krovak': None,
 }
 
 
@@ -1642,7 +1739,8 @@ def _custom_forward(lat, lon, custom):
            'laea': laea_forward, 'lcc': lcc_forward,
            'ps': polar_stereo_forward, 'merc': mercator_forward,
            'sinu': sinusoidal_forward, 'cea': cea_forward,
-           'omerc': omerc_forward, 'somerc': somerc_forward}[fam]
+           'omerc': omerc_forward, 'somerc': somerc_forward,
+           'krovak': krovak_forward}[fam]
     return fwd(lat, lon, *custom[1:])
 
 
@@ -1655,7 +1753,8 @@ def _custom_inverse(x, y, custom):
            'laea': laea_inverse, 'lcc': lcc_inverse,
            'ps': polar_stereo_inverse, 'merc': mercator_inverse,
            'sinu': sinusoidal_inverse, 'cea': cea_inverse,
-           'omerc': omerc_inverse, 'somerc': somerc_inverse}[fam]
+           'omerc': omerc_inverse, 'somerc': somerc_inverse,
+           'krovak': krovak_inverse}[fam]
     return inv(x, y, *custom[1:])
 
 
@@ -1664,7 +1763,7 @@ def _custom_inverse(x, y, custom):
 _FEFN_IDX = {'tm': (5, 6), 'aea': (6, 7), 'laea': (4, 5),
              'lcc': (6, 7), 'ps': (3, 4), 'merc': (4, 5),
              'sinu': (3, 4), 'cea': (4, 5), 'geog': (),
-             'omerc': (7, 8), 'somerc': (5, 6)}
+             'omerc': (7, 8), 'somerc': (5, 6), 'krovak': (7, 8)}
 
 
 # registry projected CRS on classical datums, expressed as family
@@ -1696,6 +1795,12 @@ _GENERAL = {
            46.0 + 57.0 / 60 + 8.66 / 3600,
            7.0 + 26.0 / 60 + 22.50 / 3600,
            1.0, 2600000.0, 1200000.0),
+    # S-JTSK / Krovak East North (EPSG 5514): the Czech/Slovak grid,
+    # east-north axes (southing/westing negated) as GDAL presents it.
+    # EPSG GN7-2 worked example reproduced to cm.
+    5514: ('krovak', 'BESSEL1841', 49.5, 24.0 + 50.0 / 60,
+           30.0 + 17.0 / 60 + 17.3031 / 3600, 78.5, 0.9999,
+           0.0, 0.0),
 }
 # Pulkovo 1942 / Gauss-Krueger 6-degree zones 2-32 (EPSG 28402-28432):
 # TM k0=1 on Krassowsky 1940, FE = zone*1e6 + 500000 (zoned easting)
@@ -1713,6 +1818,7 @@ _GEOGRAPHIC_ELL = {
     4284: 'KRASS1940',     # Pulkovo 1942
     4149: 'BESSEL1841',    # CH1903
     4150: 'BESSEL1841',    # CH1903+
+    4156: 'BESSEL1841',    # S-JTSK
 }
 
 # datum shift to WGS84 per EPSG code (see _SHIFT_* for the EPSG
@@ -1727,6 +1833,7 @@ _EPSG_TOWGS84 = {
     4149: _SHIFT_CH1903, 21781: _SHIFT_CH1903,
     4150: _SHIFT_CH1903P, 2056: _SHIFT_CH1903P,
     29873: _SHIFT_TIMBALAI,
+    5514: _SHIFT_SJTSK, 4156: _SHIFT_SJTSK,
 }
 for _z in range(28, 39):    # ED50 / UTM zones 28-38 (EPSG 23028-23038)
     _EPSG_TOWGS84[23000 + _z] = _SHIFT_ED50
@@ -2321,6 +2428,16 @@ class CRS:
             custom = (('lcc', ell, *cand) if k0 == 1.0
                       else ('lcc', ell, *cand, k0))
             return cls(32767, custom, unit)
+        if 'Krovak' in wkt:
+            cand = ('krovak', _ell(), _lat0(), _lon0(),
+                    _param('azimuth'),
+                    _param('pseudo_standard_parallel_1', 78.5),
+                    _param('scale_factor', 1.0), *fe_fn)
+            if metric:
+                for epsg, params in _GENERAL.items():
+                    if params == cand:
+                        return cls(epsg)
+            return cls(32767, cand, unit)
         if ('Oblique_Mercator' in wkt or 'Oblique Mercator' in wkt
                 or 'somerc' in wkt):
             if 'Laborde' in wkt:
@@ -2606,6 +2723,19 @@ class CRS:
                                north,
                                (k0 or 1.0) if lat_ts is None else None,
                                ell), unit)
+        if '+proj=krovak' in proj4:
+            def _p(key, default=0.0):
+                return _proj4_param(proj4, key, default)
+            ell = _proj4_ellipsoid(proj4)
+            cand = ('krovak', ell, _p('lat_0'), _p('lon_0'),
+                    _p('alpha', 30.0 + 17.0 / 60 + 17.3031 / 3600),
+                    78.5, _p('k', _p('k_0', 1.0)),
+                    _p('x_0') / unit, _p('y_0') / unit)
+            if unit == 1.0:
+                for epsg, params in _GENERAL.items():
+                    if params == cand:
+                        return cls(epsg)
+            return cls(32767, cand, unit)
         if '+proj=somerc' in proj4 or '+proj=omerc' in proj4:
             def _p(key, default=0.0):
                 return _proj4_param(proj4, key, default)

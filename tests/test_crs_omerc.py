@@ -145,6 +145,80 @@ class TestSwissObliqueMercator:
         assert abs(cosang) < 1e-5
 
 
+class TestKrovak:
+    """S-JTSK / Krovak East North (EPSG:5514) — the Czech/Slovak
+    national grid (EPSG method 9819, east-north axis convention)."""
+
+    ARGS = ('BESSEL1841', 49.5, _dms(24, 50, 0),
+            _dms(30, 17, 17.3031), 78.5, 0.9999, 0.0, 0.0)
+
+    def test_epsg_guidance_note_example(self):
+        """EPSG GN7-2 Krovak worked example: 50°12'32.4416"N
+        16°50'59.1790"E -> southing 1050538.64, westing 568991.00
+        (east-north: E = -568991.00, N = -1050538.64)."""
+        from proteus_tpu.geo.crs import krovak_forward, krovak_inverse
+        lat, lon = _dms(50, 12, 32.4416), _dms(16, 50, 59.1790)
+        E, N = krovak_forward(lat, lon, *self.ARGS)
+        assert abs(-E - 568991.00) < 0.02
+        assert abs(-N - 1050538.64) < 0.02
+        la, lo = krovak_inverse(E, N, *self.ARGS)
+        assert abs(la - lat) < 1e-11 and abs(lo - lon) < 1e-11
+
+    def test_roundtrip_and_conformality(self):
+        from proteus_tpu.geo.crs import krovak_forward, krovak_inverse
+        rng = np.random.default_rng(5514)
+        lat = rng.uniform(47.8, 51.2, 500)
+        lon = rng.uniform(12.0, 22.5, 500)
+        E, N = krovak_forward(lat, lon, *self.ARGS)
+        la, lo = krovak_inverse(E, N, *self.ARGS)
+        assert np.abs(la - lat).max() < 1e-11
+        assert np.abs(lo - lon).max() < 1e-11
+        d = 1e-7
+        E0, N0 = krovak_forward(50.0, 15.0, *self.ARGS)
+        E1, N1 = krovak_forward(50.0 + d, 15.0, *self.ARGS)
+        E2, N2 = krovak_forward(50.0, 15.0 + d, *self.ARGS)
+        va = np.array([E1 - E0, N1 - N0])
+        vb = np.array([E2 - E0, N2 - N0])
+        cosang = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        assert abs(cosang) < 1e-5
+
+    def test_registry_crs_with_datum(self):
+        """EPSG:5514 through transform_points applies the S-JTSK
+        Helmert (EPSG tx 1623): Prague lands at its known grid
+        coordinates."""
+        c = CRS(5514)
+        assert CRS.from_wkt(c.to_wkt()) == c
+        assert CRS.from_proj4(c.to_proj4()) == c
+        e, n = transform_points(4326, 5514, np.array([14.421]),
+                                np.array([50.0875]))
+        # Prague centre: E ~ -742.8 km, N ~ -1043.0 km
+        assert abs(e[0] + 742833.0) < 200.0
+        assert abs(n[0] + 1043014.0) < 200.0
+        lo, la = transform_points(5514, 4326, e, n)
+        assert abs(lo[0] - 14.421) < 2e-7
+        assert abs(la[0] - 50.0875) < 2e-7
+
+    def test_krovak_dem_warp_host(self, tmp_path):
+        """A DEM in EPSG:5514 warps onto a UTM 33N tile through the
+        full Krovak + Helmert chain."""
+        rng = np.random.default_rng(9819)
+        h = w = 200
+        # around Prague: 5514 coords are negative east/north
+        gt = (-752000.0, 90.0, 0.0, -1034000.0, 0.0, -90.0)
+        arr = (300 + 80 * rng.normal(size=(h, w))).astype(np.float32)
+        path = str(tmp_path / 'sjtsk_dem.tif')
+        write_cog(path, arr, geotransform=gt, epsg=5514,
+                  nodata=float('nan'), overview_levels=())
+        eu, nu = transform_points(4326, 32633, np.array([14.42]),
+                                  np.array([50.08]))
+        tile_gt = (float(eu[0]) - 1500.0, 30.0, 0.0,
+                   float(nu[0]) + 1800.0, 0.0, -30.0)
+        host = warp_to_grid(path, tile_gt, 'EPSG:32633', 100, 120,
+                            resample_algorithm='cubic',
+                            margin_in_pixels=10)
+        assert np.isfinite(host).any(), 'tile missed the 5514 source'
+
+
 class TestObliqueMercatorCrsPlumbing:
     @pytest.mark.parametrize('epsg', [29873, 26931, 21781, 2056])
     def test_wkt_proj4_identity_roundtrip(self, epsg):
