@@ -582,6 +582,9 @@ _SHIFT_CH1903P = (674.374, 15.056, 405.346, 0.0, 0.0, 0.0,
                   0.0)                       # EPSG 1676 (CH1903+)
 _SHIFT_TIMBALAI = (-679.0, 669.0, -48.0, 0.0, 0.0, 0.0, 0.0)  # EPSG 1236
 _SHIFT_SJTSK = (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)      # EPSG 1623
+_SHIFT_AMERSFOORT = (565.417, 50.3319, 465.552, -0.398957,
+                     0.343988, -1.8774, 4.0725)   # EPSG 15934 (RDNAPTRANS
+# grid aside, the Helmert all proj4/GDAL installs carried for 28992)
 
 
 def _merc_k0_from_lat_ts(lat_ts, ell):
@@ -1419,6 +1422,114 @@ def krovak_inverse(x, y, ell, latc, lonc, alphac, latp, k0, fe, fn):
     return np.degrees(lat), np.degrees(_wrap_pi(lon))
 
 
+# --------------------------------------------------------------------------
+# Oblique Stereographic (EPSG method 9809, PROJ ``sterea``) — the double
+# projection (ellipsoid -> conformal sphere -> stereographic) of the
+# Dutch RD New grid (EPSG:28992), the CRS Dutch DEM/ancillary deliveries
+# ship in. Formulas per EPSG Guidance Note 7-2.
+
+def _sterea_consts(ell, lat0, k0):
+    a, e2, e = _ell_consts(ell)
+    phi0 = np.radians(lat0)
+    s0 = np.sin(phi0)
+    rho0 = a * (1.0 - e2) / (1.0 - e2 * s0 * s0) ** 1.5
+    nu0 = a / np.sqrt(1.0 - e2 * s0 * s0)
+    R = np.sqrt(rho0 * nu0)
+    n = np.sqrt(1.0 + e2 * np.cos(phi0) ** 4 / (1.0 - e2))
+    S1 = (1.0 + s0) / (1.0 - s0)
+    S2 = (1.0 - e * s0) / (1.0 + e * s0)
+    w1 = (S1 * S2 ** e) ** n
+    sin_chi00 = (w1 - 1.0) / (w1 + 1.0)
+    c = ((n + s0) * (1.0 - sin_chi00)
+         / ((n - s0) * (1.0 + sin_chi00)))
+    w2 = c * w1
+    chi0 = np.arcsin((w2 - 1.0) / (w2 + 1.0))
+    return e, n, c, R, chi0
+
+
+def sterea_forward(lat_deg, lon_deg, ell, lat0, lon0, k0, fe, fn):
+    """Oblique Stereographic geographic degrees -> E/N (EPSG 9809)."""
+    e, n, c, R, chi0 = _sterea_consts(ell, lat0, k0)
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    dlam = n * _wrap_pi(np.radians(np.asarray(lon_deg,
+                                              dtype=np.float64))
+                        - np.radians(lon0))
+    sp = np.sin(lat)
+    Sa = (1.0 + sp) / (1.0 - sp)
+    Sb = (1.0 - e * sp) / (1.0 + e * sp)
+    w = c * (Sa * Sb ** e) ** n
+    chi = np.arcsin((w - 1.0) / (w + 1.0))
+    B = (1.0 + np.sin(chi) * np.sin(chi0)
+         + np.cos(chi) * np.cos(chi0) * np.cos(dlam))
+    E = fe + 2.0 * R * k0 * np.cos(chi) * np.sin(dlam) / B
+    N = fn + 2.0 * R * k0 * (np.sin(chi) * np.cos(chi0)
+                             - np.cos(chi) * np.sin(chi0)
+                             * np.cos(dlam)) / B
+    return E, N
+
+
+def sterea_inverse(x, y, ell, lat0, lon0, k0, fe, fn):
+    """Oblique Stereographic E/N -> geographic degrees (EPSG 9809)."""
+    e, n, c, R, chi0 = _sterea_consts(ell, lat0, k0)
+    Ep = np.asarray(x, dtype=np.float64) - fe
+    Np = np.asarray(y, dtype=np.float64) - fn
+    g = 2.0 * R * k0 * np.tan(np.pi / 4.0 - chi0 / 2.0)
+    h = 4.0 * R * k0 * np.tan(chi0) + g
+    i = np.arctan2(Ep, h + Np)
+    j = np.arctan2(Ep, g - Np) - i
+    chi = chi0 + 2.0 * np.arctan(
+        (Np - Ep * np.tan(j / 2.0)) / (2.0 * R * k0))
+    dlam = j + 2.0 * i
+    lon = np.radians(lon0) + dlam / n
+    # conformal-sphere isometric latitude back to the geodetic latitude
+    # by the EPSG fixed-point iteration
+    psi = 0.5 * np.log((1.0 + np.sin(chi))
+                       / (c * (1.0 - np.sin(chi)))) / n
+    lat = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2.0
+    e2 = e * e
+    for _ in range(10):
+        esp = e * np.sin(lat)
+        psi_i = np.log(np.tan(lat / 2.0 + np.pi / 4.0)
+                       * ((1.0 - esp) / (1.0 + esp)) ** (e / 2.0))
+        lat = lat - ((psi_i - psi) * np.cos(lat)
+                     * (1.0 - esp * esp) / (1.0 - e2))
+    return np.degrees(lat), np.degrees(_wrap_pi(lon))
+
+
+# --------------------------------------------------------------------------
+# Equidistant Cylindrical (EPSG method 1028, PROJ ``eqc``) — the
+# projected plate carree of the global-raster grids EPSG:4087 (WGS 84 /
+# World Equidistant Cylindrical) and the deprecated-but-circulating
+# EPSG:32662. Ellipsoidal formulas per EPSG Guidance Note 7-2 (meridian
+# arc northing), matching PROJ >= 7's ellipsoidal eqc.
+
+def eqc_forward(lat_deg, lon_deg, ell, lat_ts, lat0, lon0, fe, fn):
+    """Equidistant Cylindrical geographic degrees -> E/N (EPSG 1028)."""
+    a, e2, _e = _ell_consts(ell)
+    phi1 = np.radians(lat_ts)
+    nu1_cos = np.cos(phi1) / np.sqrt(1.0 - e2 * np.sin(phi1) ** 2)
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    dlam = _wrap_pi(np.radians(np.asarray(lon_deg, dtype=np.float64))
+                    - np.radians(lon0))
+    E = fe + a * nu1_cos * dlam
+    N = fn + _merid_arc(lat, a, e2) - _merid_arc(np.radians(lat0),
+                                                 a, e2)
+    return E, N
+
+
+def eqc_inverse(x, y, ell, lat_ts, lat0, lon0, fe, fn):
+    """Equidistant Cylindrical E/N -> geographic degrees (EPSG 1028)."""
+    a, e2, _e = _ell_consts(ell)
+    phi1 = np.radians(lat_ts)
+    nu1_cos = np.cos(phi1) / np.sqrt(1.0 - e2 * np.sin(phi1) ** 2)
+    M = (np.asarray(y, dtype=np.float64) - fn
+         + _merid_arc(np.radians(lat0), a, e2))
+    lat = _lat_from_merid(M, a, e2)
+    lon = (np.radians(lon0)
+           + (np.asarray(x, dtype=np.float64) - fe) / (a * nu1_cos))
+    return np.degrees(lat), np.degrees(_wrap_pi(lon))
+
+
 def _towgs84_wkt(towgs84):
     """',TOWGS84[...]' fragment (empty for the null transformation)."""
     if _effective_shift(towgs84) is None and towgs84 is None:
@@ -1529,6 +1640,20 @@ def _custom_to_wkt(custom, unit=1.0, towgs84=None):
                       ('azimuth', alphac),
                       ('pseudo_standard_parallel_1', latp),
                       ('scale_factor', k0),
+                      ('false_easting', fe), ('false_northing', fn)]
+        elif fam == 'sterea':
+            lat0, lon0, k0, fe, fn = custom[2:]
+            proj = 'Oblique_Stereographic'
+            params = [('latitude_of_origin', lat0),
+                      ('central_meridian', lon0),
+                      ('scale_factor', k0),
+                      ('false_easting', fe), ('false_northing', fn)]
+        elif fam == 'eqc':
+            lat_ts, lat0, lon0, fe, fn = custom[2:]
+            proj = 'Equirectangular'
+            params = [('standard_parallel_1', lat_ts),
+                      ('latitude_of_origin', lat0),
+                      ('central_meridian', lon0),
                       ('false_easting', fe), ('false_northing', fn)]
         else:   # lcc
             lat0, lon0, sp1, sp2, fe, fn = custom[2:8]
@@ -1647,6 +1772,16 @@ def _custom_to_proj4_base(custom, unit=1.0):
         return (f'+proj=krovak +lat_0={latc!r} +lon_0={lonc!r} '
                 f'+alpha={alphac!r} +k={k0!r} +x_0={fe!r} '
                 f'+y_0={fn!r} {ell_frag(ell)} {un} +no_defs')
+    if fam == 'sterea':
+        lat0, lon0, k0, fe, fn = custom[2:]
+        return (f'+proj=sterea +lat_0={lat0!r} +lon_0={lon0!r} '
+                f'+k={k0!r} +x_0={fe!r} +y_0={fn!r} '
+                f'{ell_frag(ell)} {un} +no_defs')
+    if fam == 'eqc':
+        lat_ts, lat0, lon0, fe, fn = custom[2:]
+        return (f'+proj=eqc +lat_ts={lat_ts!r} +lat_0={lat0!r} '
+                f'+lon_0={lon0!r} +x_0={fe!r} +y_0={fn!r} '
+                f'{ell_frag(ell)} {un} +no_defs')
     lat0, lon0, sp1, sp2, fe, fn = custom[2:8]
     k0 = custom[8] if len(custom) > 8 else 1.0
     kf = f' +k_0={k0!r}' if k0 != 1.0 else ''
@@ -1673,10 +1808,14 @@ def _custom_to_proj4_base(custom, unit=1.0):
 #   ('somerc', ell, lat0, lon0, k0, fe, fn)      (Swiss CH1903 grids)
 #   ('krovak', ell, latc, lonc, alphac, latp, k0, fe, fn)  (S-JTSK,
 #                                                 east-north axes)
+#   ('sterea', ell, lat0, lon0, k0, fe, fn)      (Dutch RD New)
+#   ('eqc', ell, lat_ts, lat0, lon0, fe, fn)     (world equidistant
+#                                                 cylindrical)
 _CUSTOM_FAMILIES = {
     'tm': None, 'aea': None, 'laea': None, 'lcc': None, 'ps': None,
     'merc': None, 'sinu': None, 'cea': None, 'geog': None,
-    'omerc': None, 'somerc': None, 'krovak': None,
+    'omerc': None, 'somerc': None, 'krovak': None, 'sterea': None,
+    'eqc': None,
 }
 
 
@@ -1740,7 +1879,8 @@ def _custom_forward(lat, lon, custom):
            'ps': polar_stereo_forward, 'merc': mercator_forward,
            'sinu': sinusoidal_forward, 'cea': cea_forward,
            'omerc': omerc_forward, 'somerc': somerc_forward,
-           'krovak': krovak_forward}[fam]
+           'krovak': krovak_forward, 'sterea': sterea_forward,
+           'eqc': eqc_forward}[fam]
     return fwd(lat, lon, *custom[1:])
 
 
@@ -1754,7 +1894,8 @@ def _custom_inverse(x, y, custom):
            'ps': polar_stereo_inverse, 'merc': mercator_inverse,
            'sinu': sinusoidal_inverse, 'cea': cea_inverse,
            'omerc': omerc_inverse, 'somerc': somerc_inverse,
-           'krovak': krovak_inverse}[fam]
+           'krovak': krovak_inverse, 'sterea': sterea_inverse,
+           'eqc': eqc_inverse}[fam]
     return inv(x, y, *custom[1:])
 
 
@@ -1763,7 +1904,8 @@ def _custom_inverse(x, y, custom):
 _FEFN_IDX = {'tm': (5, 6), 'aea': (6, 7), 'laea': (4, 5),
              'lcc': (6, 7), 'ps': (3, 4), 'merc': (4, 5),
              'sinu': (3, 4), 'cea': (4, 5), 'geog': (),
-             'omerc': (7, 8), 'somerc': (5, 6), 'krovak': (7, 8)}
+             'omerc': (7, 8), 'somerc': (5, 6), 'krovak': (7, 8),
+             'sterea': (5, 6), 'eqc': (5, 6)}
 
 
 # registry projected CRS on classical datums, expressed as family
@@ -1801,6 +1943,20 @@ _GENERAL = {
     5514: ('krovak', 'BESSEL1841', 49.5, 24.0 + 50.0 / 60,
            30.0 + 17.0 / 60 + 17.3031 / 3600, 78.5, 0.9999,
            0.0, 0.0),
+    # Amersfoort / RD New (EPSG 28992): Oblique (double) Stereographic
+    # on Bessel 1841 — the Dutch national grid (EPSG GN7-2 worked
+    # example reproduced to mm in tests)
+    28992: ('sterea', 'BESSEL1841',
+            52.0 + 9.0 / 60 + 22.178 / 3600,
+            5.0 + 23.0 / 60 + 15.5 / 3600,
+            0.9999079, 155000.0, 463000.0),
+    # NZGD2000 / New Zealand Transverse Mercator (EPSG 2193): plain TM
+    # on GRS80 (null datum shift, NZGD2000 ~ WGS84)
+    2193: ('tm', 'GRS80', 0.0, 173.0, 0.9996, 1600000.0, 10000000.0),
+    # WGS 84 / World Equidistant Cylindrical (EPSG 4087) and the
+    # deprecated Plate Carree code (EPSG 32662) global grids
+    4087: ('eqc', 'WGS84', 0.0, 0.0, 0.0, 0.0, 0.0),
+    32662: ('eqc', 'WGS84', 0.0, 0.0, 0.0, 0.0, 0.0),
 }
 # Pulkovo 1942 / Gauss-Krueger 6-degree zones 2-32 (EPSG 28402-28432):
 # TM k0=1 on Krassowsky 1940, FE = zone*1e6 + 500000 (zoned easting)
@@ -1819,6 +1975,8 @@ _GEOGRAPHIC_ELL = {
     4149: 'BESSEL1841',    # CH1903
     4150: 'BESSEL1841',    # CH1903+
     4156: 'BESSEL1841',    # S-JTSK
+    4289: 'BESSEL1841',    # Amersfoort
+    4167: 'GRS80',         # NZGD2000
 }
 
 # datum shift to WGS84 per EPSG code (see _SHIFT_* for the EPSG
@@ -1834,6 +1992,7 @@ _EPSG_TOWGS84 = {
     4150: _SHIFT_CH1903P, 2056: _SHIFT_CH1903P,
     29873: _SHIFT_TIMBALAI,
     5514: _SHIFT_SJTSK, 4156: _SHIFT_SJTSK,
+    28992: _SHIFT_AMERSFOORT, 4289: _SHIFT_AMERSFOORT,
 }
 for _z in range(28, 39):    # ED50 / UTM zones 28-38 (EPSG 23028-23038)
     _EPSG_TOWGS84[23000 + _z] = _SHIFT_ED50
@@ -2057,6 +2216,11 @@ class CRS:
         elif ct == 5:   # CT_ObliqueMercator_Rosenmund (Swiss)
             custom = ('somerc', ell, g(3089), g(3088), g(3093, 1.0),
                       fe, fn)
+        elif ct == 16:  # CT_ObliqueStereographic (double stereographic)
+            custom = ('sterea', ell, lat0, lon0, k0, fe, fn)
+        elif ct == 17:  # CT_Equirectangular (GDAL: center keys + sp1)
+            custom = ('eqc', ell, g(3078, 0.0), g(3089, lat0),
+                      g(3088, lon0), fe, fn)
         else:
             raise ValueError(
                 f'unsupported user-defined projection method '
@@ -2459,7 +2623,30 @@ class CRS:
                     if params == cand:
                         return cls(epsg)
             return cls(32767, cand, unit)
+        if ('Oblique_Stereographic' in wkt
+                or 'Double_Stereographic' in wkt):
+            cand = ('sterea', _ell(), _lat0(), _lon0(),
+                    _param('scale_factor', 1.0), *fe_fn)
+            if metric:
+                for epsg, params in _GENERAL.items():
+                    if params == cand:
+                        return cls(epsg)
+            return cls(32767, cand, unit)
+        if ('Equirectangular' in wkt
+                or 'Equidistant_Cylindrical' in wkt):
+            cand = ('eqc', _ell(), _param('standard_parallel_1', 0.0),
+                    _lat0(), _lon0(), *fe_fn)
+            if metric:
+                for epsg, params in _GENERAL.items():
+                    if params == cand:
+                        return cls(epsg)
+            return cls(32767, cand, unit)
         if 'Transverse_Mercator' in wkt:
+            # deliberately NOT identified against the _GENERAL registry:
+            # TM grids (BNG, NZTM, Gauss-Krueger) ride classical datums,
+            # and an authority-free WKT without TOWGS84 must keep the
+            # null shift (the OSR contract: the SRS the file carries
+            # wins) rather than inherit the registry Helmert
             custom = ('tm', _ell(), _lat0(), _lon0(),
                       _param('scale_factor', 1.0), *fe_fn)
             return cls(32767, custom, unit)
@@ -2676,6 +2863,9 @@ class CRS:
             ell = _proj4_ellipsoid(proj4)
             fe, fn = _p('x_0') / unit, _p('y_0') / unit
             if '+proj=tmerc' in proj4:
+                # no _GENERAL identification (see the WKT TM branch):
+                # a bare tmerc string without +towgs84 keeps the null
+                # datum shift
                 return cls(32767, ('tm', ell, _p('lat_0'), _p('lon_0'),
                                    _p('k', _p('k_0', 1.0)), fe, fn),
                            unit)
@@ -2698,6 +2888,29 @@ class CRS:
                     if params[1:] == cand and ell == params[0]:
                         return cls(epsg)
             return cls(32767, ('laea', ell, *cand), unit)
+        if '+proj=sterea' in proj4:
+            def _p(key, default=0.0):
+                return _proj4_param(proj4, key, default)
+            ell = _proj4_ellipsoid(proj4)
+            cand = ('sterea', ell, _p('lat_0'), _p('lon_0'),
+                    _p('k', _p('k_0', 1.0)),
+                    _p('x_0') / unit, _p('y_0') / unit)
+            if unit == 1.0:
+                for epsg, params in _GENERAL.items():
+                    if params == cand:
+                        return cls(epsg)
+            return cls(32767, cand, unit)
+        if '+proj=eqc' in proj4:
+            def _p(key, default=0.0):
+                return _proj4_param(proj4, key, default)
+            ell = _proj4_ellipsoid(proj4)
+            cand = ('eqc', ell, _p('lat_ts'), _p('lat_0'), _p('lon_0'),
+                    _p('x_0') / unit, _p('y_0') / unit)
+            if unit == 1.0:
+                for epsg, params in _GENERAL.items():
+                    if params == cand:
+                        return cls(epsg)
+            return cls(32767, cand, unit)
         if '+proj=stere' in proj4:
             def _p(key, default=0.0):
                 return _proj4_param(proj4, key, default)

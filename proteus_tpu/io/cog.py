@@ -164,6 +164,16 @@ def _geokey_directory(crs_or_epsg):
             params = {3089: lat0, 3088: lon0, 3093: k0,
                       3082: fe, 3083: fn}
             ct = 5   # CT_ObliqueMercator_Rosenmund (Swiss)
+        elif fam == 'sterea':
+            ell, lat0, lon0, k0, fe, fn = custom[1:]
+            params = {3081: lat0, 3080: lon0, 3092: k0,
+                      3082: fe, 3083: fn}
+            ct = 16  # CT_ObliqueStereographic (double stereographic)
+        elif fam == 'eqc':
+            ell, lat_ts, lat0, lon0, fe, fn = custom[1:]
+            params = {3078: lat_ts, 3089: lat0, 3088: lon0,
+                      3082: fe, 3083: fn}
+            ct = 17  # CT_Equirectangular
         else:
             raise ValueError(f'unsupported custom CRS family: {fam}')
         from proteus_tpu.geo.crs import _UNIT_GEOKEY

@@ -150,7 +150,8 @@ def _dilate_masked_block(x, mask, iterations):
 def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
                     with_landcover=False, compute_browse=True,
                     block_rows=None, interpret=False,
-                    minimal_outputs=False, float_inputs=False):
+                    minimal_outputs=False, float_inputs=False,
+                    device_scale=False):
     """Build the fused kernel. ``config`` is a DswxChainConfig; static
     choices are baked in at trace time.
 
@@ -169,7 +170,19 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
     2302); the MNDWI/NDVI threshold comparisons run as the division-free
     exact boundary sign tests of core.f32exact (TPU f32 division is not
     correctly rounded), everything else is plain IEEE f32.
+
+    ``device_scale=True`` (requires float_inputs): the six bands arrive
+    RAW int16 and two extra (6,) float32 SMEM inputs follow ``invalid``
+    (per-band scale, offset); the reference's scaled cast
+    ``scale * (float32(band) - offset)`` (dswx_hls.py:2298-2302) runs
+    inside the kernel in VMEM. int16->f32 conversion and f32 sub/mul are
+    bit-exact IEEE on TPU, so results are bit-identical to pre-cast f32
+    inputs — while the kernel's band HBM traffic halves (2 bytes/px
+    instead of 4) and the six full-tile f32 intermediates the XLA cast
+    would materialize in HBM never exist.
     """
+    if device_scale and not float_inputs:
+        raise ValueError('device_scale requires float_inputs=True')
     cover = config.mask_adjacent_to_cloud_mode == 'cover'
     if block_rows is None:
         # cover mode holds (block + 2*halo) rows of every input in
@@ -233,6 +246,10 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
         (blue_r, green_r, red_r, nir_r, swir1_r, swir2_r, fmask_r,
          invalid_r) = refs[:8]
         idx = 8
+        scales_r = offsets_r = None
+        if device_scale:
+            scales_r, offsets_r = refs[8:10]
+            idx = 10
         ocean_r = shadow_r = landcover_r = None
         if with_ocean:
             ocean_r = refs[idx]
@@ -282,12 +299,26 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
             from proteus_tpu.core.f32exact import eft_barriers_disabled
             barrier_ctx = contextlib.nullcontext() if interpret \
                 else eft_barriers_disabled()
-            blue = blue_r[:]
-            green = green_r[:]
-            red = red_r[:]
-            nir = nir_r[:]
-            swir1 = swir1_r[:]
-            swir2 = swir2_r[:]
+            if device_scale:
+                # reference scaled cast fused in VMEM: int16 -> f32 is
+                # exact, f32 sub/mul are bit-exact IEEE on TPU (goes via
+                # int32 — v5e Mosaic lacks packed-i16 converts)
+                def _cast(ref, j):
+                    v = ref[:].astype(jnp.int32).astype(jnp.float32)
+                    return scales_r[j] * (v - offsets_r[j])
+                blue = _cast(blue_r, 0)
+                green = _cast(green_r, 1)
+                red = _cast(red_r, 2)
+                nir = _cast(nir_r, 3)
+                swir1 = _cast(swir1_r, 4)
+                swir2 = _cast(swir2_r, 5)
+            else:
+                blue = blue_r[:]
+                green = green_r[:]
+                red = red_r[:]
+                nir = nir_r[:]
+                swir1 = swir1_r[:]
+                swir2 = swir2_r[:]
             f32 = jnp.float32
             mndwi_num, mndwi_den = green - swir1, green + swir1
             mbsrv, mbsrn = green + red, nir + swir1
@@ -537,7 +568,12 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
                 lambda i: (i * block_rows, 0),
                 memory_space=pltpu.VMEM)
 
-        n_in = 8 + n_extra
+        in_specs = [in_bspec() for _ in range(8)]
+        if device_scale:
+            # (6,) per-band scale/offset scalars live in SMEM, one copy
+            # shared by every grid block
+            in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        in_specs += [in_bspec() for _ in range(n_extra)]
         if minimal_outputs:
             n_out = 2
             out_shapes = [jax.ShapeDtypeStruct((h, w), jnp.uint8)
@@ -550,7 +586,7 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
         return pl.pallas_call(
             functools.partial(kernel, h_total=h),
             grid=grid,
-            in_specs=[in_bspec() for _ in range(n_in)],
+            in_specs=in_specs,
             out_specs=[out_bspec() for _ in range(n_out)],
             out_shape=out_shapes,
             interpret=interpret,
@@ -566,12 +602,15 @@ def make_wtr_kernel(config, with_ocean=False, with_shadow=False,
         arrays[7] = arrays[7].astype(jnp.uint8)
         if cover:
             # pre-pad so every overlapping halo window is in-bounds (the
-            # pad rows are masked via valid_rows); one fused XLA copy
+            # pad rows are masked via valid_rows); one fused XLA copy.
+            # The (6,) scale/offset SMEM scalars are not image planes —
+            # skip them.
             halo = _COVER_HALO
             n_blocks = pl.cdiv(h, block_rows)
             padded_h = (n_blocks - 1) * block_rows + block_rows + 2 * halo
-            arrays = [jnp.pad(a, ((halo, padded_h - h - halo), (0, 0)))
-                      for a in arrays]
+            arrays = [a if (device_scale and 8 <= i < 10) else
+                      jnp.pad(a, ((halo, padded_h - h - halo), (0, 0)))
+                      for i, a in enumerate(arrays)]
         outs = call(*arrays)
         if minimal_outputs:
             names = ['PACKED_A', 'PACKED_B']

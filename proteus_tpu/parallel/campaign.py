@@ -171,7 +171,11 @@ def make_campaign_step(config: DswxChainConfig, mesh,
     bit-identical to the reference's host-side NumPy cast
     (dswx_hls.py:2298-2302) — while the host ships half the band bytes
     and does no full-tile float math (see BENCH_NOTES.md round 3 for
-    the measured scaled-campaign effect).
+    the measured scaled-campaign effect). On the Pallas path the cast
+    runs INSIDE the fused kernel (VMEM), halving the kernel's band HBM
+    reads and skipping the six full-tile f32 intermediates an XLA
+    pre-cast would materialize; the jnp-chain fallback keeps the XLA
+    cast.
     """
     if device_scale and not float_inputs:
         raise ValueError('device_scale requires float_inputs=True '
@@ -192,7 +196,8 @@ def make_campaign_step(config: DswxChainConfig, mesh,
             config, with_ocean=with_ocean, with_shadow=with_shadow,
             with_landcover=with_landcover, compute_browse=compute_browse,
             minimal_outputs=minimal, interpret=pallas_interpret,
-            block_rows=pallas_block_rows, float_inputs=float_inputs)
+            block_rows=pallas_block_rows, float_inputs=float_inputs,
+            device_scale=device_scale)
 
     def per_tile(b, g, r, n, s1, s2, fm, inv, *extras):
         it = iter(extras)
@@ -204,9 +209,12 @@ def make_campaign_step(config: DswxChainConfig, mesh,
                           landcover_mask=lc,
                           compute_browse=compute_browse)
 
-    def per_tile_pallas(b, g, r, n, s1, s2, fm, inv, *extras):
-        # the kernel packs the minimal layers itself (PACKED_A/PACKED_B)
-        out = pallas_kernel(b, g, r, n, s1, s2, fm, inv, *extras)
+    def per_tile_pallas(b, g, r, n, s1, s2, fm, inv, *rest):
+        # the kernel packs the minimal layers itself (PACKED_A/PACKED_B);
+        # with device_scale, rest leads with the (6,) scale/offset
+        # scalars, which the kernel applies in VMEM
+        extras = rest[2:] if device_scale else rest
+        out = pallas_kernel(b, g, r, n, s1, s2, fm, inv, *rest)
         # coverage stats (the kernel emits layers only)
         it = iter(extras)
         ocean = next(it) if with_ocean else None
@@ -226,18 +234,24 @@ def make_campaign_step(config: DswxChainConfig, mesh,
     def local_step(b, g, r, n, s1, s2, fm, inv, *rest):
         if device_scale:
             scales, offsets, *extras = rest
-            b, g, r, n, s1, s2 = (
-                scales[:, j, None, None]
-                * (x.astype(jnp.float32) - offsets[:, j, None, None])
-                for j, x in enumerate((b, g, r, n, s1, s2)))
+            if not use_pallas:
+                # jnp chain wants pre-cast f32 bands; the Pallas kernel
+                # applies the cast itself in VMEM (half the band HBM
+                # reads, no f32 intermediates materialized)
+                b, g, r, n, s1, s2 = (
+                    scales[:, j, None, None]
+                    * (x.astype(jnp.float32) - offsets[:, j, None, None])
+                    for j, x in enumerate((b, g, r, n, s1, s2)))
         else:
             extras = rest
         if use_pallas:
             # static per-device batch loop (pallas_call + vmap do not mix
             # with element-indexed halo block specs)
+            lead = ((scales, offsets) if device_scale else ())
             tiles = [per_tile_pallas(
                 b[i], g[i], r[i], n[i], s1[i], s2[i], fm[i], inv[i],
-                *[e[i] for e in extras]) for i in range(b.shape[0])]
+                *[e[i] for e in lead + tuple(extras)])
+                for i in range(b.shape[0])]
             out = {k: jnp.stack([t[k] for t in tiles])
                    for k in tiles[0]}
         else:
@@ -346,7 +360,7 @@ def make_spatial_campaign_step(config: DswxChainConfig, mesh,
             config, with_ocean=with_ocean, with_shadow=with_shadow,
             with_landcover=with_landcover, compute_browse=compute_browse,
             interpret=pallas_interpret, block_rows=pallas_block_rows,
-            float_inputs=float_inputs)
+            float_inputs=float_inputs, device_scale=device_scale)
 
     def per_tile(b, g, r, n, s1, s2, fm, inv, *extras):
         it = iter(extras)
@@ -359,22 +373,35 @@ def make_spatial_campaign_step(config: DswxChainConfig, mesh,
                           compute_browse=compute_browse,
                           compute_stats=False)
 
-    def _tiles_through_chain(padded):
+    def _tiles_through_chain(padded, scale_vecs=None):
         if use_pallas:
-            # static per-device batch loop (see make_campaign_step)
-            tiles = [pallas_kernel(*[a[i] for a in padded])
+            # static per-device batch loop (see make_campaign_step);
+            # with device_scale the (6,) scale/offset scalars slot in
+            # after the 8 image planes (the kernel casts in VMEM)
+            def tile_args(i):
+                args = [a[i] for a in padded]
+                if scale_vecs is not None:
+                    args[8:8] = [v[i] for v in scale_vecs]
+                return args
+            tiles = [pallas_kernel(*tile_args(i))
                      for i in range(padded[0].shape[0])]
             return {k: jnp.stack([t[k] for t in tiles])
                     for k in tiles[0]}
         return jax.vmap(per_tile)(*padded)
 
     def local_step(b, g, r, n, s1, s2, fm, inv, *rest):
+        scale_vecs = None
         if device_scale:
             scales, offsets, *extras = rest
-            b, g, r, n, s1, s2 = (
-                scales[:, j, None, None]
-                * (x.astype(jnp.float32) - offsets[:, j, None, None])
-                for j, x in enumerate((b, g, r, n, s1, s2)))
+            if use_pallas:
+                # bands stay RAW int16 through the halo exchange (half
+                # the ICI band bytes); the kernel applies the cast
+                scale_vecs = (scales, offsets)
+            else:
+                b, g, r, n, s1, s2 = (
+                    scales[:, j, None, None]
+                    * (x.astype(jnp.float32) - offsets[:, j, None, None])
+                    for j, x in enumerate((b, g, r, n, s1, s2)))
         else:
             extras = rest
         if halo > b.shape[1]:
@@ -397,7 +424,7 @@ def make_spatial_campaign_step(config: DswxChainConfig, mesh,
             padded.append(with_halo(next(it), edge_fill=1))
         if with_landcover:
             padded.append(with_halo(next(it), edge_fill=255))
-        out = _tiles_through_chain(padded)
+        out = _tiles_through_chain(padded, scale_vecs)
         out = {k: v[:, halo:-halo, :] for k, v in out.items()}
 
         prelim = masking.compute_preliminary_cloud_layer(

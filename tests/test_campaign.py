@@ -263,6 +263,46 @@ def test_spatial_step_scaled_device_scale_matches_chain():
     assert int(totals['n_valid_total']) == int((~invalid).sum())
 
 
+@pytest.mark.parametrize('mode', ['mask', 'cover'])
+def test_spatial_step_pallas_device_scale_matches_chain(mode):
+    """dp x sp + the fused Pallas kernel + the IN-KERNEL scale/offset
+    cast (bands stay raw int16 through the halo exchange; the kernel
+    casts in VMEM). Must match the single-device float chain on the
+    host-cast bands bit-for-bit."""
+    from proteus_tpu.models.dswx.chain import dswx_chain
+    from proteus_tpu.parallel.campaign import make_spatial_campaign_step
+    from proteus_tpu.parallel.mesh import make_tile_space_mesh
+
+    mesh = make_tile_space_mesh(2, 4)
+    cfg = DswxChainConfig(mask_adjacent_to_cloud_mode=mode)
+    step = make_spatial_campaign_step(
+        cfg, mesh, float_inputs=True, device_scale=True,
+        use_pallas=True, pallas_interpret=True, pallas_block_rows=8)
+    rng = np.random.default_rng(13)
+    B, H, W = 2, 128, 64
+    raw = [rng.integers(-2000, 15000, (B, H, W)).astype(np.int16)
+           for _ in range(6)]
+    scales = (np.float32(0.0001)
+              * rng.uniform(0.5, 2.0, (B, 6))).astype(np.float32)
+    offsets = rng.choice(
+        np.asarray([0.0, -0.1, 0.25], np.float32), (B, 6))
+    fmask = rng.integers(0, 256, (B, H, W)).astype(np.uint8)
+    invalid = rng.random((B, H, W)) < 0.05
+    out, totals = step(*raw, fmask, invalid, scales, offsets)
+    cast = [scales[:, j, None, None]
+            * (raw[j].astype(np.float32) - offsets[:, j, None, None])
+            for j in range(6)]
+    for k in range(B):
+        want = dswx_chain(*[c[k] for c in cast], fmask[k], invalid[k],
+                          cfg)
+        for layer in ('DIAG', 'WTR-1', 'WTR-2', 'WTR', 'BWTR', 'CONF',
+                      'CLOUD'):
+            np.testing.assert_array_equal(
+                np.asarray(out[layer][k]), np.asarray(want[layer]),
+                err_msg=f'tile {k} {layer} mode {mode}')
+    assert int(totals['n_valid_total']) == int((~invalid).sum())
+
+
 def test_campaign_runner_spatial_scaled(tmp_path):
     """Spatial-sharded scaled campaign through the runner: products
     byte-identical to the data-parallel scaled campaign."""
