@@ -109,18 +109,24 @@ def main():
                             if hasattr(v, 'ndim') and v.ndim == 2)
         return acc
 
+    # `seed` is a TRACED scalar that is distinct for every timing pass:
+    # the axon tunnel has been observed to replay results for an
+    # (executable, inputs) pair it has already served (CLAUDE.md), so the
+    # per-iteration `k` fold alone — which varies work only WITHIN one
+    # dispatch — is not enough. Folding seed*K+k into the data makes
+    # every pass a distinct dispatch with distinct inputs.
     @jax.jit
-    def loop(*a):
+    def loop(seed, *a):
         def body(k, acc):
-            return acc + one(k, a)
+            return acc + one(seed * jnp.int32(K) + k, a)
         return jax.lax.fori_loop(0, K, body, jnp.int32(0))
 
-    s = loop(*dev)
+    s = loop(jnp.int32(0), *dev)
     _ = int(s)  # compile + first run, forced by the scalar fetch
     per_tile = []
-    for _pass in range(N_PASSES):
+    for p in range(N_PASSES):
         t0 = time.time()
-        s = loop(*dev)
+        s = loop(jnp.int32(p + 1), *dev)
         _ = int(s)
         per_tile.append((time.time() - t0) / K / B)
     per_tile.sort()

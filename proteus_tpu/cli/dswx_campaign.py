@@ -90,6 +90,11 @@ def get_parser():
     parser.add_argument('--debug', dest='flag_debug',
                         action='store_true', default=False,
                         help='Read only 1000x1000 windows')
+    parser.add_argument('--stats-json', type=str, default=None,
+                        help='Write the final campaign statistics '
+                             '(incl. the per-stage core-seconds table '
+                             'when PROTEUS_TPU_STAGE_TIMES=1) to this '
+                             'JSON file')
     parser.add_argument('--log', '--log-file', dest='log_file', type=str)
     return parser
 
@@ -167,6 +172,10 @@ def main(argv=None):
                             scaled_inputs=args.scaled_inputs)
     stats = runner.run(jobs)
     logger.info(f'campaign complete: {stats}')
+    if args.stats_json:
+        import json
+        with open(args.stats_json, 'w') as fh:
+            json.dump(stats, fh, indent=1)
     if stats['tiles_failed']:
         sys.exit(1)
 

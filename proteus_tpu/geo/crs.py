@@ -583,8 +583,10 @@ _SHIFT_CH1903P = (674.374, 15.056, 405.346, 0.0, 0.0, 0.0,
 _SHIFT_TIMBALAI = (-679.0, 669.0, -48.0, 0.0, 0.0, 0.0, 0.0)  # EPSG 1236
 _SHIFT_SJTSK = (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)      # EPSG 1623
 _SHIFT_AMERSFOORT = (565.417, 50.3319, 465.552, -0.398957,
-                     0.343988, -1.8774, 4.0725)   # EPSG 15934 (RDNAPTRANS
-# grid aside, the Helmert all proj4/GDAL installs carried for 28992)
+                     0.343988, -1.8774, 4.0725)
+# ^ the legacy proj4/GDAL epsg-init +towgs84 set every install carried
+# for 28992 (matches it to ~2 m; EPSG's own 15934 publishes slightly
+# different parameters: 565.2369, 50.0087, 465.658, ...)
 
 
 def _merc_k0_from_lat_ts(lat_ts, ell):
@@ -1428,7 +1430,7 @@ def krovak_inverse(x, y, ell, latc, lonc, alphac, latp, k0, fe, fn):
 # Dutch RD New grid (EPSG:28992), the CRS Dutch DEM/ancillary deliveries
 # ship in. Formulas per EPSG Guidance Note 7-2.
 
-def _sterea_consts(ell, lat0, k0):
+def _sterea_consts(ell, lat0):
     a, e2, e = _ell_consts(ell)
     phi0 = np.radians(lat0)
     s0 = np.sin(phi0)
@@ -1449,7 +1451,7 @@ def _sterea_consts(ell, lat0, k0):
 
 def sterea_forward(lat_deg, lon_deg, ell, lat0, lon0, k0, fe, fn):
     """Oblique Stereographic geographic degrees -> E/N (EPSG 9809)."""
-    e, n, c, R, chi0 = _sterea_consts(ell, lat0, k0)
+    e, n, c, R, chi0 = _sterea_consts(ell, lat0)
     lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
     dlam = n * _wrap_pi(np.radians(np.asarray(lon_deg,
                                               dtype=np.float64))
@@ -1470,7 +1472,7 @@ def sterea_forward(lat_deg, lon_deg, ell, lat0, lon0, k0, fe, fn):
 
 def sterea_inverse(x, y, ell, lat0, lon0, k0, fe, fn):
     """Oblique Stereographic E/N -> geographic degrees (EPSG 9809)."""
-    e, n, c, R, chi0 = _sterea_consts(ell, lat0, k0)
+    e, n, c, R, chi0 = _sterea_consts(ell, lat0)
     Ep = np.asarray(x, dtype=np.float64) - fe
     Np = np.asarray(y, dtype=np.float64) - fn
     g = 2.0 * R * k0 * np.tan(np.pi / 4.0 - chi0 / 2.0)
@@ -1503,11 +1505,23 @@ def sterea_inverse(x, y, ell, lat0, lon0, k0, fe, fn):
 # EPSG:32662. Ellipsoidal formulas per EPSG Guidance Note 7-2 (meridian
 # arc northing), matching PROJ >= 7's ellipsoidal eqc.
 
+def _eqc_nu1_cos(e2, lat_ts):
+    """cos(lat_ts)/sqrt(1 - e2 sin^2 lat_ts), rejecting the degenerate
+    standard parallel at the poles (where the cylinder's radius is 0 and
+    the projection is undefined — match the ValueError contract of the
+    other degenerate projection parameters)."""
+    if abs(lat_ts) >= 90.0 - 1e-9:
+        raise ValueError(
+            f'equidistant cylindrical standard parallel lat_ts={lat_ts} '
+            'is degenerate (|lat_ts| must be < 90 degrees)')
+    phi1 = np.radians(lat_ts)
+    return np.cos(phi1) / np.sqrt(1.0 - e2 * np.sin(phi1) ** 2)
+
+
 def eqc_forward(lat_deg, lon_deg, ell, lat_ts, lat0, lon0, fe, fn):
     """Equidistant Cylindrical geographic degrees -> E/N (EPSG 1028)."""
     a, e2, _e = _ell_consts(ell)
-    phi1 = np.radians(lat_ts)
-    nu1_cos = np.cos(phi1) / np.sqrt(1.0 - e2 * np.sin(phi1) ** 2)
+    nu1_cos = _eqc_nu1_cos(e2, lat_ts)
     lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
     dlam = _wrap_pi(np.radians(np.asarray(lon_deg, dtype=np.float64))
                     - np.radians(lon0))
@@ -1520,8 +1534,7 @@ def eqc_forward(lat_deg, lon_deg, ell, lat_ts, lat0, lon0, fe, fn):
 def eqc_inverse(x, y, ell, lat_ts, lat0, lon0, fe, fn):
     """Equidistant Cylindrical E/N -> geographic degrees (EPSG 1028)."""
     a, e2, _e = _ell_consts(ell)
-    phi1 = np.radians(lat_ts)
-    nu1_cos = np.cos(phi1) / np.sqrt(1.0 - e2 * np.sin(phi1) ** 2)
+    nu1_cos = _eqc_nu1_cos(e2, lat_ts)
     M = (np.asarray(y, dtype=np.float64) - fn
          + _merid_arc(np.radians(lat0), a, e2))
     lat = _lat_from_merid(M, a, e2)
@@ -1956,6 +1969,12 @@ _GENERAL = {
     # WGS 84 / World Equidistant Cylindrical (EPSG 4087) and the
     # deprecated Plate Carree code (EPSG 32662) global grids
     4087: ('eqc', 'WGS84', 0.0, 0.0, 0.0, 0.0, 0.0),
+    # deprecated alias of 4087 (identical grid). Parameter-based
+    # identification deliberately resolves the shared tuple to
+    # non-deprecated 4087 (first dict match), so authority-free
+    # WKT/proj4 sourced from 32662 round-trips as 4087; WKT carrying
+    # an EPSG AUTHORITY and the GeoTIFF geokey path preserve the
+    # original code.
     32662: ('eqc', 'WGS84', 0.0, 0.0, 0.0, 0.0, 0.0),
 }
 # Pulkovo 1942 / Gauss-Krueger 6-degree zones 2-32 (EPSG 28402-28432):

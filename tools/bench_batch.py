@@ -96,17 +96,23 @@ def main():
                     + jnp.sum(out['PACKED_B'].astype(jnp.int32))
             return acc
 
+        # `seed` is a distinct TRACED scalar per timing pass: the axon
+        # tunnel can replay results for (executable, inputs) pairs it has
+        # already served (CLAUDE.md), so every pass must be a distinct
+        # dispatch with distinct inputs, not just distinct per-iteration
+        # folds inside one dispatch.
         @jax.jit
-        def loop(*arrays):
+        def loop(seed, *arrays):
             def body(k, acc):
-                return acc + batched(k, arrays)
+                return acc + batched(seed * jnp.int32(args.iters) + k,
+                                     arrays)
             return jax.lax.fori_loop(0, args.iters, body, jnp.int32(0))
 
-        _ = int(loop(*dev))  # compile + warm
+        _ = int(loop(jnp.int32(0), *dev))  # compile + warm
         times = []
         for _p in range(args.passes):
             t0 = time.perf_counter()
-            _ = int(loop(*dev))
+            _ = int(loop(jnp.int32(_p + 1), *dev))
             times.append((time.perf_counter() - t0) / args.iters / B)
         times.sort()
         med = times[len(times) // 2]

@@ -48,17 +48,22 @@ def _timed_loop(fn, dev_args, iters, n_passes):
         return sum(jnp.sum(v.astype(jnp.int32)) for v in vals
                    if hasattr(v, 'ndim') and v.ndim == 2)
 
+    # `seed` is a distinct TRACED scalar per timing pass: the axon tunnel
+    # can replay results for (executable, inputs) pairs it has already
+    # served (CLAUDE.md), so every pass must be a distinct dispatch with
+    # distinct inputs — the per-iteration k fold alone only varies work
+    # WITHIN a dispatch.
     @jax.jit
-    def loop(*args):
+    def loop(seed, *args):
         def body(k, acc):
-            return acc + one(k, args)
+            return acc + one(seed * jnp.int32(iters) + k, args)
         return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
 
-    _ = int(loop(*dev_args))  # compile + warm
+    _ = int(loop(jnp.int32(0), *dev_args))  # compile + warm
     times = []
     for _p in range(n_passes):
         t0 = time.perf_counter()
-        _ = int(loop(*dev_args))
+        _ = int(loop(jnp.int32(_p + 1), *dev_args))
         times.append((time.perf_counter() - t0) / iters)
     times.sort()
     return times[len(times) // 2], times
