@@ -75,9 +75,11 @@ def get_parser():
                         help='Apply per-band scale/offset at ingest and '
                              'run the float32 science chain (reference '
                              'flag_offset_and_scale_inputs)')
-    parser.add_argument("--tiles-per-device", type=int, default=1,
+    parser.add_argument("--tiles-per-device", type=int, default=None,
                         help="Tiles per device per batch (amortizes "
-                             "dispatch overhead on high-latency links)")
+                             "per-dispatch overhead). Default: the "
+                             "measured batch-curve knee on TPU "
+                             "(BENCH_BATCH.json), 1 elsewhere")
     parser.add_argument("--spatial-shards", type=int, default=1,
                         help='Shard each tile spatially over this many '
                              'devices (2-D tile x space mesh with ICI '

@@ -26,18 +26,19 @@ class _LibDeflate:
     """Thin zlib-format compress/decompress over libdeflate.
 
     libdeflate has no streaming API, which is fine here: TIFF blocks are
-    bounded (512x512 tiles). Compressor/decompressor handles are cached per
-    level; libdeflate handles are not thread-safe, so a lock serializes use
-    (the writer pool's win is the GIL-released C call, not concurrency —
-    this host has one core).
+    bounded (512x512 tiles). libdeflate handles are not thread-safe, so
+    each pool thread gets its own cached compressor/decompressor
+    (threading.local) — a shared lock here would serialize every reader/
+    writer pool thread on the codec and cap scaling on multi-core hosts.
+    A handle whose thread exits is not freed back to libdeflate (only
+    the Python reference is), but the pools are process-lifetime and
+    bounded, so at most threads x levels handles ever exist.
     """
 
     def __init__(self, lib):
         import threading
         self._lib = lib
-        self._lock = threading.Lock()
-        self._compressors = {}
-        self._decompressor = None
+        self._tls = threading.local()
         lib.libdeflate_alloc_compressor.restype = ctypes.c_void_p
         lib.libdeflate_alloc_compressor.argtypes = [ctypes.c_int]
         lib.libdeflate_zlib_compress.restype = ctypes.c_size_t
@@ -56,35 +57,38 @@ class _LibDeflate:
 
     def compress(self, data: bytes, level: int) -> bytes:
         level = min(max(int(level), 1), 12)
-        with self._lock:
-            comp = self._compressors.get(level)
-            if comp is None:
-                comp = self._lib.libdeflate_alloc_compressor(level)
-                if not comp:
-                    raise MemoryError('libdeflate_alloc_compressor failed')
-                self._compressors[level] = comp
-            bound = self._lib.libdeflate_zlib_compress_bound(comp, len(data))
-            out = ctypes.create_string_buffer(bound)
-            n = self._lib.libdeflate_zlib_compress(comp, data, len(data),
-                                                   out, bound)
-            if n == 0:  # cannot happen with a bound-sized buffer
-                raise RuntimeError('libdeflate compression failed')
-            return out.raw[:n]
+        compressors = getattr(self._tls, 'compressors', None)
+        if compressors is None:
+            compressors = self._tls.compressors = {}
+        comp = compressors.get(level)
+        if comp is None:
+            comp = self._lib.libdeflate_alloc_compressor(level)
+            if not comp:
+                raise MemoryError('libdeflate_alloc_compressor failed')
+            compressors[level] = comp
+        bound = self._lib.libdeflate_zlib_compress_bound(comp, len(data))
+        out = ctypes.create_string_buffer(bound)
+        n = self._lib.libdeflate_zlib_compress(comp, data, len(data),
+                                               out, bound)
+        if n == 0:  # cannot happen with a bound-sized buffer
+            raise RuntimeError('libdeflate compression failed')
+        return out.raw[:n]
 
     def decompress(self, data: bytes, expected_size: int) -> bytes:
-        with self._lock:
-            if self._decompressor is None:
-                self._decompressor = self._lib.libdeflate_alloc_decompressor()
-                if not self._decompressor:
-                    raise MemoryError('libdeflate_alloc_decompressor failed')
-            out = ctypes.create_string_buffer(expected_size)
-            actual = ctypes.c_size_t(0)
-            rc = self._lib.libdeflate_zlib_decompress(
-                self._decompressor, data, len(data), out, expected_size,
-                ctypes.byref(actual))
-            if rc != 0:
-                raise ValueError(f'libdeflate zlib decompress failed ({rc})')
-            return out.raw[:actual.value]
+        dec = getattr(self._tls, 'decompressor', None)
+        if dec is None:
+            dec = self._lib.libdeflate_alloc_decompressor()
+            if not dec:
+                raise MemoryError('libdeflate_alloc_decompressor failed')
+            self._tls.decompressor = dec
+        out = ctypes.create_string_buffer(expected_size)
+        actual = ctypes.c_size_t(0)
+        rc = self._lib.libdeflate_zlib_decompress(
+            dec, data, len(data), out, expected_size,
+            ctypes.byref(actual))
+        if rc != 0:
+            raise ValueError(f'libdeflate zlib decompress failed ({rc})')
+        return out.raw[:actual.value]
 
 
 def _load_libdeflate():

@@ -127,9 +127,34 @@ def load_hls_band(filename, image_dict, offset_dict, scale_dict,
             geotransform = (geotransform[0], 30.0 * sx, geotransform[2],
                             geotransform[3], geotransform[4], 30.0 * sy)
 
-        invalid = image == fill_value
-        if 'invalid_ind_array' in image_dict:
-            invalid = np.logical_or(image_dict['invalid_ind_array'], invalid)
+        # fused native path: fill-mask accumulate (+ the negative clip
+        # for reflectance bands) in ONE pass over the band instead of
+        # three full NumPy sweeps (same per-element semantics: the fill
+        # test reads the pre-clip value). Reference: fill-mask at
+        # dswx_hls.py:2201-2209, clip at :2298.
+        from proteus_tpu import native as _native
+        clip_fused = (C.FLAG_CLIP_NEGATIVE_REFLECTANCE
+                      and band_name != 'fmask')
+        fused = (image.dtype == np.int16 and _native.has_band_finalize()
+                 and float(fill_value).is_integer()
+                 and np.iinfo(np.int16).min <= fill_value
+                 <= np.iinfo(np.int16).max)
+        if fused:
+            invalid = image_dict.get('invalid_ind_array')
+            if invalid is None or invalid.dtype != np.bool_ \
+                    or not invalid.flags.c_contiguous:
+                base = invalid
+                invalid = np.zeros(image.shape, np.bool_)
+                if base is not None:
+                    invalid |= base
+            image = np.ascontiguousarray(image)
+            _native.band_finalize_i16(image, int(fill_value),
+                                      clip_fused, invalid)
+        else:
+            invalid = image == fill_value
+            if 'invalid_ind_array' in image_dict:
+                invalid = np.logical_or(image_dict['invalid_ind_array'],
+                                        invalid)
         image_dict['invalid_ind_array'] = invalid
 
         image_dict.setdefault('geotransform', geotransform)
@@ -151,7 +176,7 @@ def load_hls_band(filename, image_dict, offset_dict, scale_dict,
         if 'scale_factor' in metadata:
             scale_factor = float(metadata['scale_factor'])
 
-        if C.FLAG_CLIP_NEGATIVE_REFLECTANCE:
+        if C.FLAG_CLIP_NEGATIVE_REFLECTANCE and not fused:
             image = np.clip(image, 1, None)
         if flag_offset_and_scale_inputs:
             image = scale_factor * (np.asarray(image, dtype=np.float32)

@@ -435,6 +435,17 @@ class TiffReader:
                 self._fh.seek(offsets[idx])
                 raws.append(self._fh.read(counts[idx]))
 
+            if planar == 1 and self._native_decode_ok(ifd, dtype):
+                # one native call: threaded inflate + predictor
+                # inversion + scatter straight into `out`
+                self._native_decode(
+                    ifd, raws, [tl] * len(jobs), tw,
+                    [j[1] * tl for j in jobs], [j[2] * tw for j in jobs],
+                    spp, dtype, out, r0, c0)
+                if band is not None:
+                    return out[:, :, band]
+                return out[:, :, 0] if spp == 1 else out
+
             def decode(raw):
                 return self._decode_block(ifd, raw, tl, tw, spp_block,
                                           dtype)
@@ -460,6 +471,21 @@ class TiffReader:
             strips_down = (h + rps - 1) // rps
             planes = spp if planar == 2 else 1
             spp_block = 1 if planar == 2 else spp
+            if planar == 1 and self._native_decode_ok(ifd, dtype):
+                jobs = [sy for sy in range(r0 // rps,
+                                           (r0 + wh - 1) // rps + 1)
+                        if sy < strips_down]
+                raws = []
+                for sy in jobs:
+                    self._fh.seek(offsets[sy])
+                    raws.append(self._fh.read(counts[sy]))
+                self._native_decode(
+                    ifd, raws, [min(rps, h - sy * rps) for sy in jobs],
+                    w, [sy * rps for sy in jobs], [0] * len(jobs),
+                    spp, dtype, out, r0, c0)
+                if band is not None:
+                    return out[:, :, band]
+                return out[:, :, 0] if spp == 1 else out
             for plane in range(planes):
                 for sy in range(r0 // rps, (r0 + wh - 1) // rps + 1):
                     if sy >= strips_down:
@@ -476,6 +502,37 @@ class TiffReader:
         if spp == 1:
             return out[:, :, 0]
         return out
+
+    def _native_decode_ok(self, ifd, dtype):
+        """Whether tt_decode_blocks can serve this read: native-LE file,
+        supported compression, predictor expressible natively (the
+        horizontal predictor kernel handles 1/2/4-byte samples)."""
+        from proteus_tpu import native
+        if self.endian != '<' or not native.has_decode_blocks():
+            return False
+        if ifd.compression not in (codecs.COMPRESSION_NONE,
+                                   codecs.COMPRESSION_LZW,
+                                   codecs.COMPRESSION_DEFLATE,
+                                   codecs.COMPRESSION_DEFLATE_ADOBE):
+            return False
+        pred = ifd.predictor
+        if pred == codecs.PREDICTOR_HORIZONTAL:
+            return dtype.itemsize in (1, 2, 4)
+        return pred in (codecs.PREDICTOR_NONE, codecs.PREDICTOR_FLOAT)
+
+    def _native_decode(self, ifd, raws, blk_rows, block_cols, blk_row0,
+                       blk_col0, spp, dtype, out, r0, c0):
+        """Decode all blocks of one read in a single native call
+        (threaded inflate + unpredict + scatter into ``out``)."""
+        from proteus_tpu import native
+        offs = np.zeros(len(raws), np.int64)
+        sizes = np.asarray([len(r) for r in raws], np.int64)
+        if len(raws) > 1:
+            np.cumsum(sizes[:-1], out=offs[1:])
+        native.decode_blocks(
+            b''.join(raws), offs, sizes, blk_rows, block_cols,
+            blk_row0, blk_col0, spp, dtype.itemsize, ifd.compression,
+            ifd.predictor, out, r0, c0)
 
     def _read_block(self, ifd, offset, count, rows, cols, spp, dtype):
         self._fh.seek(offset)

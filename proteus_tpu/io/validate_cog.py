@@ -129,7 +129,17 @@ def validate_cog(path, full_check=True):
         if full_check:
             for i, nonempty in all_offsets:
                 ifd = reader.ifds[i]
-                decoder = codecs.get_decoder(ifd.compression)
+                codecs.get_decoder(ifd.compression)  # reject unknown
+                # decoded capacity from the tile geometry: lets the
+                # fast block decoder (libdeflate/native) serve the
+                # decode instead of plain zlib, and makes check 6 a
+                # real size check
+                from proteus_tpu.io.tiff import (TAG_TILE_LENGTH,
+                                                 TAG_TILE_WIDTH)
+                tl = int(ifd.scalar(TAG_TILE_LENGTH, ifd.length))
+                tw = int(ifd.scalar(TAG_TILE_WIDTH, ifd.width))
+                expected = (tl * tw * ifd.samples_per_pixel
+                            * ifd.dtype.itemsize)
                 with open(path, 'rb') as fh:
                     for off, cnt in nonempty:
                         if ghost['leader']:
@@ -152,7 +162,13 @@ def validate_cog(path, full_check=True):
                                     f'IFD {i}: tile at {off} trailer '
                                     'bytes are invalid')
                         try:
-                            decoder(blob)
+                            decoded = codecs.decode_block(
+                                ifd.compression, blob, expected)
+                            if len(decoded) > expected:
+                                errors.append(
+                                    f'IFD {i}: tile at {off} decodes to '
+                                    f'{len(decoded)} bytes; expected at '
+                                    f'most {expected}')
                         except Exception as e:  # noqa: BLE001
                             errors.append(
                                 f'IFD {i}: tile at {off} fails to '

@@ -155,6 +155,22 @@ def derive_dependent_layers(layers, compute_browse=False,
     gather; the tables are built from the definitional functions above.
     """
     if 'PACKED_A' in layers:
+        from proteus_tpu import native
+        if native.has_unpack_derive():
+            # fused native pass: one streaming loop over the 2-byte/px
+            # transfer emits every layer; the tables are built from the
+            # definitional implementations above, so semantics cannot
+            # diverge (cross-checked by tests/test_host_derive.py)
+            wtr_lut, conf_lut = _wtr_conf_luts()
+            bwtr_lut, browse_lut = _derived_256_luts(
+                compute_browse,
+                tuple(sorted((browse_options or {}).items())))
+            layers.update(native.unpack_derive(
+                layers.pop('PACKED_A'), layers.pop('PACKED_B'),
+                wtr_lut, conf_lut, bwtr_lut,
+                browse_lut if compute_browse else None,
+                binary_representation_lut(), _WTR_IDX_TO_CLASS))
+            return layers
         layers.update(unpack_minimal(layers.pop('PACKED_A'),
                                      layers.pop('PACKED_B')))
     wtr2 = layers['WTR-2']

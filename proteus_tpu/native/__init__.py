@@ -54,6 +54,34 @@ def _load():
     lib.tt_unpredict_float.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                        ctypes.c_int, ctypes.c_int,
                                        ctypes.c_int, ctypes.c_int]
+    if hasattr(lib, 'tt_decode_blocks'):
+        lib.tt_decode_blocks.restype = ctypes.c_int
+        lib.tt_decode_blocks.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+    if hasattr(lib, 'tt_band_finalize_i16'):
+        lib.tt_band_finalize_i16.restype = None
+        lib.tt_band_finalize_i16.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int16,
+            ctypes.c_int, ctypes.c_void_p]
+    if hasattr(lib, 'tt_lut8'):
+        lib.tt_lut8.restype = None
+        lib.tt_lut8.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                ctypes.c_int64, ctypes.c_void_p,
+                                ctypes.c_int]
+    if hasattr(lib, 'tt_unpack_derive'):
+        lib.tt_unpack_derive.restype = ctypes.c_int
+        lib.tt_unpack_derive.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
     if hasattr(lib, 'tt_bspline_decimate_f32'):
         lib.tt_bspline_decimate_f32.restype = ctypes.c_int
         lib.tt_bspline_decimate_f32.argtypes = [
@@ -121,6 +149,137 @@ def bspline_decimate_f32(arr: np.ndarray, factor: int, taps: np.ndarray,
     if rc != 0:
         raise RuntimeError('native bspline decimation failed')
     return out[:, :, 0] if squeeze else out
+
+
+def has_decode_blocks():
+    lib = _load()
+    return lib is not None and hasattr(lib, 'tt_decode_blocks')
+
+
+def decode_blocks(raw: bytes, offs, sizes, blk_rows, block_cols,
+                  blk_row0, blk_col0, samples, itemsize, compression,
+                  predictor, dst: np.ndarray, win_r0: int, win_c0: int,
+                  n_threads: int = None):
+    """Decode + unpredict + scatter all blocks of one band read into
+    ``dst`` (a (dst_rows, dst_cols, samples) C-contiguous native-LE
+    array covering the window at (win_r0, win_c0)) in one native call.
+
+    ``offs``/``sizes``/``blk_row0``/``blk_col0`` are int64 arrays;
+    ``blk_rows`` is int32 (per-block decoded rows; strips' last block is
+    short). Raises ValueError on a corrupt block.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, 'tt_decode_blocks'):
+        raise RuntimeError('native codec unavailable')
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    sizes = np.ascontiguousarray(sizes, dtype=np.int64)
+    blk_rows = np.ascontiguousarray(blk_rows, dtype=np.int32)
+    blk_row0 = np.ascontiguousarray(blk_row0, dtype=np.int64)
+    blk_col0 = np.ascontiguousarray(blk_col0, dtype=np.int64)
+    n_blocks = len(offs)
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    rc = lib.tt_decode_blocks(
+        raw, offs.ctypes.data_as(ctypes.c_void_p),
+        sizes.ctypes.data_as(ctypes.c_void_p), n_blocks,
+        blk_rows.ctypes.data_as(ctypes.c_void_p), int(block_cols),
+        blk_row0.ctypes.data_as(ctypes.c_void_p),
+        blk_col0.ctypes.data_as(ctypes.c_void_p),
+        int(samples), int(itemsize), int(compression), int(predictor),
+        int(n_threads), dst.ctypes.data_as(ctypes.c_void_p),
+        dst.shape[0], dst.shape[1], int(win_r0), int(win_c0))
+    if rc != 0:
+        raise ValueError('corrupt compressed block')
+
+
+def has_band_finalize():
+    lib = _load()
+    return lib is not None and hasattr(lib, 'tt_band_finalize_i16')
+
+
+def band_finalize_i16(band: np.ndarray, fill: int, do_clip: bool,
+                      invalid: np.ndarray):
+    """In place: invalid |= (band == fill); optionally clip band to
+    >= 1 — the ingest fill-mask + negative-reflectance pass fused into
+    one sweep. ``band`` must be C-contiguous int16; ``invalid`` a bool
+    array of the same shape."""
+    lib = _load()
+    assert band.dtype == np.int16 and band.flags.c_contiguous
+    assert invalid.dtype == np.bool_ and invalid.flags.c_contiguous
+    lib.tt_band_finalize_i16(
+        band.ctypes.data_as(ctypes.c_void_p), band.size,
+        np.int16(fill), int(bool(do_clip)),
+        invalid.ctypes.data_as(ctypes.c_void_p))
+
+
+def lut8(arr: np.ndarray, lut: np.ndarray,
+         n_threads: int = None) -> np.ndarray:
+    """out[i] = lut[arr[i]] over a uint8 array (threaded), or None when
+    the native library is unavailable (caller falls back to NumPy)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, 'tt_lut8'):
+        return None
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    lut = np.ascontiguousarray(lut, dtype=np.uint8)
+    out = np.empty_like(a)
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    lib.tt_lut8(a.ctypes.data_as(ctypes.c_void_p),
+                out.ctypes.data_as(ctypes.c_void_p), a.size,
+                lut.ctypes.data_as(ctypes.c_void_p), int(n_threads))
+    return out
+
+
+def has_unpack_derive():
+    lib = _load()
+    return lib is not None and hasattr(lib, 'tt_unpack_derive')
+
+
+def unpack_derive(packed_a: np.ndarray, packed_b: np.ndarray,
+                  wtr_lut: np.ndarray, conf_lut: np.ndarray,
+                  bwtr_lut: np.ndarray, browse_lut, diag_lut: np.ndarray,
+                  idx_lut: np.ndarray, n_threads: int = None):
+    """Fused unpack of the 2-byte/px device transfer + derivation of all
+    dependent layers in one streaming native pass (the semantics live in
+    the lookup tables, built by models/dswx/host_derive.py from its
+    definitional implementations). Returns the layer dict."""
+    lib = _load()
+    if lib is None or not hasattr(lib, 'tt_unpack_derive'):
+        raise RuntimeError('native codec unavailable')
+    pa = np.ascontiguousarray(packed_a, dtype=np.uint8)
+    pb = np.ascontiguousarray(packed_b, dtype=np.uint8)
+    shape = pa.shape
+    n = pa.size
+    wtr_lut = np.ascontiguousarray(wtr_lut, dtype=np.uint8)
+    conf_lut = np.ascontiguousarray(conf_lut, dtype=np.uint8)
+    bwtr_lut = np.ascontiguousarray(bwtr_lut, dtype=np.uint8)
+    diag64 = np.zeros(64, np.uint16)
+    diag_lut = np.asarray(diag_lut, dtype=np.uint16)
+    diag64[:len(diag_lut)] = diag_lut
+    idx_lut = np.ascontiguousarray(idx_lut, dtype=np.uint8)
+    outs = {k: np.empty(shape, np.uint8)
+            for k in ('WTR-1', 'WTR-2', 'CLOUD', 'WTR', 'CONF', 'BWTR')}
+    outs['DIAG'] = np.empty(shape, np.uint16)
+    if browse_lut is not None:
+        browse_lut = np.ascontiguousarray(browse_lut, dtype=np.uint8)
+        outs['BROWSE'] = np.empty(shape, np.uint8)
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    rc = lib.tt_unpack_derive(
+        ptr(pa), ptr(pb), n, ptr(wtr_lut), ptr(conf_lut), ptr(bwtr_lut),
+        ptr(browse_lut) if browse_lut is not None else None,
+        ptr(diag64), ptr(idx_lut),
+        ptr(outs['WTR-1']), ptr(outs['WTR-2']), ptr(outs['CLOUD']),
+        ptr(outs['WTR']), ptr(outs['CONF']), ptr(outs['BWTR']),
+        ptr(outs['BROWSE']) if browse_lut is not None else None,
+        ptr(outs['DIAG']), int(n_threads))
+    if rc != 0:
+        raise RuntimeError('native unpack_derive failed')
+    return outs
 
 
 def deflate_tiles(tiles: np.ndarray, predictor: int, level: int = 6,

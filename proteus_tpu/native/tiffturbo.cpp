@@ -61,6 +61,41 @@ static void unpredict_h_row(uint8_t* row, int cols, int samples,
   }
 }
 
+// single-sample specialization, 4 rows interleaved: each row's running
+// sum is an independent dependency chain, so interleaving lets the CPU
+// pipeline them (the scalar one-row loop is issue-bound, not
+// memory-bound — measured ~3x on the ingest unpredict stage).
+// Macro-instantiated per element type (templates cannot carry C
+// linkage and this file is one extern "C" block).
+#define TT_DEFINE_UNPREDICT_INTERLEAVED(T)                                 \
+  static void unpredict_h_rows4_##T(T* r0, T* r1, T* r2, T* r3,           \
+                                    int cols) {                           \
+    T a0 = r0[0], a1 = r1[0], a2 = r2[0], a3 = r3[0];                     \
+    for (int j = 1; j < cols; ++j) {                                      \
+      a0 = (T)(a0 + r0[j]); r0[j] = a0;                                   \
+      a1 = (T)(a1 + r1[j]); r1[j] = a1;                                   \
+      a2 = (T)(a2 + r2[j]); r2[j] = a2;                                   \
+      a3 = (T)(a3 + r3[j]); r3[j] = a3;                                   \
+    }                                                                     \
+  }                                                                       \
+  static void unpredict_h_interleaved_##T(uint8_t* data, int rows,        \
+                                          int cols) {                     \
+    const long row_bytes = (long)cols * sizeof(T);                        \
+    int i = 0;                                                            \
+    for (; i + 3 < rows; i += 4)                                          \
+      unpredict_h_rows4_##T((T*)(data + (long)i * row_bytes),             \
+                            (T*)(data + (long)(i + 1) * row_bytes),       \
+                            (T*)(data + (long)(i + 2) * row_bytes),       \
+                            (T*)(data + (long)(i + 3) * row_bytes),       \
+                            cols);                                        \
+    for (; i < rows; ++i)                                                 \
+      unpredict_h_row(data + (long)i * row_bytes, cols, 1, sizeof(T));    \
+  }
+
+TT_DEFINE_UNPREDICT_INTERLEAVED(uint8_t)
+TT_DEFINE_UNPREDICT_INTERLEAVED(uint16_t)
+TT_DEFINE_UNPREDICT_INTERLEAVED(uint32_t)
+
 void tt_predict_h(uint8_t* data, int rows, int cols, int samples,
                   int itemsize) {
   const long row_bytes = (long)cols * samples * itemsize;
@@ -70,9 +105,41 @@ void tt_predict_h(uint8_t* data, int rows, int cols, int samples,
 
 void tt_unpredict_h(uint8_t* data, int rows, int cols, int samples,
                     int itemsize) {
+  if (samples == 1 && rows >= 4) {
+    if (itemsize == 1)
+      return unpredict_h_interleaved_uint8_t(data, rows, cols);
+    if (itemsize == 2)
+      return unpredict_h_interleaved_uint16_t(data, rows, cols);
+    if (itemsize == 4)
+      return unpredict_h_interleaved_uint32_t(data, rows, cols);
+  }
   const long row_bytes = (long)cols * samples * itemsize;
   for (int i = 0; i < rows; ++i)
     unpredict_h_row(data + i * row_bytes, cols, samples, itemsize);
+}
+
+// ---------------------------------------------------------------------
+// fused HLS band finalize: invalid-mask accumulate + negative clip
+// ---------------------------------------------------------------------
+
+// One pass over an int16 band doing what the ingest layer otherwise does
+// in three full NumPy passes (io/hls.py::load_hls_band — matching the
+// reference's fill-mask accumulation at dswx_hls.py:2201-2209 and the
+// FLAG_CLIP_NEGATIVE_REFLECTANCE clip at :2298):
+//   invalid[i] |= (band[i] == fill)
+//   if (do_clip) band[i] = max(band[i], 1)   [in place]
+void tt_band_finalize_i16(int16_t* band, int64_t n, int16_t fill,
+                          int do_clip, uint8_t* invalid) {
+  if (do_clip) {
+    for (int64_t i = 0; i < n; ++i) {
+      const int16_t v = band[i];
+      invalid[i] |= (v == fill);
+      band[i] = v < 1 ? 1 : v;
+    }
+  } else {
+    for (int64_t i = 0; i < n; ++i)
+      invalid[i] |= (band[i] == fill);
+  }
 }
 
 // TIFF predictor 3 (floating-point): split bytes big-endian
@@ -238,6 +305,232 @@ int tt_deflate_tiles(const uint8_t* data, long n_tiles, int rows,
     for (auto& th : pool) th.join();
   }
   return failed.load() ? -1 : 0;
+}
+
+// ---------------------------------------------------------------------
+// batched block decode: inflate/LZW + predictor inversion + scatter
+// ---------------------------------------------------------------------
+
+long tt_lzw_decode(const uint8_t* src, long src_len, uint8_t* dst,
+                   long dst_cap);  // defined below
+
+// Decode n_blocks compressed TIFF blocks directly into a destination
+// raster, in parallel. This replaces the per-block Python loop of the
+// reader (one decode_block call + one NumPy blit per block): one ctypes
+// call decodes every block of a band read, inverts the predictor, and
+// scatters the intersecting window into the output array — the whole
+// ingest-decode stage runs native and GIL-free, so reader pools scale
+// with host cores (reference ingest: GDAL ReadAsArray,
+// dswx_hls.py:2189-2192).
+//
+//   src           concatenated raw block bytes
+//   offs/sizes    per-block byte ranges into src (size 0 = sparse block:
+//                 the GDAL SPARSE_OK convention -> zero fill)
+//   blk_rows      decoded rows of each block (strips: last strip short)
+//   block_cols    decoded cols of every block (tile width / image width)
+//   blk_row0/col0 placement of each block in the full raster
+//   compression   1=none, 5=LZW, 8/32946=DEFLATE (zlib format)
+//   predictor     1=none, 2=horizontal, 3=float (output native LE)
+//   dst           output raster (dst_rows x dst_cols x samples,
+//                 itemsize bytes/sample, native LE, C-contiguous),
+//                 representing the window [win_r0, win_r0+dst_rows) x
+//                 [win_c0, win_c0+dst_cols) of the full image
+// Returns 0 on success, -1 on any corrupt block.
+int tt_decode_blocks(const uint8_t* src, const int64_t* offs,
+                     const int64_t* sizes, int64_t n_blocks,
+                     const int32_t* blk_rows, int32_t block_cols,
+                     const int64_t* blk_row0, const int64_t* blk_col0,
+                     int samples, int itemsize, int compression,
+                     int predictor, int n_threads,
+                     uint8_t* dst, int64_t dst_rows, int64_t dst_cols,
+                     int64_t win_r0, int64_t win_c0) {
+  const long px_bytes = (long)samples * itemsize;
+  const long dst_row_bytes = (long)dst_cols * px_bytes;
+  long max_block_bytes = 0;
+  for (int64_t i = 0; i < n_blocks; ++i) {
+    const long b = (long)blk_rows[i] * block_cols * px_bytes;
+    if (b > max_block_bytes) max_block_bytes = b;
+  }
+  std::atomic<int64_t> next(0);
+  std::atomic<int> failed(0);
+
+  auto worker = [&]() {
+    std::vector<uint8_t> buf(max_block_bytes);
+    std::vector<uint8_t> buf2(predictor == 3 ? max_block_bytes : 0);
+#ifdef TT_USE_LIBDEFLATE
+    struct libdeflate_decompressor* dec = nullptr;
+    if (compression == 8 || compression == 32946) {
+      dec = libdeflate_alloc_decompressor();
+      if (!dec) { failed.store(1); return; }
+    }
+#endif
+    while (true) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n_blocks || failed.load()) break;
+      const int rows = blk_rows[i];
+      const long expected = (long)rows * block_cols * px_bytes;
+      uint8_t* block = buf.data();
+      if (sizes[i] == 0) {
+        std::memset(block, 0, expected);  // sparse block
+      } else {
+        long got = -1;
+        const uint8_t* p = src + offs[i];
+        if (compression == 1) {
+          got = sizes[i] < expected ? sizes[i] : expected;
+          std::memcpy(block, p, got);
+        } else if (compression == 8 || compression == 32946) {
+#ifdef TT_USE_LIBDEFLATE
+          size_t actual = 0;
+          enum libdeflate_result rc = libdeflate_zlib_decompress(
+              dec, p, (size_t)sizes[i], block, (size_t)expected,
+              &actual);
+          got = rc == LIBDEFLATE_SUCCESS ? (long)actual : -1;
+#else
+          got = tt_inflate(p, sizes[i], block, expected);
+#endif
+        } else if (compression == 5) {
+          got = tt_lzw_decode(p, sizes[i], block, expected);
+        }
+        if (got < 0) { failed.store(1); break; }
+        if (got < expected) std::memset(block + got, 0, expected - got);
+      }
+      if (predictor == 2) {
+        tt_unpredict_h(block, rows, block_cols, samples, itemsize);
+      } else if (predictor == 3) {
+        tt_unpredict_float(block, buf2.data(), rows, block_cols,
+                           samples, itemsize);
+        block = buf2.data();
+      }
+      // scatter the intersection of this block with the window
+      const int64_t br0 = blk_row0[i], bc0 = blk_col0[i];
+      int64_t r_lo = br0 > win_r0 ? br0 : win_r0;
+      int64_t r_hi = br0 + rows < win_r0 + dst_rows
+                         ? br0 + rows : win_r0 + dst_rows;
+      int64_t c_lo = bc0 > win_c0 ? bc0 : win_c0;
+      int64_t c_hi = bc0 + block_cols < win_c0 + dst_cols
+                         ? bc0 + block_cols : win_c0 + dst_cols;
+      if (r_hi <= r_lo || c_hi <= c_lo) continue;
+      const long blk_row_bytes = (long)block_cols * px_bytes;
+      const long copy_bytes = (long)(c_hi - c_lo) * px_bytes;
+      for (int64_t r = r_lo; r < r_hi; ++r) {
+        const uint8_t* s = block + (r - br0) * blk_row_bytes
+                           + (c_lo - bc0) * px_bytes;
+        uint8_t* d = dst + (r - win_r0) * dst_row_bytes
+                     + (c_lo - win_c0) * px_bytes;
+        std::memcpy(d, s, copy_bytes);
+      }
+    }
+#ifdef TT_USE_LIBDEFLATE
+    if (dec) libdeflate_free_decompressor(dec);
+#endif
+  };
+
+  if (n_threads <= 1 || n_blocks <= 1) {
+    worker();
+  } else {
+    int nt = n_threads;
+    if ((int64_t)nt > n_blocks) nt = (int)n_blocks;
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return failed.load() ? -1 : 0;
+}
+
+// ---------------------------------------------------------------------
+// byte LUT map (class-collapse / browse remaps of full product layers)
+// ---------------------------------------------------------------------
+
+void tt_lut8(const uint8_t* in, uint8_t* out, int64_t n,
+             const uint8_t* lut, int n_threads) {
+  const int64_t chunk = 4 << 20;
+  const int64_t n_chunks = (n + chunk - 1) / chunk;
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    while (true) {
+      int64_t c = next.fetch_add(1);
+      if (c >= n_chunks) break;
+      const int64_t lo = c * chunk;
+      const int64_t hi = lo + chunk < n ? lo + chunk : n;
+      for (int64_t i = lo; i < hi; ++i) out[i] = lut[in[i]];
+    }
+  };
+  if (n_threads <= 1 || n_chunks <= 1) {
+    worker();
+  } else {
+    int nt = n_threads < (int)n_chunks ? n_threads : (int)n_chunks;
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+}
+
+// ---------------------------------------------------------------------
+// fused minimal-layer unpack + dependent-layer derivation
+// ---------------------------------------------------------------------
+
+// One streaming pass over the 2-byte/px packed device transfer producing
+// every product layer (the writer-pool work models/dswx/host_derive.py
+// does in ~5 NumPy LUT passes with an int32 index temporary). All
+// semantic content lives in the lookup tables, which Python builds from
+// the definitional implementations — this loop is pure data movement.
+//   pa, pb      PACKED_A / PACKED_B (n pixels)
+//   wtr_lut     [65536] uint8: (wtr2 << 8 | cloud) -> WTR
+//   conf_lut    [65536] uint8: (wtr2 << 8 | cloud) -> CONF
+//   bwtr_lut    [256] uint8: wtr -> BWTR
+//   browse_lut  [256] uint8 or NULL: wtr -> BROWSE
+//   diag_lut    [64] uint16: diag6 -> DIAG pseudo-binary
+//   idx_lut     [8] uint8: 3-bit packed class index -> class value
+// Output pointers may be NULL to skip a layer.
+int tt_unpack_derive(const uint8_t* pa, const uint8_t* pb, int64_t n,
+                     const uint8_t* wtr_lut, const uint8_t* conf_lut,
+                     const uint8_t* bwtr_lut, const uint8_t* browse_lut,
+                     const uint16_t* diag_lut, const uint8_t* idx_lut,
+                     uint8_t* wtr1, uint8_t* wtr2, uint8_t* cloud,
+                     uint8_t* wtr, uint8_t* conf, uint8_t* bwtr,
+                     uint8_t* browse, uint16_t* diag, int n_threads) {
+  const int64_t chunk = 1 << 20;  // 1M px per work item
+  const int64_t n_chunks = (n + chunk - 1) / chunk;
+  std::atomic<int64_t> next(0);
+
+  auto worker = [&]() {
+    while (true) {
+      int64_t c = next.fetch_add(1);
+      if (c >= n_chunks) break;
+      const int64_t lo = c * chunk;
+      const int64_t hi = lo + chunk < n ? lo + chunk : n;
+      for (int64_t i = lo; i < hi; ++i) {
+        const uint8_t a = pa[i], b = pb[i];
+        const uint8_t w1 = idx_lut[(b >> 2) & 7];
+        const uint8_t w2 = idx_lut[(b >> 5) & 7];
+        // CLOUD fill (255) is reconstructed from the invariant
+        // cloud == 255 <=> wtr2 == 255 (same invalid mask in the kernel)
+        const uint8_t cl = w2 == 255
+            ? 255 : (uint8_t)((a >> 6) | ((b & 3) << 2));
+        const int widx = ((int)w2 << 8) | cl;
+        const uint8_t wv = wtr_lut[widx];
+        if (wtr1) wtr1[i] = w1;
+        if (wtr2) wtr2[i] = w2;
+        if (cloud) cloud[i] = cl;
+        if (wtr) wtr[i] = wv;
+        if (conf) conf[i] = conf_lut[widx];
+        if (bwtr) bwtr[i] = bwtr_lut[wv];
+        if (browse) browse[i] = browse_lut[wv];
+        if (diag) diag[i] = diag_lut[a & 63];
+      }
+    }
+  };
+
+  if (n_threads <= 1 || n_chunks <= 1) {
+    worker();
+  } else {
+    int nt = n_threads;
+    if ((int64_t)nt > n_chunks) nt = (int)n_chunks;
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return 0;
 }
 
 // ---------------------------------------------------------------------

@@ -568,6 +568,13 @@ class _AncillaryCache:
 
 ANCILLARY_CACHE = _AncillaryCache()
 
+# Default tiles-per-device-per-batch on TPU: the measured knee of the
+# batch-scaling curve (tools/bench_batch.py, BENCH_BATCH.json — batching
+# amortizes the ~7 ms per-dispatch overhead that bounds this device;
+# B=8 reaches 3.0 ms/tile vs 8.6 at B=1). Off-TPU dispatch is cheap and
+# host memory matters more, so the default stays 1 there.
+TPU_DEFAULT_TILES_PER_DEVICE = 8
+
 
 def _fsig(path):
     """File identity for cache keys: path + mtime + size."""
@@ -895,7 +902,7 @@ class CampaignRunner:
                  manifest_path=None, max_retries=2, reader_threads=None,
                  writer_threads=None, flag_debug=False,
                  save_browse=False, processing_params=None,
-                 spatial_shards=1, tiles_per_device=1,
+                 spatial_shards=1, tiles_per_device=None,
                  scaled_inputs=False, device_scale=None):
         # pool sizing: enough threads to overlap device/link waits with
         # host work, but not so many that they thrash a small host — on
@@ -919,6 +926,11 @@ class CampaignRunner:
                 not in ('0', 'off', 'false')
                 and jax.devices()[0].platform == 'tpu')
         self.device_scale = bool(device_scale) and self.scaled_inputs
+        if tiles_per_device is None:
+            # the measured batch-curve knee on TPU; 1 elsewhere
+            tiles_per_device = (TPU_DEFAULT_TILES_PER_DEVICE
+                                if jax.devices()[0].platform == 'tpu'
+                                else 1)
         self.tiles_per_device = max(1, int(tiles_per_device))
         self.spatial_shards = max(1, int(spatial_shards))
         if mesh is not None:

@@ -60,9 +60,15 @@ def _finish(output_file, output_files_list):
 
 
 def collapse_wtr_classes_host(layer):
-    """Host-side WTR class collapse (uint8 LUT)."""
+    """Host-side WTR class collapse (uint8 LUT; native when built)."""
+    from proteus_tpu import native
     lut = C.build_collapse_lut()
-    return lut[np.asarray(layer)]
+    layer = np.asarray(layer)
+    if layer.dtype == np.uint8:
+        out = native.lut8(layer, lut)
+        if out is not None:
+            return out
+    return lut[layer]
 
 
 def save_array(input_array, output_file, dswx_metadata_dict, geotransform,

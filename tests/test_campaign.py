@@ -405,6 +405,29 @@ def test_campaign_cli_dispatch_forwards_scaled(tmp_path, monkeypatch):
     assert seen['runner_kwargs']['scaled_inputs'] is True
 
 
+def test_tiles_per_device_default(monkeypatch):
+    """The runner defaults tiles_per_device to the measured batch knee
+    on TPU (BENCH_BATCH.json) and to 1 elsewhere; an explicit value
+    always wins."""
+    from proteus_tpu.parallel import campaign as cmod
+    mesh = make_tile_mesh()
+    assert cmod.CampaignRunner(mesh=mesh).tiles_per_device == 1
+    assert cmod.CampaignRunner(mesh=mesh,
+                               tiles_per_device=3).tiles_per_device == 3
+
+    class _FakeTpu:
+        platform = 'tpu'
+
+    monkeypatch.setattr(cmod.jax, 'devices',
+                        lambda *a, **k: [_FakeTpu()])
+    r = cmod.CampaignRunner(mesh=mesh)
+    assert r.tiles_per_device == cmod.TPU_DEFAULT_TILES_PER_DEVICE
+    assert r.batch_size == mesh.shape[cmod.TILE_AXIS] \
+        * cmod.TPU_DEFAULT_TILES_PER_DEVICE
+    assert cmod.CampaignRunner(
+        mesh=mesh, tiles_per_device=1).tiles_per_device == 1
+
+
 def test_campaign_tiles_per_device(tmp_path):
     """tiles_per_device > 1: each device's local step loops over several
     tiles per dispatch; products identical to the per-tile path."""
