@@ -27,18 +27,22 @@ class _LibDeflate:
 
     libdeflate has no streaming API, which is fine here: TIFF blocks are
     bounded (512x512 tiles). libdeflate handles are not thread-safe, so
-    each pool thread gets its own cached compressor/decompressor
-    (threading.local) — a shared lock here would serialize every reader/
-    writer pool thread on the codec and cap scaling on multi-core hosts.
-    A handle whose thread exits is not freed back to libdeflate (only
-    the Python reference is), but the pools are process-lifetime and
-    bounded, so at most threads x levels handles ever exist.
+    handles live in lock-guarded free-lists: each call pops one (or
+    allocates on a miss) and pushes it back when done. The lock is held
+    only around the list pop/push, never around the (de)compression
+    itself, so pool threads still scale. Handle count is bounded by peak
+    concurrency per level — not by how many short-lived pool threads
+    tiff.py/cog.py ever create (thread-local caching leaked a handle per
+    exited thread on the no-native fallback path, unbounded over a long
+    campaign).
     """
 
     def __init__(self, lib):
         import threading
         self._lib = lib
-        self._tls = threading.local()
+        self._lock = threading.Lock()
+        self._free_compressors = {}   # level -> [handle, ...]
+        self._free_decompressors = []
         lib.libdeflate_alloc_compressor.restype = ctypes.c_void_p
         lib.libdeflate_alloc_compressor.argtypes = [ctypes.c_int]
         lib.libdeflate_zlib_compress.restype = ctypes.c_size_t
@@ -57,35 +61,43 @@ class _LibDeflate:
 
     def compress(self, data: bytes, level: int) -> bytes:
         level = min(max(int(level), 1), 12)
-        compressors = getattr(self._tls, 'compressors', None)
-        if compressors is None:
-            compressors = self._tls.compressors = {}
-        comp = compressors.get(level)
+        with self._lock:
+            free = self._free_compressors.setdefault(level, [])
+            comp = free.pop() if free else None
         if comp is None:
             comp = self._lib.libdeflate_alloc_compressor(level)
             if not comp:
                 raise MemoryError('libdeflate_alloc_compressor failed')
-            compressors[level] = comp
-        bound = self._lib.libdeflate_zlib_compress_bound(comp, len(data))
-        out = ctypes.create_string_buffer(bound)
-        n = self._lib.libdeflate_zlib_compress(comp, data, len(data),
-                                               out, bound)
+        try:
+            bound = self._lib.libdeflate_zlib_compress_bound(comp,
+                                                             len(data))
+            out = ctypes.create_string_buffer(bound)
+            n = self._lib.libdeflate_zlib_compress(comp, data, len(data),
+                                                   out, bound)
+        finally:
+            with self._lock:
+                self._free_compressors[level].append(comp)
         if n == 0:  # cannot happen with a bound-sized buffer
             raise RuntimeError('libdeflate compression failed')
         return out.raw[:n]
 
     def decompress(self, data: bytes, expected_size: int) -> bytes:
-        dec = getattr(self._tls, 'decompressor', None)
+        with self._lock:
+            free = self._free_decompressors
+            dec = free.pop() if free else None
         if dec is None:
             dec = self._lib.libdeflate_alloc_decompressor()
             if not dec:
                 raise MemoryError('libdeflate_alloc_decompressor failed')
-            self._tls.decompressor = dec
         out = ctypes.create_string_buffer(expected_size)
         actual = ctypes.c_size_t(0)
-        rc = self._lib.libdeflate_zlib_decompress(
-            dec, data, len(data), out, expected_size,
-            ctypes.byref(actual))
+        try:
+            rc = self._lib.libdeflate_zlib_decompress(
+                dec, data, len(data), out, expected_size,
+                ctypes.byref(actual))
+        finally:
+            with self._lock:
+                self._free_decompressors.append(dec)
         if rc != 0:
             raise ValueError(f'libdeflate zlib decompress failed ({rc})')
         return out.raw[:actual.value]

@@ -142,10 +142,13 @@ def load_hls_band(filename, image_dict, offset_dict, scale_dict,
         if fused:
             invalid = image_dict.get('invalid_ind_array')
             if invalid is None or invalid.dtype != np.bool_ \
+                    or invalid.shape != image.shape \
                     or not invalid.flags.c_contiguous:
                 base = invalid
                 invalid = np.zeros(image.shape, np.bool_)
                 if base is not None:
+                    # mismatched granule shapes raise here (broadcast
+                    # error), same as the np.logical_or path below
                     invalid |= base
             image = np.ascontiguousarray(image)
             _native.band_finalize_i16(image, int(fill_value),

@@ -206,6 +206,8 @@ def band_finalize_i16(band: np.ndarray, fill: int, do_clip: bool,
     lib = _load()
     assert band.dtype == np.int16 and band.flags.c_contiguous
     assert invalid.dtype == np.bool_ and invalid.flags.c_contiguous
+    assert invalid.shape == band.shape, \
+        f'invalid {invalid.shape} != band {band.shape}'
     lib.tt_band_finalize_i16(
         band.ctypes.data_as(ctypes.c_void_p), band.size,
         np.int16(fill), int(bool(do_clip)),

@@ -46,7 +46,12 @@ def write_strip_tiff(path, arr, rows_per_strip, compression=8,
             raw = codecs.predict_float(be, rows, w, 1, dtype.itemsize)
         else:
             raw = block.tobytes()
-        data = zlib.compress(raw) if compression == 8 else raw
+        if compression == codecs.COMPRESSION_DEFLATE_ADOBE:
+            data = zlib.compress(raw)
+        elif compression == codecs.COMPRESSION_LZW:
+            data = codecs.lzw_encode(raw)
+        else:
+            data = raw
         payloads.append(b'' if s in sparse_strips else data)
 
     header = b'II' + struct.pack('<HI', 42, 0)  # IFD offset patched below
@@ -134,7 +139,7 @@ def test_tiled_multiband_native_matches_python(tmp_path, monkeypatch):
     (np.uint8, codecs.PREDICTOR_HORIZONTAL),
     (np.float32, codecs.PREDICTOR_FLOAT),
     (np.int16, codecs.PREDICTOR_NONE)])
-@pytest.mark.parametrize('compression', [8, 1])
+@pytest.mark.parametrize('compression', [8, 1, codecs.COMPRESSION_LZW])
 def test_strip_reader_native_matches_python(tmp_path, dtype, predictor,
                                             compression, monkeypatch):
     h, w = 333, 257
