@@ -72,3 +72,30 @@ def test_multichip_artifact():
     assert d.get('ok') is True
     assert not d.get('skipped')
     assert d.get('n_devices', 0) >= 8
+
+
+def test_evidence_round_plan_covers_every_hardware_artifact():
+    """tools/evidence_round.py --dry-run must plan every hardware JSON
+    (VERDICT r4 item 6: methodology fixes may never again outrun their
+    artifacts — one command must regenerate the full evidence set)."""
+    import subprocess
+    import sys
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools', 'evidence_round.py'),
+         '--dry-run'], capture_output=True, text=True, timeout=60)
+    assert proc.returncode == 0, proc.stderr
+    plans = [json.loads(l) for l in proc.stdout.strip().splitlines()]
+    planned = {a for p in plans for a in p['artifacts']}
+    assert planned >= {
+        'BENCH_HEADLINE.json', 'E2E_BENCH.json', 'BENCH_BATCH.json',
+        'KERNEL_PROFILE.json', 'COLD_GRID_BENCH.json',
+        'SOAK_CAMPAIGN_OTSU.json', 'SOAK_BACK_TO_BACK.json',
+        'SOAK_CAMPAIGN.json', 'SOAK_CAMPAIGN_SCALED.json'}, planned
+    # every planned command's script exists
+    for p in plans:
+        script = p['cmd'].split()[1]
+        assert os.path.isfile(script), script
+    # soaks (the long tail) must come last so a mid-session failure
+    # still refreshes the cheap artifacts
+    names = [p['stage'] for p in plans]
+    assert names.index('soak_b2b') == len(names) - 1
