@@ -633,10 +633,60 @@ def _maybe_inject_fault(tile_id):
                 f'injected fault for {tile_id} (attempt {k + 1}/{n})')
 
 
+_PREP_POOL = None
+_PREP_POOL_LOCK = threading.Lock()
+
+
+def _prep_pool():
+    """Shared pool for within-tile ancillary preps (lazy, bounded).
+
+    The three per-tile ancillary groups — ocean rasterization, DEM warp
+    + terrain shadow, landcover warps — are independent and each is
+    dominated by device-dispatch/tunnel waits, not CPU. Running them
+    concurrently cuts a COLD tile's critical path from their sum to
+    their max (warm tiles hit _AncillaryCache and never enter the
+    pool's queue long enough to matter). PROTEUS_TPU_PREP_THREADS sizes
+    the pool; 0 disables (serial preps, the pre-round-5 behavior)."""
+    global _PREP_POOL
+    n = int(os.environ.get('PROTEUS_TPU_PREP_THREADS', '8'))
+    if n <= 0:
+        return None
+    with _PREP_POOL_LOCK:
+        if _PREP_POOL is None:
+            _PREP_POOL = ThreadPoolExecutor(
+                n, thread_name_prefix='anc_prep')
+        return _PREP_POOL
+
+
+def _run_preps(preps):
+    """Run prep closures, concurrently when there are 2+ and a pool.
+
+    Each closure returns a dict of image_dict updates (disjoint keys).
+    The first prep runs on the calling reader thread — it stays busy
+    instead of sleeping on a future — while the rest overlap in the
+    pool. Exceptions propagate exactly as the serial code's did (the
+    first to fail raises; the campaign retry path handles it)."""
+    pool = _prep_pool() if len(preps) > 1 else None
+    if pool is None:
+        return [fn() for fn in preps]
+    futures = [pool.submit(fn) for fn in preps[1:]]
+    results = [preps[0]()]
+    results += [f.result() for f in futures]
+    return results
+
+
 def _read_tile(job, flag_debug=False, config=None, scaled=False,
                device_scale=False):
     """Decode one tile's bands + prepare its ancillary masks (runs in the
     reader pool, overlapping the device step of the previous batch).
+
+    The ancillary groups run concurrently via _run_preps: on a cold
+    grid (every _AncillaryCache key missing — the continental-campaign
+    regime measured by tools/bench_cold_grid.py) the tile pays
+    max(ocean, dem+shadow, landcover) instead of their sum. The
+    reference pays the full serial bill per tile (its per-tile _warp
+    calls at dswx_hls.py:5145,5196 run in one process, one after the
+    other).
 
     ``scaled=True`` applies the per-band scale/offset at ingest
     (float32 reflectance, reference dswx_hls.py:2298-2302).
@@ -669,110 +719,125 @@ def _read_tile(job, flag_debug=False, config=None, scaled=False,
     length = image_dict['length']
     width = image_dict['width']
 
+    preps = []
+
     if job.shoreline_shapefile:
-        from proteus_tpu.geo.polygon import create_ocean_mask
-        with STAGE_TIMES.stage('read_ocean_mask'):
-            as_dev = jax.devices()[0].platform == 'tpu'
-            okey = ('ocean', _fsig(job.shoreline_shapefile),
-                    job.ocean_masking_shoreline_distance_km, gt, proj,
-                    length, width, as_dev)
-            image_dict['ocean_mask'] = ANCILLARY_CACHE.get(
-                okey, lambda: create_ocean_mask(
-                    job.shoreline_shapefile,
-                    job.ocean_masking_shoreline_distance_km, '.', gt,
-                    proj, length, width, as_device=as_dev))
+        def _prep_ocean():
+            from proteus_tpu.geo.polygon import create_ocean_mask
+            with STAGE_TIMES.stage('read_ocean_mask'):
+                as_dev = jax.devices()[0].platform == 'tpu'
+                okey = ('ocean', _fsig(job.shoreline_shapefile),
+                        job.ocean_masking_shoreline_distance_km, gt, proj,
+                        length, width, as_dev)
+                return {'ocean_mask': ANCILLARY_CACHE.get(
+                    okey, lambda: create_ocean_mask(
+                        job.shoreline_shapefile,
+                        job.ocean_masking_shoreline_distance_km, '.', gt,
+                        proj, length, width, as_device=as_dev))}
+        preps.append(_prep_ocean)
 
     if job.dem_file:
-        from proteus_tpu.geo.warp import warp_to_grid_device
-        from proteus_tpu.models.dswx.shadow import (
-            compute_opera_shadow_layer_exact,
-            compute_otsu_shadow_layer_exact)
-        from proteus_tpu.runtime.orchestrator import _mean_angle
-        with STAGE_TIMES.stage('read_dem_shadow'):
-            az = _mean_angle(metadata.get('MEAN_SUN_AZIMUTH_ANGLE', '0'))
-            zen = _mean_angle(metadata.get('MEAN_SUN_ZENITH_ANGLE', '0'))
-            min_slope = (config.min_slope_angle
-                         if config is not None else -5.0)
-            max_inc = (config.max_sun_local_inc_angle
-                       if config is not None else 40.0)
-            shadow_alg = (config.shadow_masking_algorithm
-                          if config is not None and
-                          config.shadow_masking_algorithm else
-                          'sun_local_inc_angle')
-            m = C.DEM_MARGIN_IN_PIXELS
-            import jax.numpy as jnp
-            dkey = ('dem_warp', _fsig(job.dem_file), gt, proj, length,
-                    width, m)
+        def _prep_dem_shadow():
+            from proteus_tpu.geo.warp import warp_to_grid_device
+            from proteus_tpu.models.dswx.shadow import (
+                compute_opera_shadow_layer_exact,
+                compute_otsu_shadow_layer_exact)
+            from proteus_tpu.runtime.orchestrator import _mean_angle
+            with STAGE_TIMES.stage('read_dem_shadow'):
+                az = _mean_angle(
+                    metadata.get('MEAN_SUN_AZIMUTH_ANGLE', '0'))
+                zen = _mean_angle(
+                    metadata.get('MEAN_SUN_ZENITH_ANGLE', '0'))
+                min_slope = (config.min_slope_angle
+                             if config is not None else -5.0)
+                max_inc = (config.max_sun_local_inc_angle
+                           if config is not None else 40.0)
+                shadow_alg = (config.shadow_masking_algorithm
+                              if config is not None and
+                              config.shadow_masking_algorithm else
+                              'sun_local_inc_angle')
+                m = C.DEM_MARGIN_IN_PIXELS
+                import jax.numpy as jnp
+                dkey = ('dem_warp', _fsig(job.dem_file), gt, proj,
+                        length, width, m)
 
-            def _warp_dem():
-                dem_m = warp_to_grid_device(
-                    job.dem_file, gt, proj, length, width,
-                    resample_algorithm='cubic', margin_in_pixels=m)
-                return dem_m, dem_m[m:-m, m:-m]
+                def _warp_dem():
+                    dem_m = warp_to_grid_device(
+                        job.dem_file, gt, proj, length, width,
+                        resample_algorithm='cubic', margin_in_pixels=m)
+                    return dem_m, dem_m[m:-m, m:-m]
 
-            # keep shadow/DEM on device: they feed the device step and
-            # the writer pool (which materializes them there,
-            # overlapped) — the slow tunneled d2h link never sees them
-            # on the critical path. The DEM warp is per-grid (cached);
-            # the shadow depends on the granule's sun angles, so its
-            # cache key includes them
-            dem_m, dem_crop = ANCILLARY_CACHE.get(dkey, _warp_dem)
-            image_dict['dem'] = dem_crop
+                # keep shadow/DEM on device: they feed the device step
+                # and the writer pool (which materializes them there,
+                # overlapped) — the slow tunneled d2h link never sees
+                # them on the critical path. The DEM warp is per-grid
+                # (cached); the shadow depends on the granule's sun
+                # angles, so its cache key includes them
+                dem_m, dem_crop = ANCILLARY_CACHE.get(dkey, _warp_dem)
 
-            def _shadow():
-                if shadow_alg == 'otsu':
-                    # reference dswx_hls.py:4430-4436: hillshade over
-                    # the margined DEM + global-histogram Otsu cut
-                    shad = compute_otsu_shadow_layer_exact(
-                        dem_m, az, 90.0 - zen,
-                        pixel_spacing_x=gt[1], pixel_spacing_y=gt[5],
-                        as_device=True)
-                else:
-                    shad = compute_opera_shadow_layer_exact(
-                        dem_m, az, 90.0 - zen, min_slope, max_inc,
-                        as_device=True)
-                shad_crop = jnp.asarray(shad[m:-m, m:-m], jnp.uint8)
-                # the writer only needs the binary SHAD values: ship
-                # 1 bit/px (1.7 MB instead of 13.4) over the slow d2h
-                return shad_crop, pack_bits_device(shad_crop)
+                def _shadow():
+                    if shadow_alg == 'otsu':
+                        # reference dswx_hls.py:4430-4436: hillshade
+                        # over the margined DEM + global-histogram
+                        # Otsu cut
+                        shad = compute_otsu_shadow_layer_exact(
+                            dem_m, az, 90.0 - zen,
+                            pixel_spacing_x=gt[1],
+                            pixel_spacing_y=gt[5], as_device=True)
+                    else:
+                        shad = compute_opera_shadow_layer_exact(
+                            dem_m, az, 90.0 - zen, min_slope, max_inc,
+                            as_device=True)
+                    shad_crop = jnp.asarray(shad[m:-m, m:-m], jnp.uint8)
+                    # the writer only needs the binary SHAD values:
+                    # ship 1 bit/px (1.7 MB instead of 13.4) over the
+                    # slow d2h
+                    return shad_crop, pack_bits_device(shad_crop)
 
-            skey = ('shadow', dkey, az, zen, min_slope, max_inc,
-                    shadow_alg)
-            shad_crop, shad_packed = ANCILLARY_CACHE.get(skey, _shadow)
-            image_dict['shadow_layer'] = shad_crop
-            image_dict['shadow_packed'] = shad_packed
+                skey = ('shadow', dkey, az, zen, min_slope, max_inc,
+                        shadow_alg)
+                shad_crop, shad_packed = ANCILLARY_CACHE.get(skey,
+                                                             _shadow)
+                return {'dem': dem_crop, 'shadow_layer': shad_crop,
+                        'shadow_packed': shad_packed}
+        preps.append(_prep_dem_shadow)
 
     if job.landcover_file and job.worldcover_file:
-        from proteus_tpu.geo.warp import (warp_to_grid_device,
-                                          worldcover_year_of)
-        from proteus_tpu.models.dswx.landcover import \
-            create_landcover_mask_arrays
-        with STAGE_TIMES.stage('read_landcover'):
-            forest = tuple(config.forest_mask_landcover_classes
-                           if config is not None else
-                           (20, 50, 111, 113, 115, 116, 121, 123, 125,
-                            126))
+        def _prep_landcover():
+            from proteus_tpu.geo.warp import (warp_to_grid_device,
+                                              worldcover_year_of)
+            from proteus_tpu.models.dswx.landcover import \
+                create_landcover_mask_arrays
+            with STAGE_TIMES.stage('read_landcover'):
+                forest = tuple(config.forest_mask_landcover_classes
+                               if config is not None else
+                               (20, 50, 111, 113, 115, 116, 121, 123,
+                                125, 126))
 
-            def _landcover():
-                cgls = warp_to_grid_device(job.landcover_file, gt, proj,
-                                           length, width,
-                                           resample_algorithm='nearest')
-                gt3 = (gt[0], gt[1] / 3, 0.0, gt[3], 0.0, gt[5] / 3)
-                wc3 = warp_to_grid_device(job.worldcover_file, gt3,
-                                          proj, 3 * length, 3 * width,
-                                          resample_algorithm='nearest')
-                year = worldcover_year_of(job.worldcover_file)
-                import jax.numpy as jnp
-                return jnp.asarray(
-                    create_landcover_mask_arrays(
-                        cgls, wc3, C.LANDCOVER_MASK_TYPE, forest,
-                        worldcover_year=year), jnp.uint8)
+                def _landcover():
+                    cgls = warp_to_grid_device(
+                        job.landcover_file, gt, proj, length, width,
+                        resample_algorithm='nearest')
+                    gt3 = (gt[0], gt[1] / 3, 0.0, gt[3], 0.0, gt[5] / 3)
+                    wc3 = warp_to_grid_device(
+                        job.worldcover_file, gt3, proj, 3 * length,
+                        3 * width, resample_algorithm='nearest')
+                    year = worldcover_year_of(job.worldcover_file)
+                    import jax.numpy as jnp
+                    return jnp.asarray(
+                        create_landcover_mask_arrays(
+                            cgls, wc3, C.LANDCOVER_MASK_TYPE, forest,
+                            worldcover_year=year), jnp.uint8)
 
-            lkey = ('landcover', _fsig(job.landcover_file),
-                    _fsig(job.worldcover_file), gt, proj, length, width,
-                    C.LANDCOVER_MASK_TYPE, forest)
-            image_dict['landcover_mask'] = ANCILLARY_CACHE.get(
-                lkey, _landcover)
+                lkey = ('landcover', _fsig(job.landcover_file),
+                        _fsig(job.worldcover_file), gt, proj, length,
+                        width, C.LANDCOVER_MASK_TYPE, forest)
+                return {'landcover_mask': ANCILLARY_CACHE.get(
+                    lkey, _landcover)}
+        preps.append(_prep_landcover)
+
+    for updates in _run_preps(preps):
+        image_dict.update(updates)
     return image_dict
 
 
