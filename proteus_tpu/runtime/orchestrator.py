@@ -216,12 +216,12 @@ def generate_dswx_layers(input_list,
     os.makedirs(scratch_dir, exist_ok=True)
 
     # ---- ingest ------------------------------------------------------------
-    image_dict = {}
+    hls_arrays = {}
     offset_dict = {}
     scale_dict = {}
-    temp_files_list = []
-    output_files_list = []
-    build_vrt_list = []
+    scratch_files = []
+    standalone_output_files = []
+    vrt_member_files = []
     dem = None
     shadow_layer = None
 
@@ -232,7 +232,7 @@ def generate_dswx_layers(input_list,
         version = None
         if not isinstance(input_list, list) or len(input_list) == 1:
             success = hls_io.load_hls_product_v1(
-                input_list, image_dict, offset_dict, scale_dict,
+                input_list, hls_arrays, offset_dict, scale_dict,
                 dswx_metadata_dict, flag_offset_and_scale_inputs,
                 flag_debug=flag_debug)
             if success:
@@ -241,14 +241,14 @@ def generate_dswx_layers(input_list,
             success = None
         if success is not True:
             success = hls_io.load_hls_product_v2(
-                input_list, image_dict, offset_dict, scale_dict,
+                input_list, hls_arrays, offset_dict, scale_dict,
                 dswx_metadata_dict, flag_offset_and_scale_inputs,
                 flag_debug=flag_debug)
             if not success:
                 logger.info(f'ERROR could not read file(s): {input_list}')
                 return False
             version = '2.0'
-    hls_dataset_name = image_dict['hls_dataset_name']
+    hls_dataset_name = hls_arrays['hls_dataset_name']
     md_util.populate_dswx_metadata_datasets(
         dswx_metadata_dict, hls_dataset_name,
         dem_file=dem_file, dem_file_description=dem_file_description,
@@ -283,19 +283,19 @@ def generate_dswx_layers(input_list,
     logger.info(f'processing HLS {spacecraft_name[0]}30 dataset'
                 f' v.{version}')
 
-    blue = image_dict['blue']
-    green = image_dict['green']
-    red = image_dict['red']
-    nir = image_dict['nir']
-    swir1 = image_dict['swir1']
-    swir2 = image_dict['swir2']
-    fmask = image_dict['fmask']
-    geotransform = image_dict['geotransform']
-    projection = image_dict['projection']
-    length = image_dict['length']
-    width = image_dict['width']
-    invalid_array = image_dict['invalid_ind_array']
-    del image_dict
+    blue = hls_arrays['blue']
+    green = hls_arrays['green']
+    red = hls_arrays['red']
+    nir = hls_arrays['nir']
+    swir1 = hls_arrays['swir1']
+    swir2 = hls_arrays['swir2']
+    fmask = hls_arrays['fmask']
+    geotransform = hls_arrays['geotransform']
+    projection = hls_arrays['projection']
+    length = hls_arrays['length']
+    width = hls_arrays['width']
+    invalid_array = hls_arrays['invalid_ind_array']
+    del hls_arrays
 
     sun_azimuth_angle = _mean_angle(
         dswx_metadata_dict['MEAN_SUN_AZIMUTH_ANGLE'])
@@ -332,7 +332,7 @@ def generate_dswx_layers(input_list,
                 shoreline_shapefile,
                 p['ocean_masking_shoreline_distance_km'],
                 scratch_dir, geotransform, projection, length, width,
-                temp_files_list=temp_files_list,
+                temp_files_list=scratch_files,
                 as_device=jax.devices()[0].platform == 'tpu')
 
     # ---- DEM warp + terrain shadow (device) ---------------------------------
@@ -545,19 +545,19 @@ def generate_dswx_layers(input_list,
         pw.save_array(dem, output_dem_layer, dswx_metadata_dict,
                       geotransform, projection,
                       description=C.BAND_DESCRIPTION_DICT['DEM'],
-                      output_files_list=build_vrt_list,
+                      output_files_list=vrt_member_files,
                       no_data_value=np.nan)
     if shadow_layer is not None and output_shadow_layer:
         pw.save_array(shadow_layer, output_shadow_layer,
                       dswx_metadata_dict, geotransform, projection,
                       description=C.BAND_DESCRIPTION_DICT['SHAD'],
-                      output_files_list=build_vrt_list,
+                      output_files_list=vrt_member_files,
                       ctable=ctables.get_binary_mask_ctable())
     if landcover_mask is not None and output_landcover:
         pw.save_array(landcover_mask, output_landcover,
                       dswx_metadata_dict, geotransform, projection,
                       description=C.BAND_DESCRIPTION_DICT['LAND'],
-                      output_files_list=build_vrt_list,
+                      output_files_list=vrt_member_files,
                       ctable=ctables.get_landcover_mask_ctable(),
                       no_data_value=C.DSWX_HLS_LANDCOVER_CLASSES_DICT[
                           'fill_value'])
@@ -569,35 +569,35 @@ def generate_dswx_layers(input_list,
                                 flag_offset_and_scale_inputs,
                                 dswx_metadata_dict, geotransform,
                                 projection, invalid_ind=invalid_ind,
-                                output_files_list=output_files_list)
+                                output_files_list=standalone_output_files)
     if output_infrared_rgb_file:
         pw.save_output_rgb_file(swir1, nir, red, output_infrared_rgb_file,
                                 offset_dict, scale_dict,
                                 flag_offset_and_scale_inputs,
                                 dswx_metadata_dict, geotransform,
                                 projection, invalid_ind=invalid_ind,
-                                output_files_list=output_files_list,
+                                output_files_list=standalone_output_files,
                                 flag_infrared=True)
 
     if output_diagnostic_layer:
         pw.save_array(out['DIAG'], output_diagnostic_layer,
                       dswx_metadata_dict, geotransform, projection,
                       description=C.BAND_DESCRIPTION_DICT['DIAG'],
-                      output_files_list=build_vrt_list,
+                      output_files_list=vrt_member_files,
                       no_data_value=C.DIAGNOSTIC_LAYER_NO_DATA_BINARY_REPR)
     if output_non_masked_dswx:
         pw.save_dswx_product(out['WTR-1'], 'WTR-1', output_non_masked_dswx,
                              dswx_metadata_dict, geotransform, projection,
-                             output_files_list=build_vrt_list)
+                             output_files_list=vrt_member_files)
     if output_shadow_masked_dswx is not None:
         pw.save_dswx_product(out['WTR-2'], 'WTR-2',
                              output_shadow_masked_dswx,
                              dswx_metadata_dict, geotransform, projection,
-                             output_files_list=build_vrt_list)
+                             output_files_list=vrt_member_files)
     if output_interpreted_band:
         pw.save_dswx_product(out['WTR'], 'WTR', output_interpreted_band,
                              dswx_metadata_dict, geotransform, projection,
-                             output_files_list=build_vrt_list)
+                             output_files_list=vrt_member_files)
 
     if output_browse_image:
         browse_ctable = ctables.get_browse_ctable(
@@ -606,7 +606,7 @@ def generate_dswx_layers(input_list,
             cloud_color=p['cloud_in_browse'],
             snow_color=p['snow_in_browse'])
         browse_geotiff = output_browse_image.replace('.png', '.tif')
-        output_files_list.append(browse_geotiff)
+        standalone_output_files.append(browse_geotiff)
         pw.save_array(out['BROWSE'], browse_geotiff, dswx_metadata_dict,
                       geotransform, projection,
                       ctable=browse_ctable,
@@ -615,23 +615,23 @@ def generate_dswx_layers(input_list,
                     output_height=p['browse_image_height'],
                     output_width=p['browse_image_width'],
                     logger_=logger, rgba_ctable=browse_ctable)
-        output_files_list.append(output_browse_image)
+        standalone_output_files.append(output_browse_image)
 
     if output_cloud_layer:
         pw.save_cloud_layer(out['CLOUD'], output_cloud_layer,
                             dswx_metadata_dict, geotransform, projection,
                             description=C.BAND_DESCRIPTION_DICT['CLOUD'],
-                            output_files_list=build_vrt_list)
+                            output_files_list=vrt_member_files)
     if output_binary_water:
         pw.save_binary_water(out['BWTR'], output_binary_water,
                              dswx_metadata_dict, geotransform, projection,
                              description=C.BAND_DESCRIPTION_DICT['BWTR'],
-                             output_files_list=build_vrt_list)
+                             output_files_list=vrt_member_files)
     if output_confidence_layer:
         pw.save_array(out['CONF'], output_confidence_layer,
                       dswx_metadata_dict, geotransform, projection,
                       description=C.BAND_DESCRIPTION_DICT['CONF'],
-                      output_files_list=build_vrt_list,
+                      output_files_list=vrt_member_files,
                       ctable=ctables.get_confidence_layer_ctable(),
                       no_data_value=C.UINT8_FILL_VALUE)
 
@@ -642,23 +642,23 @@ def generate_dswx_layers(input_list,
                              wtr_1=out['WTR-1'], wtr_2=out['WTR-2'],
                              land=landcover_mask, shad=shadow_layer,
                              cloud=out['CLOUD'], dem=dem,
-                             output_files_list=output_files_list)
+                             output_files_list=standalone_output_files)
     elif output_file:
         from proteus_tpu.io.vrt import build_vrt
-        build_vrt(output_file, build_vrt_list)
-        build_vrt_list.append(output_file)
+        build_vrt(output_file, vrt_member_files)
+        vrt_member_files.append(output_file)
         logger.info(f'file saved: {output_file}')
 
     timers_saves_elapsed[0] = time.perf_counter() - _saves_t0
     logger.info('removing temporary files:')
-    for filename in temp_files_list:
+    for filename in scratch_files:
         if os.path.isfile(filename):
             os.remove(filename)
             logger.info(f'    {filename}')
     timers.add('layer saves (COG encode)',
                timers_saves_elapsed[0])
     logger.info('output files:')
-    for filename in build_vrt_list + output_files_list:
+    for filename in vrt_member_files + standalone_output_files:
         logger.info(f'    {filename}')
     timers.report()
     return True
