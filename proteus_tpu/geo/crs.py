@@ -56,1969 +56,55 @@ from functools import lru_cache
 
 import numpy as np
 
-# ellipsoids: name -> (semi-major axis a, inverse flattening 1/f)
-_ELLIPSOIDS = {
-    'WGS84': (6378137.0, 298.257223563),
-    'GRS80': (6378137.0, 298.257222101),  # NAD83 / ETRS89
-    # classical datum ellipsoids (EPSG ellipsoid codes in comments)
-    'AIRY1830': (6377563.396, 299.3249646),        # 7001 (OSGB36)
-    'BESSEL1841': (6377397.155, 299.1528128),      # 7004 (CH1903, Tokyo)
-    'CLARKE1866': (6378206.4, 294.9786982139006),  # 7008 (NAD27)
-    'INTL1924': (6378388.0, 297.0),                # 7022 (ED50)
-    'KRASS1940': (6378245.0, 298.3),               # 7024 (Pulkovo 1942)
-    'EVEREST1967': (6377298.556, 300.8017),        # 7016 (Timbalai 1948)
-}
+import dataclasses
+
+import numpy as np
+
+# the split modules re-exported here keep the public surface of this
+# package unchanged (geo/warp.py, io/tiff.py and the test suite import
+# everything through proteus_tpu.geo.crs)
+from .crs_core import (                                      # noqa: F401
+    _A, _E, _E2, _ELLIPSOIDS, _F, _FALSE_EASTING, _K0,
+    _SHIFT_AMERSFOORT, _SHIFT_CH1903, _SHIFT_CH1903P, _SHIFT_ED50,
+    _SHIFT_NAD27, _SHIFT_OSGB36, _SHIFT_PULKOVO42, _SHIFT_SJTSK,
+    _SHIFT_TIMBALAI, _SHIFT_TOKYO, _effective_shift, _ell_consts,
+    _ensure_ellipsoid, _isometric_lat, _lat_from_isometric,
+    _lat_from_merid, _lcc_t, _merid_arc, _norm_towgs84, _phi_from_q,
+    _q_authalic, _sinu_ell, _towgs84_matrix, _wrap_pi,
+    geocentric_to_geodetic, geodetic_to_geocentric,
+    helmert_position_vector, shift_datum)
+from .crs_tm import (                                        # noqa: F401
+    _tm_series, _tm_xi0, tm_forward_general, tm_inverse_general,
+    utm_forward, utm_inverse)
+from .crs_conformal import (                                 # noqa: F401
+    _krovak_consts, _merc_k0_from_lat_ts, _omerc_consts, _ps_rho_per_t,
+    _ps_t, _somerc_consts, _sterea_consts, krovak_forward,
+    krovak_inverse, lcc_forward, lcc_inverse, mercator_forward,
+    mercator_inverse, omerc_forward, omerc_inverse,
+    polar_stereo_forward, polar_stereo_inverse, somerc_forward,
+    somerc_inverse, sterea_forward, sterea_inverse,
+    web_mercator_forward, web_mercator_inverse)
+from .crs_equal_area import (                                # noqa: F401
+    _eqc_nu1_cos, albers_forward, albers_inverse, cea_forward,
+    cea_inverse, eqc_forward, eqc_inverse, laea_forward, laea_inverse,
+    sinusoidal_forward, sinusoidal_inverse)
+from .crs_serialize import (                                 # noqa: F401
+    _CUSTOM_FAMILIES, _ELLPS_PROJ4_NAME, _FEFN_IDX, _FOOT, _GEOGCS_ELL,
+    _GEOGCS_GDA94_FRAG, _GEOGCS_GRS80, _GEOGCS_WGS84_FRAG,
+    _GRID_NAME_GEOGCS, _NUM_RE, _PROJ4_ELLPS, _PS_NAMES, _UNIT_GEOKEY,
+    _UNIT_WKT_NAME, _US_FOOT, _WKT_ALBERS_TEMPLATE, _WKT_CEA_TEMPLATE,
+    _WKT_GEO_GRS80_TEMPLATE, _WKT_LAEA_TEMPLATE, _WKT_LCC_TEMPLATE,
+    _WKT_MERC_TEMPLATE, _WKT_PS_TEMPLATE, _WKT_UPS_TEMPLATE,
+    _WKT_UTM_GRS80_TEMPLATE, _WKT_UTM_TEMPLATE, _WKT_WGS84,
+    _custom_forward, _custom_geogcs_wkt, _custom_inverse,
+    _custom_to_proj4, _custom_to_proj4_base, _custom_to_wkt,
+    _proj4_ellipsoid, _proj4_param, _snap_unit, _towgs84_wkt,
+    _unit_proj4, _unit_wkt)
+from .crs_registry import (                                  # noqa: F401
+    _ALBERS, _CEA, _EPSG_TOWGS84, _GENERAL, _GEOGRAPHIC_ELL, _LAEA,
+    _LCC, _MERC, _POLAR_STEREO, MODIS_SPHERE_RADIUS,
+    WEB_MERCATOR_EPSG)
 
-# WGS84 ellipsoid (module-level: the polar-stereo code and external
-# users are WGS84-only)
-_A = 6378137.0
-_F = 1.0 / 298.257223563
-_E2 = _F * (2.0 - _F)
-_E = np.sqrt(_E2)
-_K0 = 0.9996
-_FALSE_EASTING = 500000.0
-
-
-@lru_cache(maxsize=None)
-def _tm_series(ell):
-    """Krueger/Karney 6th-order series constants for one ellipsoid:
-    (e, e2, a_hat, alpha[6], beta[6])."""
-    a, invf = _ELLIPSOIDS[ell]
-    f = 1.0 / invf
-    e2 = f * (2.0 - f)
-    e = np.sqrt(e2)
-    _n = f / (2.0 - f)
-    a_hat = a / (1 + _n) * (1 + _n ** 2 / 4 + _n ** 4 / 64
-                            + _n ** 6 / 256)
-    alpha = np.array([
-        _n / 2 - 2 * _n ** 2 / 3 + 5 * _n ** 3 / 16 + 41 * _n ** 4 / 180
-        - 127 * _n ** 5 / 288 + 7891 * _n ** 6 / 37800,
-        13 * _n ** 2 / 48 - 3 * _n ** 3 / 5 + 557 * _n ** 4 / 1440
-        + 281 * _n ** 5 / 630 - 1983433 * _n ** 6 / 1935360,
-        61 * _n ** 3 / 240 - 103 * _n ** 4 / 140 + 15061 * _n ** 5 / 26880
-        + 167603 * _n ** 6 / 181440,
-        49561 * _n ** 4 / 161280 - 179 * _n ** 5 / 168
-        + 6601661 * _n ** 6 / 7257600,
-        34729 * _n ** 5 / 80640 - 3418889 * _n ** 6 / 1995840,
-        212378941 * _n ** 6 / 319334400,
-    ])
-    beta = np.array([
-        _n / 2 - 2 * _n ** 2 / 3 + 37 * _n ** 3 / 96 - _n ** 4 / 360
-        - 81 * _n ** 5 / 512 + 96199 * _n ** 6 / 604800,
-        _n ** 2 / 48 + _n ** 3 / 15 - 437 * _n ** 4 / 1440
-        + 46 * _n ** 5 / 105 - 1118711 * _n ** 6 / 3870720,
-        17 * _n ** 3 / 480 - 37 * _n ** 4 / 840 - 209 * _n ** 5 / 4480
-        + 5569 * _n ** 6 / 90720,
-        4397 * _n ** 4 / 161280 - 11 * _n ** 5 / 504
-        - 830251 * _n ** 6 / 7257600,
-        4583 * _n ** 5 / 161280 - 108847 * _n ** 6 / 3991680,
-        20648693 * _n ** 6 / 638668800,
-    ])
-    return e, e2, a_hat, alpha, beta
-
-
-def utm_forward(lat_deg, lon_deg, zone, north, ell='WGS84'):
-    """Geographic -> UTM easting/northing (float64, vectorized).
-
-    ``ell`` selects the ellipsoid: 'WGS84' (default; EPSG:326xx/327xx)
-    or 'GRS80' (NAD83 / ETRS89 UTM)."""
-    e, e2, a_hat, alpha, _beta = _tm_series(ell)
-    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
-    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
-    lon0 = np.radians(zone * 6.0 - 183.0)
-    dlon = np.arctan2(np.sin(lon - lon0), np.cos(lon - lon0))
-
-    sphi = np.sin(lat)
-    t = np.sinh(np.arctanh(sphi) - e * np.arctanh(e * sphi))
-    xi_p = np.arctan2(t, np.cos(dlon))
-    eta_p = np.arctanh(np.sin(dlon) / np.sqrt(1.0 + t * t))
-
-    xi = xi_p.copy()
-    eta = eta_p.copy()
-    for j in range(6):
-        k = 2.0 * (j + 1)
-        xi = xi + alpha[j] * np.sin(k * xi_p) * np.cosh(k * eta_p)
-        eta = eta + alpha[j] * np.cos(k * xi_p) * np.sinh(k * eta_p)
-
-    x = _FALSE_EASTING + _K0 * a_hat * eta
-    y = _K0 * a_hat * xi
-    if not north:
-        y = y + 10000000.0
-    return x, y
-
-
-def utm_inverse(x, y, zone, north, ell='WGS84'):
-    """UTM easting/northing -> geographic lat/lon degrees (float64).
-
-    ``ell``: 'WGS84' (default) or 'GRS80' (NAD83 / ETRS89 UTM)."""
-    e, e2, a_hat, _alpha, beta = _tm_series(ell)
-    x = np.asarray(x, dtype=np.float64)
-    y = np.asarray(y, dtype=np.float64)
-    if not north:
-        y = y - 10000000.0
-    xi = y / (_K0 * a_hat)
-    eta = (x - _FALSE_EASTING) / (_K0 * a_hat)
-
-    xi_p = xi.copy()
-    eta_p = eta.copy()
-    for j in range(6):
-        k = 2.0 * (j + 1)
-        xi_p = xi_p - beta[j] * np.sin(k * xi) * np.cosh(k * eta)
-        eta_p = eta_p - beta[j] * np.cos(k * xi) * np.sinh(k * eta)
-
-    sinh_eta = np.sinh(eta_p)
-    cos_xi = np.cos(xi_p)
-    dlon = np.arctan2(sinh_eta, cos_xi)
-    tau_p = np.sin(xi_p) / np.sqrt(sinh_eta ** 2 + cos_xi ** 2)
-
-    # Newton-iterate tau (tan of geodetic latitude) from tau' (Karney)
-    tau = tau_p / (1.0 - e2)
-    for _ in range(5):
-        sigma = np.sinh(e * np.arctanh(e * tau / np.sqrt(1.0 + tau ** 2)))
-        tau_p_i = tau * np.sqrt(1.0 + sigma ** 2) \
-            - sigma * np.sqrt(1.0 + tau ** 2)
-        dtau = ((tau_p - tau_p_i) * (1.0 + (1.0 - e2) * tau ** 2)
-                / ((1.0 - e2)
-                   * np.sqrt((1.0 + tau_p_i ** 2) * (1.0 + tau ** 2))))
-        tau = tau + dtau
-
-    lat = np.degrees(np.arctan(tau))
-    lon0 = zone * 6.0 - 183.0
-    lon = lon0 + np.degrees(dlon)
-    lon = (lon + 180.0) % 360.0 - 180.0
-    return lat, lon
-
-
-def _tm_xi0(lat0_deg, ell):
-    """Scaled meridian arc xi(lat0) of the Krueger series (the
-    latitude-of-origin northing offset for general TM grids)."""
-    _e, _e2, _a_hat, alpha, _beta = _tm_series(ell)
-    lat0 = np.radians(np.float64(lat0_deg))
-    s = np.sin(lat0)
-    e = _e
-    t = np.sinh(np.arctanh(s) - e * np.arctanh(e * s))
-    xi_p = np.arctan(t)
-    xi = xi_p
-    for j in range(6):
-        xi = xi + alpha[j] * np.sin(2.0 * (j + 1) * xi_p)
-    return xi
-
-
-def tm_forward_general(lat_deg, lon_deg, ell, lat0, lon0, k0, fe, fn):
-    """Geographic -> Transverse Mercator E/N with arbitrary parameters
-    (latitude/longitude of origin, scale, false easting/northing) on a
-    named ellipsoid — the general form behind user-defined TM grids
-    (British National Grid, NZTM, Gauss-Krueger zones, ...). Same
-    6th-order Krueger series as the UTM engine."""
-    e, e2, a_hat, alpha, _beta = _tm_series(ell)
-    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
-    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
-    lam0 = np.radians(lon0)
-    dlon = np.arctan2(np.sin(lon - lam0), np.cos(lon - lam0))
-    sphi = np.sin(lat)
-    t = np.sinh(np.arctanh(sphi) - e * np.arctanh(e * sphi))
-    xi_p = np.arctan2(t, np.cos(dlon))
-    eta_p = np.arctanh(np.sin(dlon) / np.sqrt(1.0 + t * t))
-    xi = xi_p.copy()
-    eta = eta_p.copy()
-    for j in range(6):
-        k = 2.0 * (j + 1)
-        xi = xi + alpha[j] * np.sin(k * xi_p) * np.cosh(k * eta_p)
-        eta = eta + alpha[j] * np.cos(k * xi_p) * np.sinh(k * eta_p)
-    x = fe + k0 * a_hat * eta
-    y = fn + k0 * a_hat * (xi - _tm_xi0(lat0, ell))
-    return x, y
-
-
-def tm_inverse_general(x, y, ell, lat0, lon0, k0, fe, fn):
-    """Transverse Mercator E/N with arbitrary parameters ->
-    geographic lat/lon degrees."""
-    e, e2, a_hat, _alpha, beta = _tm_series(ell)
-    x = np.asarray(x, dtype=np.float64)
-    y = np.asarray(y, dtype=np.float64)
-    xi = (y - fn) / (k0 * a_hat) + _tm_xi0(lat0, ell)
-    eta = (x - fe) / (k0 * a_hat)
-    xi_p = xi.copy()
-    eta_p = eta.copy()
-    for j in range(6):
-        k = 2.0 * (j + 1)
-        xi_p = xi_p - beta[j] * np.sin(k * xi) * np.cosh(k * eta)
-        eta_p = eta_p - beta[j] * np.cos(k * xi) * np.sinh(k * eta)
-    sinh_eta = np.sinh(eta_p)
-    cos_xi = np.cos(xi_p)
-    dlon = np.arctan2(sinh_eta, cos_xi)
-    tau_p = np.sin(xi_p) / np.sqrt(sinh_eta ** 2 + cos_xi ** 2)
-    tau = tau_p / (1.0 - e2)
-    for _ in range(5):
-        sigma = np.sinh(e * np.arctanh(e * tau / np.sqrt(1.0 + tau ** 2)))
-        tau_p_i = tau * np.sqrt(1.0 + sigma ** 2) \
-            - sigma * np.sqrt(1.0 + tau ** 2)
-        dtau = ((tau_p - tau_p_i) * (1.0 + (1.0 - e2) * tau ** 2)
-                / ((1.0 - e2)
-                   * np.sqrt((1.0 + tau_p_i ** 2) * (1.0 + tau ** 2))))
-        tau = tau + dtau
-    lat = np.degrees(np.arctan(tau))
-    lon = lon0 + np.degrees(dlon)
-    lon = (lon + 180.0) % 360.0 - 180.0
-    return lat, lon
-
-
-# ---------------------------------------------------------------------------
-# Polar Stereographic (variant B) on WGS84 — the one plausible real-world
-# DEM/ancillary CRS outside 4326/UTM (reference accepts any OSR SRS at
-# dswx_hls.py:3385-3461; we support the standard polar grids explicitly)
-# ---------------------------------------------------------------------------
-
-# EPSG code -> (standard parallel deg, longitude of origin deg,
-#               false easting, false northing, north aspect)
-_POLAR_STEREO = {
-    3031: (-71.0, 0.0, 0.0, 0.0, False),    # WGS84 Antarctic PS
-    3032: (-71.0, 70.0, 6000000.0, 6000000.0, False),  # Australian AAPS
-    3413: (70.0, -45.0, 0.0, 0.0, True),    # NSIDC Sea Ice Polar North
-    3976: (-70.0, 0.0, 0.0, 0.0, False),    # NSIDC Sea Ice Polar South
-    # UPS (variant A: scale factor at the pole instead of a standard
-    # parallel) — lat_ts None + k0 appended as the 6th element
-    5041: (None, 0.0, 2000000.0, 2000000.0, True, 0.994),   # UPS North
-    5042: (None, 0.0, 2000000.0, 2000000.0, False, 0.994),  # UPS South
-}
-
-
-def _ps_t(lat, e=None):
-    """Snyder (15-9): isometric colatitude function t(phi), north aspect."""
-    if e is None:
-        e = _E
-    s = np.sin(lat)
-    return np.tan(np.pi / 4 - lat / 2) \
-        * ((1 + e * s) / (1 - e * s)) ** (e / 2)
-
-
-def _ps_rho_per_t(lat_ts_abs, k0=None, ell='WGS84'):
-    """rho/t: variant B (k=1 at the standard parallel lat_ts) when
-    ``k0`` is None, else variant A (scale k0 at the pole — UPS; EPSG
-    Guidance Note 7-2 eq. for rho)."""
-    a, e2, e = _ell_consts(ell)
-    if k0 is not None:
-        return (2.0 * a * k0
-                / np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e)))
-    lat_f = np.radians(lat_ts_abs)
-    m_f = np.cos(lat_f) / np.sqrt(1 - e2 * np.sin(lat_f) ** 2)
-    return a * m_f / _ps_t(np.float64(lat_f), e)
-
-
-def polar_stereo_forward(lat_deg, lon_deg, lat_ts, lon0, fe, fn, north,
-                         k0=None, ell='WGS84'):
-    """Geographic -> polar stereographic E/N, float64 (variant B,
-    or variant A / UPS when ``k0`` is given)."""
-    _a, _e2, e = _ell_consts(ell)
-    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
-    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
-    lam0 = np.radians(lon0)
-    if not north:
-        lat = -lat
-        lon = -lon
-        lam0 = -lam0
-    rho = _ps_rho_per_t(None if lat_ts is None else abs(lat_ts), k0,
-                        ell) * _ps_t(lat, e)
-    theta = np.arctan2(np.sin(lon - lam0), np.cos(lon - lam0))
-    x = rho * np.sin(theta)
-    y = -rho * np.cos(theta)
-    if not north:
-        x, y = -x, -y
-    return fe + x, fn + y
-
-
-def polar_stereo_inverse(x, y, lat_ts, lon0, fe, fn, north, k0=None,
-                         ell='WGS84'):
-    """Polar stereographic E/N -> geographic lat/lon degrees (variant
-    B, or variant A / UPS when ``k0`` is given)."""
-    _a, _e2, e = _ell_consts(ell)
-    x = np.asarray(x, dtype=np.float64) - fe
-    y = np.asarray(y, dtype=np.float64) - fn
-    lam0 = np.radians(lon0)
-    if not north:
-        x, y, lam0 = -x, -y, -lam0
-    rho = np.hypot(x, y)
-    t = rho / _ps_rho_per_t(None if lat_ts is None else abs(lat_ts), k0,
-                            ell)
-    # iterate phi = pi/2 - 2 atan(t ((1-e sin phi)/(1+e sin phi))^(e/2))
-    lat = np.pi / 2 - 2 * np.arctan(t)
-    for _ in range(8):
-        s = np.sin(lat)
-        lat = np.pi / 2 - 2 * np.arctan(
-            t * ((1 - e * s) / (1 + e * s)) ** (e / 2))
-    lon = lam0 + np.arctan2(x, -y)
-    lat_deg = np.degrees(lat)
-    lon_deg = np.degrees(lon)
-    if not north:
-        lat_deg = -lat_deg
-        lon_deg = -lon_deg
-    lon_deg = (lon_deg + 180.0) % 360.0 - 180.0
-    return lat_deg, lon_deg
-
-
-# ---------------------------------------------------------------------------
-# Equal-area projections (Albers Conic, Lambert Azimuthal) — the national
-# land-product grids a delivered DEM/landcover ancillary plausibly arrives
-# in: NLCD/LANDFIRE ship in NAD83 Conus Albers, Geoscience Australia in
-# GDA94 Australian Albers, EU-DEM/Corine in ETRS89-LAEA, NSIDC snow/ice
-# products in EASE-Grid 2.0. The reference accepts them implicitly through
-# OSR (dswx_hls.py:3385-3461). Ellipsoidal forms per Snyder 1987 ch. 14/24
-# and EPSG Guidance Note 7-2; datum shifts NAD83/GDA94/ETRS89 <-> WGS84 are
-# the null transformation (as OSR applies without datum grids, ~1-2 m).
-# ---------------------------------------------------------------------------
-
-# EPSG code -> (ellipsoid, lat0, lon0, std parallel 1, std parallel 2,
-#               false easting, false northing)
-_ALBERS = {
-    5070: ('GRS80', 23.0, -96.0, 29.5, 45.5, 0.0, 0.0),
-    3577: ('GRS80', 0.0, 132.0, -18.0, -36.0, 0.0, 0.0),
-}
-
-# EPSG code -> (ellipsoid, lat0, lon0, false easting, false northing)
-_LAEA = {
-    3035: ('GRS80', 52.0, 10.0, 4321000.0, 3210000.0),
-    6931: ('WGS84', 90.0, 0.0, 0.0, 0.0),
-    6932: ('WGS84', -90.0, 0.0, 0.0, 0.0),
-}
-
-# Lambert Conformal Conic (2SP): the national grids of Canada (Canada
-# Atlas Lambert — CDEM/HRDEM deliveries) and France (Lambert-93 — IGN
-# products). EPSG code -> (ellipsoid, lat0, lon0, sp1, sp2, fe, fn)
-_LCC = {
-    3978: ('GRS80', 49.0, -95.0, 49.0, 77.0, 0.0, 0.0),
-    2154: ('GRS80', 46.5, 3.0, 49.0, 44.0, 700000.0, 6600000.0),
-}
-
-# Mercator: EPSG:3395 (WGS84 World Mercator, ellipsoidal variant A) --
-# EPSG code -> (ellipsoid, lon0, k0, fe, fn). EPSG:3857 (Web/"popular
-# visualisation pseudo" Mercator: SPHERICAL formulas with R = a on
-# geodetic latitude) is handled as its own flag.
-_MERC = {
-    3395: ('WGS84', 0.0, 1.0, 0.0, 0.0),
-}
-WEB_MERCATOR_EPSG = 3857
-
-# Lambert Cylindrical Equal Area: EPSG:6933 (NSIDC EASE-Grid 2.0
-# global — SMAP/AMSR snow & soil-moisture rasters). EPSG code ->
-# (ellipsoid, lat_ts, lon0, fe, fn). The spherical v1 grids
-# (3410/3975) remain rejected like every other sphere CRS.
-_CEA = {
-    6933: ('WGS84', 30.0, 0.0, 0.0, 0.0),
-}
-
-# the MODIS sinusoidal grid (no EPSG code; GDAL round-trips it as a
-# user-defined SRS): authalic sphere radius used by its custom tuple
-MODIS_SPHERE_RADIUS = 6371007.181
-
-
-@lru_cache(maxsize=None)
-def _ell_consts(ell):
-    """(a, e2, e) for a named ellipsoid."""
-    a, invf = _ELLIPSOIDS[ell]
-    f = 1.0 / invf
-    e2 = f * (2.0 - f)
-    return a, e2, np.sqrt(e2)
-
-
-def _ensure_ellipsoid(a, invf):
-    """Registry name for ellipsoid (a, 1/f); registers an ad-hoc entry
-    for non-standard ellipsoids found in user-defined CRS (e.g. Airy
-    1830, Clarke 1866, International 1924). Spheres (1/f = 0, the
-    authalic-sphere EASE-Grid v1 / legacy grids) and nonsensical
-    parameters are rejected up front so they fail at parse/coverage
-    time, not with a division inside the warp."""
-    a, invf = float(a), float(invf)
-    if not (1e6 < a < 1e8) or not np.isfinite(invf) or invf <= 0 \
-            or invf < 100:
-        raise ValueError(
-            f'unsupported ellipsoid (a={a:g}, 1/f={invf:g}): spherical '
-            'and non-Earth ellipsoids are not supported')
-    for name, (ra, rf) in _ELLIPSOIDS.items():
-        if abs(ra - a) < 1e-3 and abs(rf - invf) < 1e-8:
-            return name
-    name = f'E_{a:.4f}_{invf:.9f}'
-    _ELLIPSOIDS[name] = (a, invf)
-    return name
-
-
-# --------------------------------------------------------------------------
-# Datum transformations (TOWGS84 / Helmert).
-#
-# The reference resolves ANY OSR SRS (dswx_hls.py:3385-3461); for CRS on
-# classical datums OSR applies the parametric Helmert transformation the
-# SRS carries (the WKT TOWGS84[] clause / proj4 +towgs84=). We implement
-# the same chain: geodetic (h=0) -> geocentric cartesian -> 7-parameter
-# position-vector transformation (EPSG method 9606; the 3-parameter
-# geocentric translation 9603 is its rx=ry=rz=ds=0 case, which is also
-# the TOWGS84 convention) -> geodetic on the target ellipsoid. 2D
-# transforms take h=0 on the source datum and discard the output height,
-# exactly as OSR does for 2D points. Grid-based transformations (NTv2,
-# OSTN15, NADCON) need grid files neither we nor a grid-less OSR have —
-# the parametric path below is what GDAL applies without them.
-# Verified against the EPSG Guidance Note 7-2 worked examples
-# (geographic/geocentric conversion and the WGS72->WGS84 position-vector
-# example) in tests/test_crs_datum.py.
-
-def geodetic_to_geocentric(lat_deg, lon_deg, ell, h=0.0):
-    """Geodetic (degrees, ellipsoidal height m) -> geocentric X,Y,Z (m).
-
-    EPSG Guidance Note 7-2 §2.2 (method 9602 one-way)."""
-    a, e2, _e = _ell_consts(ell) if isinstance(ell, str) else (
-        float(ell), 0.0, 0.0)
-    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
-    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
-    sin_lat = np.sin(lat)
-    nu = a / np.sqrt(1.0 - e2 * sin_lat * sin_lat)
-    cos_lat = np.cos(lat)
-    x = (nu + h) * cos_lat * np.cos(lon)
-    y = (nu + h) * cos_lat * np.sin(lon)
-    z = (nu * (1.0 - e2) + h) * sin_lat
-    return x, y, z
-
-
-def geocentric_to_geodetic(x, y, z, ell):
-    """Geocentric X,Y,Z (m) -> geodetic (lat, lon degrees; height
-    discarded — 2D transform semantics)."""
-    a, e2, _e = _ell_consts(ell) if isinstance(ell, str) else (
-        float(ell), 0.0, 0.0)
-    x = np.asarray(x, dtype=np.float64)
-    y = np.asarray(y, dtype=np.float64)
-    z = np.asarray(z, dtype=np.float64)
-    p = np.hypot(x, y)
-    # fixed-point iteration on the standard closed form; converges to
-    # float64 roundoff in < 6 iterations for |h| << a (h here is the
-    # small height the Helmert shift introduces on the target datum)
-    lat = np.arctan2(z, p * (1.0 - e2))
-    for _ in range(8):
-        sin_lat = np.sin(lat)
-        nu = a / np.sqrt(1.0 - e2 * sin_lat * sin_lat)
-        h = np.where(np.abs(np.cos(lat)) > 1e-10,
-                     p / np.cos(lat) - nu,
-                     np.abs(z) / np.maximum(np.abs(sin_lat), 1e-300)
-                     - nu * (1.0 - e2))
-        lat = np.arctan2(z, p * (1.0 - e2 * nu / (nu + h)))
-    return np.degrees(lat), np.degrees(np.arctan2(y, x))
-
-
-def _towgs84_matrix(p7):
-    """(t vector, M matrix) of the position-vector transformation."""
-    tx, ty, tz, rx, ry, rz, ds = [float(v) for v in p7]
-    s = 1.0 + ds * 1e-6
-    arc = np.pi / (180.0 * 3600.0)      # arc-seconds -> radians
-    rx, ry, rz = rx * arc, ry * arc, rz * arc
-    m = s * np.array([[1.0, -rz, ry],
-                      [rz, 1.0, -rx],
-                      [-ry, rx, 1.0]], dtype=np.float64)
-    return np.array([tx, ty, tz], dtype=np.float64), m
-
-
-def helmert_position_vector(x, y, z, p7, inverse=False):
-    """7-parameter position-vector Helmert transformation (EPSG 9606,
-    the TOWGS84 convention: rotations in arc-seconds, scale in ppm).
-    ``inverse=True`` applies the exact inverse (solves the forward
-    relation rather than negating the parameters)."""
-    t, m = _towgs84_matrix(p7)
-    v = np.stack([np.asarray(x, dtype=np.float64).ravel(),
-                  np.asarray(y, dtype=np.float64).ravel(),
-                  np.asarray(z, dtype=np.float64).ravel()])
-    if inverse:
-        out = np.linalg.solve(m, v - t[:, None])
-    else:
-        out = m @ v + t[:, None]
-    shape = np.shape(x)
-    return (out[0].reshape(shape), out[1].reshape(shape),
-            out[2].reshape(shape))
-
-
-def _effective_shift(p7):
-    """None for the null transformation (absent or all-zero TOWGS84)."""
-    if p7 is None or all(float(v) == 0.0 for v in p7):
-        return None
-    return tuple(float(v) for v in p7)
-
-
-def shift_datum(lat, lon, src_ell, src_p7, dst_ell, dst_p7):
-    """Geodetic datum shift src -> WGS84 -> dst via geocentric Helmert
-    (h=0 on the source datum; output height discarded)."""
-    src_p7 = _effective_shift(src_p7)
-    dst_p7 = _effective_shift(dst_p7)
-    if src_p7 == dst_p7:
-        return (np.asarray(lat, dtype=np.float64),
-                np.asarray(lon, dtype=np.float64))
-    x, y, z = geodetic_to_geocentric(lat, lon, src_ell)
-    if src_p7 is not None:
-        x, y, z = helmert_position_vector(x, y, z, src_p7)
-    if dst_p7 is not None:
-        x, y, z = helmert_position_vector(x, y, z, dst_p7, inverse=True)
-    return geocentric_to_geodetic(x, y, z, dst_ell)
-
-
-def _norm_towgs84(vals):
-    """Normalize a parsed TOWGS84 parameter list: pad 3-parameter form
-    with zero rotations/scale; all-zero (the explicit null
-    transformation) stays as a 7-tuple of zeros so it can OVERRIDE a
-    registry default."""
-    vals = [float(v) for v in vals]
-    if len(vals) == 3:
-        vals += [0.0, 0.0, 0.0, 0.0]
-    if len(vals) != 7:
-        raise ValueError(
-            f'TOWGS84 needs 3 or 7 parameters, got {len(vals)}')
-    return tuple(vals)
-
-
-# registry datum shifts to WGS84 (TOWGS84 convention), applied to CRS
-# whose datum is not WGS84-equivalent. EPSG transformation cited per
-# entry; an explicit TOWGS84[]/+towgs84= in the file overrides these.
-_SHIFT_OSGB36 = (446.448, -125.157, 542.06, 0.15, 0.247, 0.842,
-                 -20.489)                    # EPSG 1314 (Petroleum, 2m)
-_SHIFT_ED50 = (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0)   # EPSG 1133
-_SHIFT_NAD27 = (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0)    # EPSG 1173
-_SHIFT_TOKYO = (-146.414, 507.337, 680.507, 0.0, 0.0, 0.0,
-                0.0)                         # Japan GSI / GDAL default
-_SHIFT_PULKOVO42 = (28.0, -130.0, -95.0, 0.0, 0.0, 0.0, 0.0)  # EPSG 1254
-_SHIFT_CH1903 = (674.4, 15.1, 405.3, 0.0, 0.0, 0.0, 0.0)    # EPSG 1753
-_SHIFT_CH1903P = (674.374, 15.056, 405.346, 0.0, 0.0, 0.0,
-                  0.0)                       # EPSG 1676 (CH1903+)
-_SHIFT_TIMBALAI = (-679.0, 669.0, -48.0, 0.0, 0.0, 0.0, 0.0)  # EPSG 1236
-_SHIFT_SJTSK = (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)      # EPSG 1623
-_SHIFT_AMERSFOORT = (565.417, 50.3319, 465.552, -0.398957,
-                     0.343988, -1.8774, 4.0725)
-# ^ the legacy proj4/GDAL epsg-init +towgs84 set every install carried
-# for 28992 (matches it to ~2 m; EPSG's own 15934 publishes slightly
-# different parameters: 565.2369, 50.0087, 465.658, ...)
-
-
-def _merc_k0_from_lat_ts(lat_ts, ell):
-    """Mercator variant B -> variant A: equivalent scale at the equator
-    k0 = m(lat_ts) = cos(lat_ts)/sqrt(1 - e2 sin^2 lat_ts)."""
-    _a, e2, _e = _ell_consts(ell)
-    s = np.sin(np.radians(lat_ts))
-    return float(np.cos(np.radians(lat_ts))
-                 / np.sqrt(1.0 - e2 * s * s))
-
-
-# numeric literal inside WKT/proj4 (handles 2.95e-1 style exponents)
-_NUM_RE = r'([-+]?[\d.]+(?:[eE][-+]?\d+)?)'
-
-
-def _proj4_param(proj4, key, default=0.0):
-    m = re.search(rf'\+{key}={_NUM_RE}', proj4)
-    return float(m.group(1)) if m else default
-
-
-# projected linear units (metres per unit). US State Plane grids ship
-# in feet; the reference accepts them through OSR (dswx_hls.py:3385).
-_FOOT = 0.3048                    # international foot (EPSG 9002)
-_US_FOOT = 1200.0 / 3937.0        # US survey foot (EPSG 9003)
-_UNIT_GEOKEY = {9001: 1.0, 9002: _FOOT, 9003: _US_FOOT}
-_UNIT_WKT_NAME = {1.0: ('metre', '1'), _FOOT: ('foot', '0.3048'),
-                  _US_FOOT: ('US survey foot', '0.30480060960121924')}
-
-
-def _snap_unit(factor):
-    """Snap a parsed linear-unit factor onto the exact registry value
-    (WKT/geokey files round-trip through decimal text)."""
-    factor = float(factor)
-    for exact in (1.0, _FOOT, _US_FOOT):
-        if abs(factor - exact) < 1e-12:
-            return exact
-    if not (factor > 0 and np.isfinite(factor)):
-        raise ValueError(f'invalid projected linear unit: {factor!r}')
-    return factor
-
-
-# known geographic CS geokey codes -> ellipsoid of their datum (the
-# datum shift itself is the null transformation, like the named CRS)
-_GEOGCS_ELL = {
-    4326: 'WGS84', 4322: 'WGS84',
-    4269: 'GRS80', 4258: 'GRS80', 4283: 'GRS80', 4171: 'GRS80',
-    4617: 'GRS80', 4759: 'GRS80', 4167: 'GRS80',
-    # classical datums (their Helmert shifts live in _EPSG_TOWGS84)
-    4277: 'AIRY1830', 4230: 'INTL1924', 4267: 'CLARKE1866',
-    4301: 'BESSEL1841', 4284: 'KRASS1940',
-    4149: 'BESSEL1841', 4150: 'BESSEL1841', 4156: 'BESSEL1841',
-}
-
-
-def _q_authalic(lat, e, e2):
-    """Snyder (3-12): q(phi), so that q/qp = sin(authalic latitude)."""
-    s = np.sin(lat)
-    return (1.0 - e2) * (s / (1.0 - e2 * s * s)
-                         - np.log((1.0 - e * s) / (1.0 + e * s))
-                         / (2.0 * e))
-
-
-def _phi_from_q(q, e, e2, qp):
-    """Latitude from authalic q: series seed (Snyder 3-18) + Newton
-    polish to full float64 (dq/dphi = 2(1-e2)cos phi/(1-e2 sin^2)^2)."""
-    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
-    e4, e6 = e2 * e2, e2 * e2 * e2
-    lat = (beta
-           + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * np.sin(2 * beta)
-           + (23 * e4 / 360 + 251 * e6 / 3780) * np.sin(4 * beta)
-           + (761 * e6 / 45360) * np.sin(6 * beta))
-    for _ in range(3):
-        s = np.sin(lat)
-        f = _q_authalic(lat, e, e2) - q
-        df = 2.0 * (1.0 - e2) * np.cos(lat) / (1.0 - e2 * s * s) ** 2
-        step = f / np.maximum(df, 1e-12)
-        lat = np.clip(lat - np.clip(step, -0.1, 0.1),
-                      -np.pi / 2, np.pi / 2)
-    return lat
-
-
-def _wrap_pi(x):
-    return (x + np.pi) % (2.0 * np.pi) - np.pi
-
-
-def albers_forward(lat_deg, lon_deg, ell, lat0, lon0, sp1, sp2, fe, fn):
-    """Geographic -> Albers Equal Area Conic E/N, float64 (Snyder
-    14-1..14-5 ellipsoidal; null datum shift to the grid's datum)."""
-    a, e2, e = _ell_consts(ell)
-    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
-    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
-    p0, p1, p2 = (np.radians(v) for v in (lat0, sp1, sp2))
-    s1, s2 = np.sin(p1), np.sin(p2)
-    m1 = np.cos(p1) / np.sqrt(1.0 - e2 * s1 * s1)
-    m2 = np.cos(p2) / np.sqrt(1.0 - e2 * s2 * s2)
-    q0, q1, q2 = (_q_authalic(p, e, e2) for p in (p0, p1, p2))
-    n = (m1 * m1 - m2 * m2) / (q2 - q1)
-    C = m1 * m1 + n * q1
-    rho0 = a * np.sqrt(C - n * q0) / n
-    q = _q_authalic(lat, e, e2)
-    rho = a * np.sqrt(np.maximum(C - n * q, 0.0)) / n
-    theta = n * _wrap_pi(lon - np.radians(lon0))
-    return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
-
-
-def albers_inverse(x, y, ell, lat0, lon0, sp1, sp2, fe, fn):
-    """Albers Equal Area Conic E/N -> geographic lat/lon degrees."""
-    a, e2, e = _ell_consts(ell)
-    x = np.asarray(x, dtype=np.float64) - fe
-    y = np.asarray(y, dtype=np.float64) - fn
-    p0, p1, p2 = (np.radians(v) for v in (lat0, sp1, sp2))
-    s1, s2 = np.sin(p1), np.sin(p2)
-    m1 = np.cos(p1) / np.sqrt(1.0 - e2 * s1 * s1)
-    m2 = np.cos(p2) / np.sqrt(1.0 - e2 * s2 * s2)
-    q0, q1, q2 = (_q_authalic(p, e, e2) for p in (p0, p1, p2))
-    n = (m1 * m1 - m2 * m2) / (q2 - q1)
-    C = m1 * m1 + n * q1
-    rho0 = a * np.sqrt(C - n * q0) / n
-    sgn = 1.0 if n >= 0 else -1.0   # Snyder: flip signs when n < 0
-    rho = np.hypot(x, rho0 - y)
-    theta = np.arctan2(sgn * x, sgn * (rho0 - y))
-    q = (C - (rho * n / a) ** 2) / n
-    qp = _q_authalic(np.float64(np.pi / 2), e, e2)
-    lat = _phi_from_q(q, e, e2, qp)
-    lon = np.radians(lon0) + theta / n
-    return np.degrees(lat), np.degrees(_wrap_pi(lon))
-
-
-def laea_forward(lat_deg, lon_deg, ell, lat0, lon0, fe, fn):
-    """Geographic -> Lambert Azimuthal Equal Area E/N, float64 (EPSG
-    Guidance Note 7-2 oblique form; Snyder 24-23/24 polar aspects)."""
-    a, e2, e = _ell_consts(ell)
-    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
-    dlon = _wrap_pi(np.radians(np.asarray(lon_deg, dtype=np.float64))
-                    - np.radians(lon0))
-    q = _q_authalic(lat, e, e2)
-    qp = _q_authalic(np.float64(np.pi / 2), e, e2)
-    if lat0 >= 90.0:     # north polar aspect
-        rho = a * np.sqrt(np.maximum(qp - q, 0.0))
-        return fe + rho * np.sin(dlon), fn - rho * np.cos(dlon)
-    if lat0 <= -90.0:    # south polar aspect
-        rho = a * np.sqrt(np.maximum(qp + q, 0.0))
-        return fe + rho * np.sin(dlon), fn + rho * np.cos(dlon)
-    p0 = np.radians(lat0)
-    s0 = np.sin(p0)
-    m0 = np.cos(p0) / np.sqrt(1.0 - e2 * s0 * s0)
-    b0 = np.arcsin(np.clip(_q_authalic(p0, e, e2) / qp, -1.0, 1.0))
-    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
-    rq = a * np.sqrt(qp / 2.0)
-    d = a * m0 / (rq * np.cos(b0))
-    denom = (1.0 + np.sin(b0) * np.sin(beta)
-             + np.cos(b0) * np.cos(beta) * np.cos(dlon))
-    b = rq * np.sqrt(2.0 / np.maximum(denom, 1e-12))
-    x = b * d * np.cos(beta) * np.sin(dlon)
-    y = (b / d) * (np.cos(b0) * np.sin(beta)
-                   - np.sin(b0) * np.cos(beta) * np.cos(dlon))
-    return fe + x, fn + y
-
-
-def laea_inverse(x, y, ell, lat0, lon0, fe, fn):
-    """Lambert Azimuthal Equal Area E/N -> geographic lat/lon degrees."""
-    a, e2, e = _ell_consts(ell)
-    x = np.asarray(x, dtype=np.float64) - fe
-    y = np.asarray(y, dtype=np.float64) - fn
-    qp = _q_authalic(np.float64(np.pi / 2), e, e2)
-    lam0 = np.radians(lon0)
-    if lat0 >= 90.0 or lat0 <= -90.0:
-        rho = np.hypot(x, y)
-        if lat0 >= 90.0:
-            q = qp - (rho / a) ** 2
-            lon = lam0 + np.arctan2(x, -y)
-        else:
-            q = (rho / a) ** 2 - qp
-            lon = lam0 + np.arctan2(x, y)
-        lat = _phi_from_q(q, e, e2, qp)
-        return np.degrees(lat), np.degrees(_wrap_pi(lon))
-    p0 = np.radians(lat0)
-    s0 = np.sin(p0)
-    m0 = np.cos(p0) / np.sqrt(1.0 - e2 * s0 * s0)
-    b0 = np.arcsin(np.clip(_q_authalic(p0, e, e2) / qp, -1.0, 1.0))
-    rq = a * np.sqrt(qp / 2.0)
-    d = a * m0 / (rq * np.cos(b0))
-    rho = np.hypot(x / d, d * y)
-    safe_rho = np.maximum(rho, 1e-12)
-    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
-    beta = np.arcsin(np.clip(
-        np.cos(ce) * np.sin(b0)
-        + d * y * np.sin(ce) * np.cos(b0) / safe_rho, -1.0, 1.0))
-    lon = lam0 + np.arctan2(
-        x * np.sin(ce),
-        d * safe_rho * np.cos(b0) * np.cos(ce)
-        - d * d * y * np.sin(b0) * np.sin(ce))
-    lat = _phi_from_q(qp * np.sin(beta), e, e2, qp)
-    # at the projection center rho=0: the trig degenerates -> (lat0,lon0)
-    lat = np.where(rho < 1e-12, p0, lat)
-    lon = np.where(rho < 1e-12, lam0, lon)
-    return np.degrees(lat), np.degrees(_wrap_pi(lon))
-
-
-def _lcc_t(lat, e):
-    """Snyder (15-9): t(phi) for the conformal conic."""
-    s = np.sin(lat)
-    return (np.tan(np.pi / 4 - lat / 2)
-            / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2))
-
-
-def lcc_forward(lat_deg, lon_deg, ell, lat0, lon0, sp1, sp2, fe, fn,
-                k0=1.0):
-    """Geographic -> Lambert Conformal Conic E/N, float64 (Snyder
-    15-1..15-5 ellipsoidal, 2SP; the 1SP variant is sp1 == sp2 == lat0
-    with scale ``k0`` at the origin)."""
-    a, e2, e = _ell_consts(ell)
-    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
-    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
-    p0, p1, p2 = (np.radians(v) for v in (lat0, sp1, sp2))
-    s1, s2 = np.sin(p1), np.sin(p2)
-    m1 = np.cos(p1) / np.sqrt(1.0 - e2 * s1 * s1)
-    m2 = np.cos(p2) / np.sqrt(1.0 - e2 * s2 * s2)
-    t0, t1, t2 = (_lcc_t(p, e) for p in (p0, p1, p2))
-    if sp1 == sp2:
-        n = np.sin(p1)
-    else:
-        n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
-    F = k0 * m1 / (n * t1 ** n)
-    rho0 = a * F * t0 ** n
-    rho = a * F * _lcc_t(lat, e) ** n
-    theta = n * _wrap_pi(lon - np.radians(lon0))
-    return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
-
-
-def lcc_inverse(x, y, ell, lat0, lon0, sp1, sp2, fe, fn, k0=1.0):
-    """Lambert Conformal Conic E/N -> geographic lat/lon degrees
-    (2SP, or 1SP via sp1 == sp2 == lat0 + ``k0``)."""
-    a, e2, e = _ell_consts(ell)
-    x = np.asarray(x, dtype=np.float64) - fe
-    y = np.asarray(y, dtype=np.float64) - fn
-    p0, p1, p2 = (np.radians(v) for v in (lat0, sp1, sp2))
-    s1, s2 = np.sin(p1), np.sin(p2)
-    m1 = np.cos(p1) / np.sqrt(1.0 - e2 * s1 * s1)
-    m2 = np.cos(p2) / np.sqrt(1.0 - e2 * s2 * s2)
-    t0, t1, t2 = (_lcc_t(p, e) for p in (p0, p1, p2))
-    if sp1 == sp2:
-        n = np.sin(p1)
-    else:
-        n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
-    F = k0 * m1 / (n * t1 ** n)
-    rho0 = a * F * t0 ** n
-    sgn = 1.0 if n >= 0 else -1.0
-    rho = sgn * np.hypot(x, rho0 - y)
-    theta = np.arctan2(sgn * x, sgn * (rho0 - y))
-    t = (rho / (a * F)) ** (1.0 / n)
-    # same conformal-latitude iteration as polar stereographic
-    lat = np.pi / 2 - 2 * np.arctan(t)
-    for _ in range(8):
-        s = np.sin(lat)
-        lat = np.pi / 2 - 2 * np.arctan(
-            t * ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2))
-    lon = np.radians(lon0) + theta / n
-    return np.degrees(lat), np.degrees(_wrap_pi(lon))
-
-
-_WKT_PS_TEMPLATE = (
-    'PROJCS["{name}",GEOGCS["WGS 84",'
-    'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563,'
-    'AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
-    'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
-    'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
-    'AUTHORITY["EPSG","4326"]],PROJECTION["Polar_Stereographic"],'
-    'PARAMETER["latitude_of_origin",{lat_ts}],'
-    'PARAMETER["central_meridian",{lon0}],'
-    'PARAMETER["false_easting",{fe}],'
-    'PARAMETER["false_northing",{fn}],'
-    'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
-    'AUTHORITY["EPSG","{epsg}"]]')
-
-_PS_NAMES = {
-    3031: 'WGS 84 / Antarctic Polar Stereographic',
-    3032: 'WGS 84 / Australian Antarctic Polar Stereographic',
-    3413: 'WGS 84 / NSIDC Sea Ice Polar Stereographic North',
-    3976: 'WGS 84 / NSIDC Sea Ice Polar Stereographic South',
-}
-
-
-_WKT_UTM_TEMPLATE = (
-    'PROJCS["WGS 84 / UTM zone {zone}{ns}",GEOGCS["WGS 84",'
-    'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563,'
-    'AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
-    'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
-    'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
-    'AUTHORITY["EPSG","4326"]],PROJECTION["Transverse_Mercator"],'
-    'PARAMETER["latitude_of_origin",0],'
-    'PARAMETER["central_meridian",{lon0}],'
-    'PARAMETER["scale_factor",0.9996],'
-    'PARAMETER["false_easting",500000],'
-    'PARAMETER["false_northing",{fn}],'
-    'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
-    'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
-    'AUTHORITY["EPSG","{epsg}"]]')
-
-_WKT_WGS84 = (
-    'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
-    '298.257223563,AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
-    'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
-    'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
-    'AXIS["Latitude",NORTH],AXIS["Longitude",EAST],'
-    'AUTHORITY["EPSG","4326"]]')
-
-_GEOGCS_GRS80 = (
-    'GEOGCS["{datum_name}",DATUM["{datum_wkt}",'
-    'SPHEROID["GRS 1980",6378137,298.257222101,'
-    'AUTHORITY["EPSG","7019"]],AUTHORITY["EPSG","{datum_auth}"]],'
-    'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
-    'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]]')
-
-_WKT_GEO_GRS80_TEMPLATE = (
-    _GEOGCS_GRS80 + ',AXIS["Latitude",NORTH],AXIS["Longitude",EAST],'
-    'AUTHORITY["EPSG","{epsg}"]]')
-
-_WKT_UTM_GRS80_TEMPLATE = (
-    'PROJCS["{datum_name} / UTM zone {zone}N",' + _GEOGCS_GRS80
-    + ',AUTHORITY["EPSG","{geogcs_auth}"]],'
-    'PROJECTION["Transverse_Mercator"],'
-    'PARAMETER["latitude_of_origin",0],'
-    'PARAMETER["central_meridian",{lon0}],'
-    'PARAMETER["scale_factor",0.9996],'
-    'PARAMETER["false_easting",500000],'
-    'PARAMETER["false_northing",0],'
-    'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
-    'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
-    'AUTHORITY["EPSG","{epsg}"]]')
-
-_GEOGCS_WGS84_FRAG = (
-    'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
-    '298.257223563,AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
-    'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
-    'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
-    'AUTHORITY["EPSG","4326"]]')
-
-_GEOGCS_GDA94_FRAG = (
-    'GEOGCS["GDA94",DATUM["Geocentric_Datum_of_Australia_1994",'
-    'SPHEROID["GRS 1980",6378137,298.257222101,'
-    'AUTHORITY["EPSG","7019"]],AUTHORITY["EPSG","6283"]],'
-    'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
-    'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
-    'AUTHORITY["EPSG","4283"]]')
-
-# equal-area grids: epsg -> (PROJCS name, GEOGCS fragment)
-_GRID_NAME_GEOGCS = {
-    5070: ('NAD83 / Conus Albers',
-           _GEOGCS_GRS80.format(
-               datum_name='NAD83',
-               datum_wkt='North_American_Datum_1983', datum_auth=6269)
-           + ',AUTHORITY["EPSG","4269"]]'),
-    3577: ('GDA94 / Australian Albers', _GEOGCS_GDA94_FRAG),
-    3035: ('ETRS89-extended / LAEA Europe',
-           _GEOGCS_GRS80.format(
-               datum_name='ETRS89',
-               datum_wkt='European_Terrestrial_Reference_System_1989',
-               datum_auth=6258)
-           + ',AUTHORITY["EPSG","4258"]]'),
-    6931: ('WGS 84 / NSIDC EASE-Grid 2.0 North', _GEOGCS_WGS84_FRAG),
-    6932: ('WGS 84 / NSIDC EASE-Grid 2.0 South', _GEOGCS_WGS84_FRAG),
-    3978: ('NAD83 / Canada Atlas Lambert',
-           _GEOGCS_GRS80.format(
-               datum_name='NAD83',
-               datum_wkt='North_American_Datum_1983', datum_auth=6269)
-           + ',AUTHORITY["EPSG","4269"]]'),
-    2154: ('RGF93 v1 / Lambert-93',
-           _GEOGCS_GRS80.format(
-               datum_name='RGF93 v1',
-               datum_wkt='Reseau_Geodesique_Francais_1993_v1',
-               datum_auth=6171)
-           + ',AUTHORITY["EPSG","4171"]]'),
-}
-
-_WKT_LCC_TEMPLATE = (
-    'PROJCS["{name}",{geogcs},'
-    'PROJECTION["Lambert_Conformal_Conic_2SP"],'
-    'PARAMETER["latitude_of_origin",{lat0}],'
-    'PARAMETER["central_meridian",{lon0}],'
-    'PARAMETER["standard_parallel_1",{sp1}],'
-    'PARAMETER["standard_parallel_2",{sp2}],'
-    'PARAMETER["false_easting",{fe}],'
-    'PARAMETER["false_northing",{fn}],'
-    'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
-    'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
-    'AUTHORITY["EPSG","{epsg}"]]')
-
-_WKT_ALBERS_TEMPLATE = (
-    'PROJCS["{name}",{geogcs},'
-    'PROJECTION["Albers_Conic_Equal_Area"],'
-    'PARAMETER["latitude_of_center",{lat0}],'
-    'PARAMETER["longitude_of_center",{lon0}],'
-    'PARAMETER["standard_parallel_1",{sp1}],'
-    'PARAMETER["standard_parallel_2",{sp2}],'
-    'PARAMETER["false_easting",{fe}],'
-    'PARAMETER["false_northing",{fn}],'
-    'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
-    'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
-    'AUTHORITY["EPSG","{epsg}"]]')
-
-_WKT_LAEA_TEMPLATE = (
-    'PROJCS["{name}",{geogcs},'
-    'PROJECTION["Lambert_Azimuthal_Equal_Area"],'
-    'PARAMETER["latitude_of_center",{lat0}],'
-    'PARAMETER["longitude_of_center",{lon0}],'
-    'PARAMETER["false_easting",{fe}],'
-    'PARAMETER["false_northing",{fn}],'
-    'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
-    'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
-    'AUTHORITY["EPSG","{epsg}"]]')
-
-_WKT_CEA_TEMPLATE = (
-    'PROJCS["{name}",{geogcs},'
-    'PROJECTION["Cylindrical_Equal_Area"],'
-    'PARAMETER["standard_parallel_1",{lat_ts}],'
-    'PARAMETER["central_meridian",{lon0}],'
-    'PARAMETER["false_easting",{fe}],'
-    'PARAMETER["false_northing",{fn}],'
-    'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
-    'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
-    'AUTHORITY["EPSG","{epsg}"]]')
-
-_WKT_MERC_TEMPLATE = (
-    'PROJCS["{name}",{geogcs},'
-    'PROJECTION["Mercator_1SP"],'
-    'PARAMETER["central_meridian",{lon0}],'
-    'PARAMETER["scale_factor",{k0}],'
-    'PARAMETER["false_easting",{fe}],'
-    'PARAMETER["false_northing",{fn}],'
-    'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
-    'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
-    'AUTHORITY["EPSG","{epsg}"]]')
-
-_WKT_UPS_TEMPLATE = (
-    'PROJCS["WGS 84 / UPS {ns} (E,N)",GEOGCS["WGS 84",'
-    'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563,'
-    'AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
-    'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
-    'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
-    'AUTHORITY["EPSG","4326"]],PROJECTION["Polar_Stereographic"],'
-    'PARAMETER["latitude_of_origin",{lat0}],'
-    'PARAMETER["central_meridian",0],'
-    'PARAMETER["scale_factor",{k0}],'
-    'PARAMETER["false_easting",{fe}],'
-    'PARAMETER["false_northing",{fn}],'
-    'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
-    'AUTHORITY["EPSG","{epsg}"]]')
-
-
-def mercator_forward(lat_deg, lon_deg, ell, lon0, k0, fe, fn):
-    """Geographic -> Mercator E/N (ellipsoidal, EPSG variant A; variant
-    B callers fold lat_ts into ``k0`` = m(lat_ts))."""
-    a, _e2, e = _ell_consts(ell)
-    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
-    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
-    dlon = _wrap_pi(lon - np.radians(lon0))
-    x = fe + a * k0 * dlon
-    y = fn - a * k0 * np.log(_lcc_t(lat, e))
-    return x, y
-
-
-def mercator_inverse(x, y, ell, lon0, k0, fe, fn):
-    """Mercator E/N -> geographic lat/lon degrees."""
-    a, _e2, e = _ell_consts(ell)
-    x = np.asarray(x, dtype=np.float64) - fe
-    y = np.asarray(y, dtype=np.float64) - fn
-    t = np.exp(-y / (a * k0))
-    lat = np.pi / 2 - 2 * np.arctan(t)
-    for _ in range(8):
-        s = np.sin(lat)
-        lat = np.pi / 2 - 2 * np.arctan(
-            t * ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2))
-    lon = np.radians(lon0) + x / (a * k0)
-    return np.degrees(lat), np.degrees(_wrap_pi(lon))
-
-
-def web_mercator_forward(lat_deg, lon_deg):
-    """WGS84 geographic -> EPSG:3857 (spherical formulas, R = a, on
-    geodetic latitude — the 'popular visualisation' definition)."""
-    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
-    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
-    return _A * _wrap_pi(lon), _A * np.log(np.tan(np.pi / 4 + lat / 2))
-
-
-def web_mercator_inverse(x, y):
-    """EPSG:3857 -> WGS84 geographic lat/lon degrees."""
-    x = np.asarray(x, dtype=np.float64)
-    y = np.asarray(y, dtype=np.float64)
-    lat = np.degrees(2.0 * np.arctan(np.exp(y / _A)) - np.pi / 2)
-    lon = np.degrees(_wrap_pi(x / _A))
-    return lat, lon
-
-
-def _sinu_ell(ell_or_radius):
-    """(a, e2, e) accepting a registry ellipsoid name OR a sphere
-    radius (float). The MODIS sinusoidal grid lives on the authalic
-    sphere R = 6371007.181 — the one production-relevant spherical
-    'datum', carried as a radius so the ellipsoidal-only registry can
-    keep rejecting spheres everywhere else."""
-    if isinstance(ell_or_radius, str):
-        return _ell_consts(ell_or_radius)
-    r = float(ell_or_radius)
-    if not (1e6 < r < 1e8):
-        raise ValueError(f'bad sphere radius: {r!r}')
-    return r, 0.0, 0.0
-
-
-def _merid_arc(lat, a, e2):
-    """Meridian arc length M(phi) (Snyder 3-21); reduces to a*phi on
-    the sphere (e2 = 0)."""
-    e4, e6 = e2 * e2, e2 * e2 * e2
-    return a * ((1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * lat
-                - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024)
-                * np.sin(2 * lat)
-                + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * lat)
-                - (35 * e6 / 3072) * np.sin(6 * lat))
-
-
-def _lat_from_merid(M, a, e2):
-    """phi from meridian arc via the rectifying latitude (Snyder
-    3-26), Newton-polished to full float64."""
-    e4, e6 = e2 * e2, e2 * e2 * e2
-    mu = M / (a * (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256))
-    se = np.sqrt(1.0 - e2)
-    e1 = (1.0 - se) / (1.0 + se)
-    lat = (mu + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * np.sin(2 * mu)
-           + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32) * np.sin(4 * mu)
-           + (151 * e1 ** 3 / 96) * np.sin(6 * mu)
-           + (1097 * e1 ** 4 / 512) * np.sin(8 * mu))
-    for _ in range(2):      # dM/dphi = a(1-e2)/(1-e2 sin^2)^(3/2)
-        s = np.sin(lat)
-        df = a * (1.0 - e2) / (1.0 - e2 * s * s) ** 1.5
-        lat = lat - (_merid_arc(lat, a, e2) - M) / df
-    return lat
-
-
-def sinusoidal_forward(lat_deg, lon_deg, ell, lon0, fe, fn):
-    """Geographic -> sinusoidal E/N, float64 (Snyder ch. 30: sphere
-    30-1/30-2 for the MODIS grid R=6371007.181, ellipsoid 30-8/30-9
-    for ESRI:54008-style World Sinusoidal). Equal-area."""
-    a, e2, _e = _sinu_ell(ell)
-    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
-    dlon = _wrap_pi(np.radians(np.asarray(lon_deg, dtype=np.float64))
-                    - np.radians(lon0))
-    s = np.sin(lat)
-    x = a * dlon * np.cos(lat) / np.sqrt(1.0 - e2 * s * s)
-    return fe + x, fn + _merid_arc(lat, a, e2)
-
-
-def sinusoidal_inverse(x, y, ell, lon0, fe, fn):
-    """Sinusoidal E/N -> geographic lat/lon degrees."""
-    a, e2, _e = _sinu_ell(ell)
-    x = np.asarray(x, dtype=np.float64) - fe
-    y = np.asarray(y, dtype=np.float64) - fn
-    lat = _lat_from_merid(y, a, e2)
-    s = np.sin(lat)
-    c = np.cos(lat)
-    dlon = np.where(np.abs(c) < 1e-12, 0.0,
-                    x * np.sqrt(1.0 - e2 * s * s)
-                    / (a * np.maximum(np.abs(c), 1e-12)) * np.sign(c))
-    lon = np.radians(lon0) + dlon
-    return np.degrees(lat), np.degrees(_wrap_pi(lon))
-
-
-def cea_forward(lat_deg, lon_deg, ell, lat_ts, lon0, fe, fn):
-    """Geographic -> Lambert Cylindrical Equal Area E/N (EPSG method
-    9835, Snyder 10-13/10-14): the EASE-Grid 2.0 global grid
-    (EPSG:6933, WGS84, lat_ts 30)."""
-    a, e2, e = _ell_consts(ell)
-    st = np.sin(np.radians(lat_ts))
-    k0 = np.cos(np.radians(lat_ts)) / np.sqrt(1.0 - e2 * st * st)
-    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
-    dlon = _wrap_pi(np.radians(np.asarray(lon_deg, dtype=np.float64))
-                    - np.radians(lon0))
-    q = _q_authalic(lat, e, e2)
-    return fe + a * k0 * dlon, fn + a * q / (2.0 * k0)
-
-
-def cea_inverse(x, y, ell, lat_ts, lon0, fe, fn):
-    """Lambert Cylindrical Equal Area E/N -> geographic degrees."""
-    a, e2, e = _ell_consts(ell)
-    st = np.sin(np.radians(lat_ts))
-    k0 = np.cos(np.radians(lat_ts)) / np.sqrt(1.0 - e2 * st * st)
-    x = np.asarray(x, dtype=np.float64) - fe
-    y = np.asarray(y, dtype=np.float64) - fn
-    qp = _q_authalic(np.float64(np.pi / 2), e, e2)
-    q = 2.0 * k0 * y / a
-    lat = _phi_from_q(q, e, e2, qp)
-    lon = np.radians(lon0) + x / (a * k0)
-    return np.degrees(lat), np.degrees(_wrap_pi(lon))
-
-
-# --------------------------------------------------------------------------
-# Hotine Oblique Mercator (EPSG methods 9812 variant A / 9815 variant B
-# "azimuth center") — the projection of the US State Plane Alaska
-# zone 1, Malaysian RSO and Timbalai (Borneo) grids — and the Swiss
-# Oblique Mercator / Rosenmund double projection (PROJ ``somerc``) used
-# by CH1903 LV03 / CH1903+ LV95. The reference reaches all of these
-# through OSR (any-SRS contract, dswx_hls.py:3385-3461). Formulas per
-# EPSG Guidance Note 7-2 (verified against its Timbalai 1948 RSO Borneo
-# worked example) and PROJ's somerc derivation (conformal
-# sphere double projection), tests/test_crs_omerc.py.
-
-def _isometric_lat(lat, e):
-    """Isometric latitude psi(phi) (radians in, unitless out)."""
-    esp = e * np.sin(lat)
-    return (np.log(np.tan(np.pi / 4.0 + lat / 2.0))
-            - (e / 2.0) * np.log((1.0 + esp) / (1.0 - esp)))
-
-
-def _lat_from_isometric(psi, e):
-    """Invert the isometric latitude by Newton iteration."""
-    lat = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2.0
-    e2 = e * e
-    for _ in range(8):
-        sin_lat = np.sin(lat)
-        f = _isometric_lat(lat, e) - psi
-        dpsi = (1.0 - e2) / ((1.0 - e2 * sin_lat * sin_lat)
-                             * np.cos(lat))
-        lat = lat - f / dpsi
-    return lat
-
-
-def _omerc_consts(ell, latc, lonc, alpha, gamma, k0):
-    a, e2, e = _ell_consts(ell)
-    phic = np.radians(latc)
-    alphac = np.radians(alpha)
-    sin_c, cos_c = np.sin(phic), np.cos(phic)
-    B = np.sqrt(1.0 + e2 * cos_c ** 4 / (1.0 - e2))
-    A = a * B * k0 * np.sqrt(1.0 - e2) / (1.0 - e2 * sin_c * sin_c)
-    t0 = np.tan(np.pi / 4.0 - phic / 2.0) / (
-        (1.0 - e * sin_c) / (1.0 + e * sin_c)) ** (e / 2.0)
-    D = B * np.sqrt(1.0 - e2) / (
-        cos_c * np.sqrt(1.0 - e2 * sin_c * sin_c))
-    D2 = max(D * D, 1.0)
-    sign = 1.0 if latc >= 0 else -1.0
-    F = D + np.sqrt(D2 - 1.0) * sign
-    H = F * t0 ** B
-    G = (F - 1.0 / F) / 2.0
-    gamma0 = np.arcsin(np.sin(alphac) / D)
-    lam0 = np.radians(lonc) - np.arcsin(
-        np.clip(G * np.tan(gamma0), -1.0, 1.0)) / B
-    if abs(abs(alpha) - 90.0) < 1e-9:
-        raise ValueError(
-            'Hotine oblique Mercator with azimuth 90 degrees is the '
-            'Swiss oblique Mercator — use the somerc family')
-    uc = (A / B) * np.arctan2(np.sqrt(D2 - 1.0),
-                              np.cos(alphac)) * sign
-    return A, B, e, H, gamma0, lam0, uc, sign
-
-
-def omerc_forward(lat_deg, lon_deg, ell, latc, lonc, alpha, gamma,
-                  k0, fe, fn, variant_b):
-    """Hotine Oblique Mercator geographic degrees -> E/N (EPSG 9812
-    variant A when ``variant_b`` is false, 9815 'azimuth center' when
-    true; ``gamma`` is the rectified-grid angle)."""
-    A, B, e, H, gamma0, lam0, uc, sign = _omerc_consts(
-        ell, latc, lonc, alpha, gamma, k0)
-    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
-    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
-    t = np.tan(np.pi / 4.0 - lat / 2.0) / (
-        (1.0 - e * np.sin(lat)) / (1.0 + e * np.sin(lat))) ** (e / 2.0)
-    Q = H / t ** B
-    S = (Q - 1.0 / Q) / 2.0
-    T = (Q + 1.0 / Q) / 2.0
-    dlam = _wrap_pi(lon - lam0)
-    V = np.sin(B * dlam)
-    U = (-V * np.cos(gamma0) + S * np.sin(gamma0)) / T
-    v = A * np.log((1.0 - U) / (1.0 + U)) / (2.0 * B)
-    u = A * np.arctan2(S * np.cos(gamma0) + V * np.sin(gamma0),
-                       np.cos(B * dlam)) / B
-    if variant_b:
-        u = u - abs(uc) * sign
-    gam = np.radians(gamma)
-    E = v * np.cos(gam) + u * np.sin(gam) + fe
-    N = u * np.cos(gam) - v * np.sin(gam) + fn
-    return E, N
-
-
-def omerc_inverse(x, y, ell, latc, lonc, alpha, gamma, k0, fe, fn,
-                  variant_b):
-    """Hotine Oblique Mercator E/N -> geographic degrees."""
-    A, B, e, H, gamma0, lam0, uc, sign = _omerc_consts(
-        ell, latc, lonc, alpha, gamma, k0)
-    gam = np.radians(gamma)
-    x = np.asarray(x, dtype=np.float64) - fe
-    y = np.asarray(y, dtype=np.float64) - fn
-    v = x * np.cos(gam) - y * np.sin(gam)
-    u = y * np.cos(gam) + x * np.sin(gam)
-    if variant_b:
-        u = u + abs(uc) * sign
-    Q = np.exp(-B * v / A)
-    S = (Q - 1.0 / Q) / 2.0
-    T = (Q + 1.0 / Q) / 2.0
-    V = np.sin(B * u / A)
-    U = (V * np.cos(gamma0) + S * np.sin(gamma0)) / T
-    t = (H / np.sqrt((1.0 + U) / (1.0 - U))) ** (1.0 / B)
-    # invert t = tan(pi/4 - phi/2)/((1-e sin phi)/(1+e sin phi))^(e/2):
-    # psi = -ln t is the isometric latitude
-    lat = _lat_from_isometric(-np.log(t), e)
-    lon = lam0 - np.arctan2(S * np.cos(gamma0) - V * np.sin(gamma0),
-                            np.cos(B * u / A)) / B
-    return np.degrees(lat), np.degrees(_wrap_pi(lon))
-
-
-def _somerc_consts(ell, lat0, k0):
-    a, e2, e = _ell_consts(ell)
-    phi0 = np.radians(lat0)
-    sp, cp = np.sin(phi0), np.cos(phi0)
-    c = np.sqrt(1.0 + e2 * cp ** 4 / (1.0 - e2))
-    sinp0 = sp / c
-    phip0 = np.arcsin(sinp0)
-    K = (np.log(np.tan(np.pi / 4.0 + phip0 / 2.0))
-         - c * _isometric_lat(phi0, e))
-    kR = k0 * a * np.sqrt(1.0 - e2) / (1.0 - e2 * sp * sp)
-    return e, c, sinp0, np.cos(phip0), K, kR
-
-
-def somerc_forward(lat_deg, lon_deg, ell, lat0, lon0, k0, fe, fn):
-    """Swiss Oblique Mercator (Rosenmund double projection, PROJ
-    ``somerc``; EPSG 9815 with azimuth 90 as the CH1903 grids use it):
-    geographic degrees -> E/N."""
-    e, c, sinp0, cosp0, K, kR = _somerc_consts(ell, lat0, k0)
-    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
-    lon = _wrap_pi(np.radians(np.asarray(lon_deg, dtype=np.float64))
-                   - np.radians(lon0))
-    phip = 2.0 * np.arctan(
-        np.exp(c * _isometric_lat(lat, e) + K)) - np.pi / 2.0
-    lamp = c * lon
-    cp = np.cos(phip)
-    phipp = np.arcsin(cosp0 * np.sin(phip)
-                      - sinp0 * cp * np.cos(lamp))
-    lampp = np.arcsin(np.clip(cp * np.sin(lamp) / np.cos(phipp),
-                              -1.0, 1.0))
-    E = kR * lampp + fe
-    N = kR * np.log(np.tan(np.pi / 4.0 + phipp / 2.0)) + fn
-    return E, N
-
-
-def somerc_inverse(x, y, ell, lat0, lon0, k0, fe, fn):
-    """Swiss Oblique Mercator E/N -> geographic degrees."""
-    e, c, sinp0, cosp0, K, kR = _somerc_consts(ell, lat0, k0)
-    x = np.asarray(x, dtype=np.float64) - fe
-    y = np.asarray(y, dtype=np.float64) - fn
-    phipp = 2.0 * np.arctan(np.exp(y / kR)) - np.pi / 2.0
-    lampp = x / kR
-    cp = np.cos(phipp)
-    phip = np.arcsin(cosp0 * np.sin(phipp)
-                     + sinp0 * cp * np.cos(lampp))
-    lamp = np.arcsin(np.clip(cp * np.sin(lampp) / np.cos(phip),
-                             -1.0, 1.0))
-    # invert phip = 2 atan(exp(c psi(phi) + K)) - pi/2
-    psi = (np.log(np.tan(np.pi / 4.0 + phip / 2.0)) - K) / c
-    lat = _lat_from_isometric(psi, e)
-    lon = np.radians(lon0) + lamp / c
-    return np.degrees(lat), np.degrees(_wrap_pi(lon))
-
-
-# --------------------------------------------------------------------------
-# Krovak (EPSG method 9819) — the S-JTSK oblique conformal conic of the
-# Czech and Slovak national grids (EPSG:5514 Krovak East North, the CRS
-# Czech DEM/landcover deliveries ship in). Formulas per EPSG Guidance
-# Note 7-2; east-north axis convention (southing/westing negated), the
-# way GDAL presents EPSG:5514 rasters.
-
-def _krovak_consts(ell, latc, lonc, alphac, latp, k0):
-    a, e2, e = _ell_consts(ell)
-    phic = np.radians(latc)
-    sin_c = np.sin(phic)
-    A = a * np.sqrt(1.0 - e2) / (1.0 - e2 * sin_c * sin_c)
-    B = np.sqrt(1.0 + e2 * np.cos(phic) ** 4 / (1.0 - e2))
-    gamma0 = np.arcsin(sin_c / B)
-    t0 = (np.tan(np.pi / 4.0 + gamma0 / 2.0)
-          * ((1.0 + e * sin_c) / (1.0 - e * sin_c)) ** (e * B / 2.0)
-          / np.tan(np.pi / 4.0 + phic / 2.0) ** B)
-    phip = np.radians(latp)
-    n = np.sin(phip)
-    r0 = k0 * A / np.tan(phip)
-    return e, A, B, gamma0, t0, n, r0, phip
-
-
-def krovak_forward(lat_deg, lon_deg, ell, latc, lonc, alphac, latp,
-                   k0, fe, fn):
-    """Krovak geographic degrees -> E/N (east-north convention:
-    E = -westing + fe, N = -southing + fn)."""
-    e, _A, B, _g0, t0, n, r0, phip = _krovak_consts(
-        ell, latc, lonc, alphac, latp, k0)
-    ac = np.radians(alphac)
-    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
-    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
-    esp = e * np.sin(lat)
-    U = 2.0 * (np.arctan(
-        t0 * np.tan(lat / 2.0 + np.pi / 4.0) ** B
-        / ((1.0 + esp) / (1.0 - esp)) ** (e * B / 2.0)) - np.pi / 4.0)
-    V = B * _wrap_pi(np.radians(lonc) - lon)
-    T = np.arcsin(np.cos(ac) * np.sin(U)
-                  + np.sin(ac) * np.cos(U) * np.cos(V))
-    D = np.arcsin(np.clip(np.cos(U) * np.sin(V) / np.cos(T),
-                          -1.0, 1.0))
-    theta = n * D
-    r = (r0 * np.tan(np.pi / 4.0 + phip / 2.0) ** n
-         / np.tan(T / 2.0 + np.pi / 4.0) ** n)
-    southing = r * np.cos(theta)
-    westing = r * np.sin(theta)
-    return -westing + fe, -southing + fn
-
-
-def krovak_inverse(x, y, ell, latc, lonc, alphac, latp, k0, fe, fn):
-    """Krovak E/N (east-north convention) -> geographic degrees."""
-    e, _A, B, _g0, t0, n, r0, phip = _krovak_consts(
-        ell, latc, lonc, alphac, latp, k0)
-    ac = np.radians(alphac)
-    westing = -(np.asarray(x, dtype=np.float64) - fe)
-    southing = -(np.asarray(y, dtype=np.float64) - fn)
-    r = np.hypot(southing, westing)
-    theta = np.arctan2(westing, southing)
-    D = theta / n
-    T = 2.0 * (np.arctan(
-        (r0 / r) ** (1.0 / n)
-        * np.tan(np.pi / 4.0 + phip / 2.0)) - np.pi / 4.0)
-    U = np.arcsin(np.cos(ac) * np.sin(T)
-                  - np.sin(ac) * np.cos(T) * np.cos(D))
-    V = np.arcsin(np.clip(np.cos(T) * np.sin(D) / np.cos(U),
-                          -1.0, 1.0))
-    # latitude from U by the EPSG fixed-point iteration
-    lat = U
-    for _ in range(10):
-        esp = e * np.sin(lat)
-        lat = 2.0 * (np.arctan(
-            t0 ** (-1.0 / B)
-            * np.tan(U / 2.0 + np.pi / 4.0) ** (1.0 / B)
-            * ((1.0 + esp) / (1.0 - esp)) ** (e / 2.0)) - np.pi / 4.0)
-    lon = np.radians(lonc) - V / B
-    return np.degrees(lat), np.degrees(_wrap_pi(lon))
-
-
-# --------------------------------------------------------------------------
-# Oblique Stereographic (EPSG method 9809, PROJ ``sterea``) — the double
-# projection (ellipsoid -> conformal sphere -> stereographic) of the
-# Dutch RD New grid (EPSG:28992), the CRS Dutch DEM/ancillary deliveries
-# ship in. Formulas per EPSG Guidance Note 7-2.
-
-def _sterea_consts(ell, lat0):
-    a, e2, e = _ell_consts(ell)
-    phi0 = np.radians(lat0)
-    s0 = np.sin(phi0)
-    rho0 = a * (1.0 - e2) / (1.0 - e2 * s0 * s0) ** 1.5
-    nu0 = a / np.sqrt(1.0 - e2 * s0 * s0)
-    R = np.sqrt(rho0 * nu0)
-    n = np.sqrt(1.0 + e2 * np.cos(phi0) ** 4 / (1.0 - e2))
-    S1 = (1.0 + s0) / (1.0 - s0)
-    S2 = (1.0 - e * s0) / (1.0 + e * s0)
-    w1 = (S1 * S2 ** e) ** n
-    sin_chi00 = (w1 - 1.0) / (w1 + 1.0)
-    c = ((n + s0) * (1.0 - sin_chi00)
-         / ((n - s0) * (1.0 + sin_chi00)))
-    w2 = c * w1
-    chi0 = np.arcsin((w2 - 1.0) / (w2 + 1.0))
-    return e, n, c, R, chi0
-
-
-def sterea_forward(lat_deg, lon_deg, ell, lat0, lon0, k0, fe, fn):
-    """Oblique Stereographic geographic degrees -> E/N (EPSG 9809)."""
-    e, n, c, R, chi0 = _sterea_consts(ell, lat0)
-    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
-    dlam = n * _wrap_pi(np.radians(np.asarray(lon_deg,
-                                              dtype=np.float64))
-                        - np.radians(lon0))
-    sp = np.sin(lat)
-    Sa = (1.0 + sp) / (1.0 - sp)
-    Sb = (1.0 - e * sp) / (1.0 + e * sp)
-    w = c * (Sa * Sb ** e) ** n
-    chi = np.arcsin((w - 1.0) / (w + 1.0))
-    B = (1.0 + np.sin(chi) * np.sin(chi0)
-         + np.cos(chi) * np.cos(chi0) * np.cos(dlam))
-    E = fe + 2.0 * R * k0 * np.cos(chi) * np.sin(dlam) / B
-    N = fn + 2.0 * R * k0 * (np.sin(chi) * np.cos(chi0)
-                             - np.cos(chi) * np.sin(chi0)
-                             * np.cos(dlam)) / B
-    return E, N
-
-
-def sterea_inverse(x, y, ell, lat0, lon0, k0, fe, fn):
-    """Oblique Stereographic E/N -> geographic degrees (EPSG 9809)."""
-    e, n, c, R, chi0 = _sterea_consts(ell, lat0)
-    Ep = np.asarray(x, dtype=np.float64) - fe
-    Np = np.asarray(y, dtype=np.float64) - fn
-    g = 2.0 * R * k0 * np.tan(np.pi / 4.0 - chi0 / 2.0)
-    h = 4.0 * R * k0 * np.tan(chi0) + g
-    i = np.arctan2(Ep, h + Np)
-    j = np.arctan2(Ep, g - Np) - i
-    chi = chi0 + 2.0 * np.arctan(
-        (Np - Ep * np.tan(j / 2.0)) / (2.0 * R * k0))
-    dlam = j + 2.0 * i
-    lon = np.radians(lon0) + dlam / n
-    # conformal-sphere isometric latitude back to the geodetic latitude
-    # by the EPSG fixed-point iteration
-    psi = 0.5 * np.log((1.0 + np.sin(chi))
-                       / (c * (1.0 - np.sin(chi)))) / n
-    lat = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2.0
-    e2 = e * e
-    for _ in range(10):
-        esp = e * np.sin(lat)
-        psi_i = np.log(np.tan(lat / 2.0 + np.pi / 4.0)
-                       * ((1.0 - esp) / (1.0 + esp)) ** (e / 2.0))
-        lat = lat - ((psi_i - psi) * np.cos(lat)
-                     * (1.0 - esp * esp) / (1.0 - e2))
-    return np.degrees(lat), np.degrees(_wrap_pi(lon))
-
-
-# --------------------------------------------------------------------------
-# Equidistant Cylindrical (EPSG method 1028, PROJ ``eqc``) — the
-# projected plate carree of the global-raster grids EPSG:4087 (WGS 84 /
-# World Equidistant Cylindrical) and the deprecated-but-circulating
-# EPSG:32662. Ellipsoidal formulas per EPSG Guidance Note 7-2 (meridian
-# arc northing), matching PROJ >= 7's ellipsoidal eqc.
-
-def _eqc_nu1_cos(e2, lat_ts):
-    """cos(lat_ts)/sqrt(1 - e2 sin^2 lat_ts), rejecting the degenerate
-    standard parallel at the poles (where the cylinder's radius is 0 and
-    the projection is undefined — match the ValueError contract of the
-    other degenerate projection parameters)."""
-    if abs(lat_ts) >= 90.0 - 1e-9:
-        raise ValueError(
-            f'equidistant cylindrical standard parallel lat_ts={lat_ts} '
-            'is degenerate (|lat_ts| must be < 90 degrees)')
-    phi1 = np.radians(lat_ts)
-    return np.cos(phi1) / np.sqrt(1.0 - e2 * np.sin(phi1) ** 2)
-
-
-def eqc_forward(lat_deg, lon_deg, ell, lat_ts, lat0, lon0, fe, fn):
-    """Equidistant Cylindrical geographic degrees -> E/N (EPSG 1028)."""
-    a, e2, _e = _ell_consts(ell)
-    nu1_cos = _eqc_nu1_cos(e2, lat_ts)
-    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
-    dlam = _wrap_pi(np.radians(np.asarray(lon_deg, dtype=np.float64))
-                    - np.radians(lon0))
-    E = fe + a * nu1_cos * dlam
-    N = fn + _merid_arc(lat, a, e2) - _merid_arc(np.radians(lat0),
-                                                 a, e2)
-    return E, N
-
-
-def eqc_inverse(x, y, ell, lat_ts, lat0, lon0, fe, fn):
-    """Equidistant Cylindrical E/N -> geographic degrees (EPSG 1028)."""
-    a, e2, _e = _ell_consts(ell)
-    nu1_cos = _eqc_nu1_cos(e2, lat_ts)
-    M = (np.asarray(y, dtype=np.float64) - fn
-         + _merid_arc(np.radians(lat0), a, e2))
-    lat = _lat_from_merid(M, a, e2)
-    lon = (np.radians(lon0)
-           + (np.asarray(x, dtype=np.float64) - fe) / (a * nu1_cos))
-    return np.degrees(lat), np.degrees(_wrap_pi(lon))
-
-
-def _towgs84_wkt(towgs84):
-    """',TOWGS84[...]' fragment (empty for the null transformation)."""
-    if _effective_shift(towgs84) is None and towgs84 is None:
-        return ''
-    body = ','.join(f'{float(v)!r}' for v in towgs84)
-    return f',TOWGS84[{body}]'
-
-
-def _custom_geogcs_wkt(ell, towgs84=None):
-    tw = _towgs84_wkt(towgs84)
-    if not isinstance(ell, str):    # sphere radius (sinusoidal/MODIS)
-        return ('GEOGCS["unknown",DATUM["unknown",'
-                f'SPHEROID["unknown",{float(ell)!r},0]{tw}],'
-                'PRIMEM["Greenwich",0],'
-                'UNIT["degree",0.0174532925199433]]')
-    a, invf = _ELLIPSOIDS[ell]
-    return ('GEOGCS["unknown",DATUM["unknown",'
-            f'SPHEROID["unknown",{a:.10g},{invf:.12g}]{tw}],'
-            'PRIMEM["Greenwich",0],'
-            'UNIT["degree",0.0174532925199433]]')
-
-
-def _unit_wkt(unit):
-    name, lit = _UNIT_WKT_NAME.get(unit, ('unnamed', f'{unit:.17g}'))
-    return f'UNIT["{name}",{lit}]'
-
-
-def _custom_to_wkt(custom, unit=1.0, towgs84=None):
-    fam = custom[0]
-    if fam == 'geog':
-        return _custom_geogcs_wkt(custom[1], towgs84)
-    if fam == 'ps':
-        lat_ts, lon0, fe, fn, north, k0, ell = custom[1:]
-        params = [('latitude_of_origin',
-                   lat_ts if lat_ts is not None
-                   else (90.0 if north else -90.0)),
-                  ('central_meridian', lon0)]
-        if k0 is not None:
-            params.append(('scale_factor', k0))
-        params += [('false_easting', fe), ('false_northing', fn)]
-        proj = 'Polar_Stereographic'
-    else:
-        ell = custom[1]
-        if fam == 'tm':
-            lat0, lon0, k0, fe, fn = custom[2:]
-            proj = 'Transverse_Mercator'
-            params = [('latitude_of_origin', lat0),
-                      ('central_meridian', lon0),
-                      ('scale_factor', k0),
-                      ('false_easting', fe), ('false_northing', fn)]
-        elif fam == 'aea':
-            lat0, lon0, sp1, sp2, fe, fn = custom[2:]
-            proj = 'Albers_Conic_Equal_Area'
-            params = [('latitude_of_center', lat0),
-                      ('longitude_of_center', lon0),
-                      ('standard_parallel_1', sp1),
-                      ('standard_parallel_2', sp2),
-                      ('false_easting', fe), ('false_northing', fn)]
-        elif fam == 'laea':
-            lat0, lon0, fe, fn = custom[2:]
-            proj = 'Lambert_Azimuthal_Equal_Area'
-            params = [('latitude_of_center', lat0),
-                      ('longitude_of_center', lon0),
-                      ('false_easting', fe), ('false_northing', fn)]
-        elif fam == 'sinu':
-            lon0, fe, fn = custom[2:]
-            proj = 'Sinusoidal'
-            params = [('longitude_of_center', lon0),
-                      ('false_easting', fe), ('false_northing', fn)]
-        elif fam == 'cea':
-            lat_ts, lon0, fe, fn = custom[2:]
-            proj = 'Cylindrical_Equal_Area'
-            params = [('standard_parallel_1', lat_ts),
-                      ('central_meridian', lon0),
-                      ('false_easting', fe), ('false_northing', fn)]
-        elif fam == 'merc':
-            lon0, k0, fe, fn = custom[2:]
-            proj = 'Mercator_1SP'
-            params = [('central_meridian', lon0),
-                      ('scale_factor', k0),
-                      ('false_easting', fe), ('false_northing', fn)]
-        elif fam == 'omerc':
-            latc, lonc, alpha, gamma, k0, fe, fn, vb = custom[2:]
-            proj = ('Hotine_Oblique_Mercator_Azimuth_Center' if vb
-                    else 'Hotine_Oblique_Mercator')
-            params = [('latitude_of_center', latc),
-                      ('longitude_of_center', lonc),
-                      ('azimuth', alpha),
-                      ('rectified_grid_angle', gamma),
-                      ('scale_factor', k0),
-                      ('false_easting', fe), ('false_northing', fn)]
-        elif fam == 'somerc':
-            lat0, lon0, k0, fe, fn = custom[2:]
-            # GDAL encodes the Swiss oblique Mercator as Hotine
-            # azimuth-center with azimuth = rectified grid angle = 90
-            proj = 'Hotine_Oblique_Mercator_Azimuth_Center'
-            params = [('latitude_of_center', lat0),
-                      ('longitude_of_center', lon0),
-                      ('azimuth', 90.0),
-                      ('rectified_grid_angle', 90.0),
-                      ('scale_factor', k0),
-                      ('false_easting', fe), ('false_northing', fn)]
-        elif fam == 'krovak':
-            latc, lonc, alphac, latp, k0, fe, fn = custom[2:]
-            proj = 'Krovak'
-            params = [('latitude_of_center', latc),
-                      ('longitude_of_center', lonc),
-                      ('azimuth', alphac),
-                      ('pseudo_standard_parallel_1', latp),
-                      ('scale_factor', k0),
-                      ('false_easting', fe), ('false_northing', fn)]
-        elif fam == 'sterea':
-            lat0, lon0, k0, fe, fn = custom[2:]
-            proj = 'Oblique_Stereographic'
-            params = [('latitude_of_origin', lat0),
-                      ('central_meridian', lon0),
-                      ('scale_factor', k0),
-                      ('false_easting', fe), ('false_northing', fn)]
-        elif fam == 'eqc':
-            lat_ts, lat0, lon0, fe, fn = custom[2:]
-            proj = 'Equirectangular'
-            params = [('standard_parallel_1', lat_ts),
-                      ('latitude_of_origin', lat0),
-                      ('central_meridian', lon0),
-                      ('false_easting', fe), ('false_northing', fn)]
-        else:   # lcc
-            lat0, lon0, sp1, sp2, fe, fn = custom[2:8]
-            k0 = custom[8] if len(custom) > 8 else 1.0
-            proj = 'Lambert_Conformal_Conic_2SP'
-            params = [('latitude_of_origin', lat0),
-                      ('central_meridian', lon0),
-                      ('standard_parallel_1', sp1),
-                      ('standard_parallel_2', sp2),
-                      ('false_easting', fe), ('false_northing', fn)]
-            if k0 != 1.0:
-                params.insert(2, ('scale_factor', k0))
-    # repr = shortest exact round-trip float text (PARAMETER values are
-    # in the PROJCS's UNIT, e.g. feet for State Plane grids)
-    body = ','.join(f'PARAMETER["{k}",{float(v)!r}]' for k, v in params)
-    return (f'PROJCS["unnamed",{_custom_geogcs_wkt(ell, towgs84)},'
-            f'PROJECTION["{proj}"],{body},{_unit_wkt(unit)}]')
-
-
-def _unit_proj4(unit):
-    if unit == 1.0:
-        return '+units=m'
-    if unit == _FOOT:
-        return '+units=ft'
-    if unit == _US_FOOT:
-        return '+units=us-ft'
-    return f'+to_meter={unit:.17g}'
-
-
-def _custom_to_proj4(custom, unit=1.0, towgs84=None):
-    p4 = _custom_to_proj4_base(custom, unit)
-    if _effective_shift(towgs84) is not None or towgs84 is not None:
-        tw = ','.join(f'{float(v):g}' for v in towgs84)
-        p4 = p4.replace(' +no_defs', f' +towgs84={tw} +no_defs')
-    return p4
-
-
-def _custom_to_proj4_base(custom, unit=1.0):
-    fam = custom[0]
-    if unit != 1.0:
-        # proj4 +x_0/+y_0 are always metres (PROJ's fr_meter applies
-        # to proj+x_0); the tuple keeps them in native units
-        c = list(custom)
-        for i in _FEFN_IDX[fam]:
-            c[i] = c[i] * unit
-        custom = tuple(c)
-
-    def ell_frag(ell):
-        a, invf = _ELLIPSOIDS[ell]
-        if ell in ('WGS84', 'GRS80'):
-            return f'+ellps={ell}'
-        name = _ELLPS_PROJ4_NAME.get(ell)
-        if name:
-            return f'+ellps={name}'
-        return f'+a={a:.10g} +rf={invf:.12g}'
-
-    un = _unit_proj4(unit)
-    if fam == 'geog':
-        return f'+proj=longlat {ell_frag(custom[1])} +no_defs'
-    if fam == 'sinu':
-        ell, lon0, fe, fn = custom[1:]
-        ef = (f'+R={float(ell)!r}' if not isinstance(ell, str)
-              else ell_frag(ell))
-        return (f'+proj=sinu +lon_0={lon0!r} +x_0={fe!r} '
-                f'+y_0={fn!r} {ef} {un} +no_defs')
-    if fam == 'cea':
-        ell, lat_ts, lon0, fe, fn = custom[1:]
-        return (f'+proj=cea +lat_ts={lat_ts!r} +lon_0={lon0!r} '
-                f'+x_0={fe!r} +y_0={fn!r} {ell_frag(ell)} {un} '
-                '+no_defs')
-    if fam == 'ps':
-        lat_ts, lon0, fe, fn, north, k0, ell = custom[1:]
-        lat0 = 90 if north else -90
-        mid = (f'+k={k0!r}' if lat_ts is None
-               else f'+lat_ts={lat_ts!r}')
-        return (f'+proj=stere +lat_0={lat0} {mid} +lon_0={lon0!r} '
-                f'+x_0={fe!r} +y_0={fn!r} {ell_frag(ell)} {un} '
-                '+no_defs')
-    ell = custom[1]
-    if fam == 'tm':
-        lat0, lon0, k0, fe, fn = custom[2:]
-        return (f'+proj=tmerc +lat_0={lat0!r} +lon_0={lon0!r} '
-                f'+k={k0!r} +x_0={fe!r} +y_0={fn!r} '
-                f'{ell_frag(ell)} {un} +no_defs')
-    if fam == 'aea':
-        lat0, lon0, sp1, sp2, fe, fn = custom[2:]
-        return (f'+proj=aea +lat_0={lat0!r} +lon_0={lon0!r} '
-                f'+lat_1={sp1!r} +lat_2={sp2!r} +x_0={fe!r} '
-                f'+y_0={fn!r} {ell_frag(ell)} {un} +no_defs')
-    if fam == 'laea':
-        lat0, lon0, fe, fn = custom[2:]
-        return (f'+proj=laea +lat_0={lat0!r} +lon_0={lon0!r} '
-                f'+x_0={fe!r} +y_0={fn!r} {ell_frag(ell)} {un} '
-                '+no_defs')
-    if fam == 'merc':
-        lon0, k0, fe, fn = custom[2:]
-        return (f'+proj=merc +lon_0={lon0!r} +k={k0!r} '
-                f'+x_0={fe!r} +y_0={fn!r} {ell_frag(ell)} {un} '
-                '+no_defs')
-    if fam == 'omerc':
-        latc, lonc, alpha, gamma, k0, fe, fn, vb = custom[2:]
-        nu = '' if vb else '+no_uoff '   # PROJ: variant A flag
-        return (f'+proj=omerc +lat_0={latc!r} +lonc={lonc!r} '
-                f'+alpha={alpha!r} +gamma={gamma!r} +k_0={k0!r} '
-                f'{nu}+x_0={fe!r} +y_0={fn!r} {ell_frag(ell)} {un} '
-                '+no_defs')
-    if fam == 'somerc':
-        lat0, lon0, k0, fe, fn = custom[2:]
-        return (f'+proj=somerc +lat_0={lat0!r} +lon_0={lon0!r} '
-                f'+k_0={k0!r} +x_0={fe!r} +y_0={fn!r} '
-                f'{ell_frag(ell)} {un} +no_defs')
-    if fam == 'krovak':
-        latc, lonc, alphac, latp, k0, fe, fn = custom[2:]
-        # PROJ's krovak hardcodes the 78.5-deg pseudo standard
-        # parallel; +alpha carries the cone azimuth
-        return (f'+proj=krovak +lat_0={latc!r} +lon_0={lonc!r} '
-                f'+alpha={alphac!r} +k={k0!r} +x_0={fe!r} '
-                f'+y_0={fn!r} {ell_frag(ell)} {un} +no_defs')
-    if fam == 'sterea':
-        lat0, lon0, k0, fe, fn = custom[2:]
-        return (f'+proj=sterea +lat_0={lat0!r} +lon_0={lon0!r} '
-                f'+k={k0!r} +x_0={fe!r} +y_0={fn!r} '
-                f'{ell_frag(ell)} {un} +no_defs')
-    if fam == 'eqc':
-        lat_ts, lat0, lon0, fe, fn = custom[2:]
-        return (f'+proj=eqc +lat_ts={lat_ts!r} +lat_0={lat0!r} '
-                f'+lon_0={lon0!r} +x_0={fe!r} +y_0={fn!r} '
-                f'{ell_frag(ell)} {un} +no_defs')
-    lat0, lon0, sp1, sp2, fe, fn = custom[2:8]
-    k0 = custom[8] if len(custom) > 8 else 1.0
-    kf = f' +k_0={k0!r}' if k0 != 1.0 else ''
-    return (f'+proj=lcc +lat_0={lat0!r} +lon_0={lon0!r} '
-            f'+lat_1={sp1!r} +lat_2={sp2!r}{kf} +x_0={fe!r} '
-            f'+y_0={fn!r} {ell_frag(ell)} {un} +no_defs')
-
-
-# user-defined projection families: family -> (forward fn, inverse fn).
-# A custom CRS carries ``custom = (family, *args)`` where ``*args`` are
-# exactly the function's parameters after (lat/x, lon/y):
-#   ('tm',  ell, lat0, lon0, k0, fe, fn)
-#   ('aea', ell, lat0, lon0, sp1, sp2, fe, fn)
-#   ('laea', ell, lat0, lon0, fe, fn)
-#   ('lcc', ell, lat0, lon0, sp1, sp2, fe, fn[, k0])
-#   ('ps',  lat_ts|None, lon0, fe, fn, north, k0|None, ell)
-#   ('merc', ell, lon0, k0, fe, fn)
-#   ('sinu', ell|sphere_radius, lon0, fe, fn)    (MODIS grid)
-#   ('cea', ell, lat_ts, lon0, fe, fn)           (EASE-Grid 2.0 style)
-#   ('geog', ell)                                (geographic lat/lon on
-#                                                 a classical ellipsoid;
-#                                                 datum via towgs84)
-#   ('omerc', ell, latc, lonc, alpha, gamma, k0, fe, fn, variant_b)
-#   ('somerc', ell, lat0, lon0, k0, fe, fn)      (Swiss CH1903 grids)
-#   ('krovak', ell, latc, lonc, alphac, latp, k0, fe, fn)  (S-JTSK,
-#                                                 east-north axes)
-#   ('sterea', ell, lat0, lon0, k0, fe, fn)      (Dutch RD New)
-#   ('eqc', ell, lat_ts, lat0, lon0, fe, fn)     (world equidistant
-#                                                 cylindrical)
-_CUSTOM_FAMILIES = {
-    'tm': None, 'aea': None, 'laea': None, 'lcc': None, 'ps': None,
-    'merc': None, 'sinu': None, 'cea': None, 'geog': None,
-    'omerc': None, 'somerc': None, 'krovak': None, 'sterea': None,
-    'eqc': None,
-}
-
-
-_PROJ4_ELLPS = {
-    'GRS80': 'GRS80', 'WGS84': 'WGS84',
-    'airy': (6377563.396, 299.3249646),
-    'clrk66': (6378206.4, 294.9786982139006),
-    'intl': (6378388.0, 297.0),
-    'krass': (6378245.0, 298.3),
-    'bessel': (6377397.155, 299.1528128),
-    'evrstSS': (6377298.556, 300.8017),   # Everest 1830 (1967 Def.)
-}
-# registry ellipsoid -> canonical +ellps name (values match
-# _PROJ4_ELLPS so the pair round-trips through _ensure_ellipsoid)
-_ELLPS_PROJ4_NAME = {'AIRY1830': 'airy', 'BESSEL1841': 'bessel',
-                     'CLARKE1866': 'clrk66', 'INTL1924': 'intl',
-                     'KRASS1940': 'krass', 'EVEREST1967': 'evrstSS'}
-
-
-def _proj4_ellipsoid(proj4):
-    """Ellipsoid registry name for a proj4 string (datum/ellps/a+rf/
-    a+b). Spheres (+a == +b, e.g. EASE-Grid v1 / authalic grids) raise
-    — the engine is ellipsoidal-only."""
-    if '+datum=NAD83' in proj4 or '+datum=ETRS89' in proj4 \
-            or '+ellps=GRS80' in proj4:
-        return 'GRS80'
-    if '+datum=WGS84' in proj4 or '+ellps=WGS84' in proj4:
-        return 'WGS84'
-    ma = re.search(rf'\+a={_NUM_RE}', proj4)
-    mr = re.search(rf'\+rf={_NUM_RE}', proj4)
-    mb = re.search(rf'\+b={_NUM_RE}', proj4)
-    if ma and mr:
-        return _ensure_ellipsoid(float(ma.group(1)),
-                                 float(mr.group(1)))
-    if ma and mb:
-        a, b = float(ma.group(1)), float(mb.group(1))
-        if a == b:
-            raise ValueError(
-                f'spherical ellipsoid (+a == +b) not supported: {proj4}')
-        return _ensure_ellipsoid(a, a / (a - b))
-    if ma and not mb and not mr:
-        raise ValueError(
-            f'+a without +b/+rf (sphere?) not supported: {proj4}')
-    m = re.search(r'\+ellps=(\w+)', proj4)
-    if m:
-        v = _PROJ4_ELLPS.get(m.group(1))
-        if v is None:
-            raise ValueError(
-                f'unknown proj4 ellipsoid +ellps={m.group(1)}')
-        return v if isinstance(v, str) else _ensure_ellipsoid(*v)
-    return 'WGS84'
-
-
-def _custom_forward(lat, lon, custom):
-    fam = custom[0]
-    if fam == 'geog':   # geographic: (x, y) = (lon, lat) degrees
-        return (np.asarray(lon, dtype=np.float64),
-                np.asarray(lat, dtype=np.float64))
-    fwd = {'tm': tm_forward_general, 'aea': albers_forward,
-           'laea': laea_forward, 'lcc': lcc_forward,
-           'ps': polar_stereo_forward, 'merc': mercator_forward,
-           'sinu': sinusoidal_forward, 'cea': cea_forward,
-           'omerc': omerc_forward, 'somerc': somerc_forward,
-           'krovak': krovak_forward, 'sterea': sterea_forward,
-           'eqc': eqc_forward}[fam]
-    return fwd(lat, lon, *custom[1:])
-
-
-def _custom_inverse(x, y, custom):
-    fam = custom[0]
-    if fam == 'geog':
-        return (np.asarray(y, dtype=np.float64),
-                np.asarray(x, dtype=np.float64))
-    inv = {'tm': tm_inverse_general, 'aea': albers_inverse,
-           'laea': laea_inverse, 'lcc': lcc_inverse,
-           'ps': polar_stereo_inverse, 'merc': mercator_inverse,
-           'sinu': sinusoidal_inverse, 'cea': cea_inverse,
-           'omerc': omerc_inverse, 'somerc': somerc_inverse,
-           'krovak': krovak_inverse, 'sterea': sterea_inverse,
-           'eqc': eqc_inverse}[fam]
-    return inv(x, y, *custom[1:])
-
-
-# index of (false_easting, false_northing) inside each family's custom
-# tuple — the only parameters expressed in the CRS's linear unit
-_FEFN_IDX = {'tm': (5, 6), 'aea': (6, 7), 'laea': (4, 5),
-             'lcc': (6, 7), 'ps': (3, 4), 'merc': (4, 5),
-             'sinu': (3, 4), 'cea': (4, 5), 'geog': (),
-             'omerc': (7, 8), 'somerc': (5, 6), 'krovak': (7, 8),
-             'sterea': (5, 6), 'eqc': (5, 6)}
-
-
-# registry projected CRS on classical datums, expressed as family
-# tuples (same encoding as CRS.custom) + the _EPSG_TOWGS84 datum shift.
-# Grids a legacy DEM/ancillary raster realistically ships in.
-_GENERAL = {
-    # OSGB36 / British National Grid (EPSG 27700): TM on Airy 1830
-    27700: ('tm', 'AIRY1830', 49.0, -2.0, 0.9996012717,
-            400000.0, -100000.0),
-    # Timbalai 1948 / RSO Borneo (m) (EPSG 29873): Hotine Oblique
-    # Mercator variant B (9815) — the EPSG GN7-2 worked example grid
-    29873: ('omerc', 'EVEREST1967', 4.0, 115.0,
-            53.0 + 18.0 / 60 + 56.9537 / 3600,     # azimuth
-            53.0 + 7.0 / 60 + 48.3685 / 3600,      # rectified grid
-            0.99984, 590476.87, 442857.65, True),
-    # NAD83 / Alaska zone 1 (EPSG 26931): Hotine variant A (9812,
-    # false coordinates at the natural origin — PROJ +no_uoff)
-    26931: ('omerc', 'GRS80', 57.0, -(133.0 + 40.0 / 60),
-            -(36.0 + 52.0 / 60 + 11.6315 / 3600),
-            -(36.0 + 52.0 / 60 + 11.6315 / 3600),
-            0.9999, 5000000.0, -5000000.0, False),
-    # CH1903 / LV03 (EPSG 21781) + CH1903+ / LV95 (EPSG 2056): Swiss
-    # Oblique Mercator (EPSG 9815 with azimuth 90 = PROJ somerc)
-    21781: ('somerc', 'BESSEL1841',
-            46.0 + 57.0 / 60 + 8.66 / 3600,
-            7.0 + 26.0 / 60 + 22.50 / 3600,
-            1.0, 600000.0, 200000.0),
-    2056: ('somerc', 'BESSEL1841',
-           46.0 + 57.0 / 60 + 8.66 / 3600,
-           7.0 + 26.0 / 60 + 22.50 / 3600,
-           1.0, 2600000.0, 1200000.0),
-    # S-JTSK / Krovak East North (EPSG 5514): the Czech/Slovak grid,
-    # east-north axes (southing/westing negated) as GDAL presents it.
-    # EPSG GN7-2 worked example reproduced to cm.
-    5514: ('krovak', 'BESSEL1841', 49.5, 24.0 + 50.0 / 60,
-           30.0 + 17.0 / 60 + 17.3031 / 3600, 78.5, 0.9999,
-           0.0, 0.0),
-    # Amersfoort / RD New (EPSG 28992): Oblique (double) Stereographic
-    # on Bessel 1841 — the Dutch national grid (EPSG GN7-2 worked
-    # example reproduced to mm in tests)
-    28992: ('sterea', 'BESSEL1841',
-            52.0 + 9.0 / 60 + 22.178 / 3600,
-            5.0 + 23.0 / 60 + 15.5 / 3600,
-            0.9999079, 155000.0, 463000.0),
-    # NZGD2000 / New Zealand Transverse Mercator (EPSG 2193): plain TM
-    # on GRS80 (null datum shift, NZGD2000 ~ WGS84)
-    2193: ('tm', 'GRS80', 0.0, 173.0, 0.9996, 1600000.0, 10000000.0),
-    # WGS 84 / World Equidistant Cylindrical (EPSG 4087) and the
-    # deprecated Plate Carree code (EPSG 32662) global grids
-    4087: ('eqc', 'WGS84', 0.0, 0.0, 0.0, 0.0, 0.0),
-    # deprecated alias of 4087 (identical grid). Parameter-based
-    # identification deliberately resolves the shared tuple to
-    # non-deprecated 4087 (first dict match), so authority-free
-    # WKT/proj4 sourced from 32662 round-trips as 4087; WKT carrying
-    # an EPSG AUTHORITY and the GeoTIFF geokey path preserve the
-    # original code.
-    32662: ('eqc', 'WGS84', 0.0, 0.0, 0.0, 0.0, 0.0),
-}
-# Pulkovo 1942 / Gauss-Krueger 6-degree zones 2-32 (EPSG 28402-28432):
-# TM k0=1 on Krassowsky 1940, FE = zone*1e6 + 500000 (zoned easting)
-for _z in range(2, 33):
-    _GENERAL[28400 + _z] = ('tm', 'KRASS1940', 0.0, 6.0 * _z - 3.0,
-                            1.0, _z * 1e6 + 500000.0, 0.0)
-
-# geographic CRS of the classical datums (lat/lon degrees)
-_GEOGRAPHIC_ELL = {
-    4326: 'WGS84', 4269: 'GRS80', 4258: 'GRS80',
-    4277: 'AIRY1830',      # OSGB36
-    4230: 'INTL1924',      # ED50
-    4267: 'CLARKE1866',    # NAD27
-    4301: 'BESSEL1841',    # Tokyo
-    4284: 'KRASS1940',     # Pulkovo 1942
-    4149: 'BESSEL1841',    # CH1903
-    4150: 'BESSEL1841',    # CH1903+
-    4156: 'BESSEL1841',    # S-JTSK
-    4289: 'BESSEL1841',    # Amersfoort
-    4167: 'GRS80',         # NZGD2000
-}
-
-# datum shift to WGS84 per EPSG code (see _SHIFT_* for the EPSG
-# transformation each value cites). NAD83/ETRS89/GDA94 datums stay on
-# the null transformation (true offsets 1-2 m, below the 30 m grid).
-_EPSG_TOWGS84 = {
-    27700: _SHIFT_OSGB36, 4277: _SHIFT_OSGB36,
-    4230: _SHIFT_ED50,
-    4267: _SHIFT_NAD27,
-    4301: _SHIFT_TOKYO,
-    4284: _SHIFT_PULKOVO42,
-    4149: _SHIFT_CH1903, 21781: _SHIFT_CH1903,
-    4150: _SHIFT_CH1903P, 2056: _SHIFT_CH1903P,
-    29873: _SHIFT_TIMBALAI,
-    5514: _SHIFT_SJTSK, 4156: _SHIFT_SJTSK,
-    28992: _SHIFT_AMERSFOORT, 4289: _SHIFT_AMERSFOORT,
-}
-for _z in range(28, 39):    # ED50 / UTM zones 28-38 (EPSG 23028-23038)
-    _EPSG_TOWGS84[23000 + _z] = _SHIFT_ED50
-for _z in range(3, 23):     # NAD27 / UTM zones 3-22 (EPSG 26703-26722)
-    _EPSG_TOWGS84[26700 + _z] = _SHIFT_NAD27
-for _z in range(2, 33):     # Pulkovo 1942 / Gauss-Krueger zones
-    _EPSG_TOWGS84[28400 + _z] = _SHIFT_PULKOVO42
 
 
 @dataclasses.dataclass(frozen=True)
