@@ -764,3 +764,64 @@ def test_campaign_runner_spatial_shards(tmp_path):
             with TiffReader(a) as ra, TiffReader(b) as rb:
                 np.testing.assert_array_equal(ra.read(), rb.read(),
                                               err_msg=f'{t} {layer}')
+
+
+class TestPrepOverlap:
+    """The within-tile ancillary preps run concurrently (round 5): a
+    cold tile pays max(ocean, dem+shadow, landcover), not their sum."""
+
+    def test_run_preps_concurrent_and_ordered(self):
+        import threading
+        from proteus_tpu.parallel.campaign import _run_preps
+        barrier = threading.Barrier(2, timeout=10)
+
+        def a():
+            barrier.wait()   # deadlocks unless b runs concurrently
+            return {'a': 1}
+
+        def b():
+            barrier.wait()
+            return {'b': 2}
+
+        assert _run_preps([a, b]) == [{'a': 1}, {'b': 2}]
+
+    def test_run_preps_serial_when_disabled(self, monkeypatch):
+        from proteus_tpu.parallel.campaign import _run_preps
+        monkeypatch.setenv('PROTEUS_TPU_PREP_THREADS', '0')
+        order = []
+
+        def mk(name):
+            def fn():
+                order.append(name)
+                return {name: True}
+            return fn
+
+        out = _run_preps([mk('x'), mk('y'), mk('z')])
+        assert order == ['x', 'y', 'z']
+        assert out == [{'x': True}, {'y': True}, {'z': True}]
+
+    def test_pool_prep_exception_propagates(self):
+        from proteus_tpu.parallel.campaign import _run_preps
+
+        def ok():
+            return {}
+
+        def boom():
+            raise IOError('bad ancillary')
+
+        with pytest.raises(IOError, match='bad ancillary'):
+            _run_preps([ok, boom])
+
+    def test_read_tile_bad_dem_raises(self, tmp_path):
+        """A broken ancillary in a pool-run prep surfaces as the same
+        exception the serial code raised (the campaign retry path
+        depends on it)."""
+        from proteus_tpu.parallel import campaign as camp
+        camp.ANCILLARY_CACHE.clear()
+        d = str(tmp_path / 'in')
+        files, _ = synthetic.make_hls_v2_dataset(d, size=96)
+        job = TileJob('bad', files, str(tmp_path / 'o'),
+                      dem_file=str(tmp_path / 'missing_dem.tif'))
+        with pytest.raises(Exception):
+            camp._read_tile(job, config=DswxChainConfig())
+        camp.ANCILLARY_CACHE.clear()
