@@ -9,9 +9,9 @@ on-device fori_loop with a data dependency between iterations and a
 final scalar fetch — so the measurement cannot be fooled by async
 dispatch or relay acknowledgment (block_until_ready on tunneled devices
 can return before execution finishes; see BENCH_NOTES.md). B defaults
-to 8 on TPU — the knee of the measured batch-scaling curve
+to 12 on TPU — the knee of the measured batch-scaling curve
 (PROTEUS_TPU_BENCH_TILES_PER_DISPATCH overrides; BENCH_BATCH.json has
-the full B = 1..8 curve — batching amortizes the ~7 ms per-dispatch
+the full B = 1..32 curve — batching amortizes the ~7 ms per-dispatch
 overhead that bounds this device, KERNEL_PROFILE.json; the campaign's
 --tiles-per-device knob is the production equivalent).
 The median of PROTEUS_TPU_BENCH_PASSES timing passes is reported (this
@@ -78,7 +78,7 @@ def main():
     # execution pattern). Derived tiles: band-rolled copies so each
     # tile is distinct without holding B full host copies.
     B = int(os.environ.get('PROTEUS_TPU_BENCH_TILES_PER_DISPATCH',
-                           '8' if on_tpu else '1'))
+                           '12' if on_tpu else '1'))
     host = bands + [fmask, invalid]
     dev = [jax.device_put(np.stack([np.roll(a, i, axis=0)
                                     for i in range(B)]))

@@ -252,6 +252,14 @@ def make_campaign_step(config: DswxChainConfig, mesh,
                 b[i], g[i], r[i], n[i], s1[i], s2[i], fm[i], inv[i],
                 *[e[i] for e in lead + tuple(extras)])
                 for i in range(b.shape[0])]
+            # barrier: without it XLA fuses the B-way output stack INTO
+            # the Mosaic custom fusion, whose concat staging blows the
+            # 16 MB scoped-vmem budget at B=8 x 3660^2 with the
+            # 12-input all-ancillary variant ("Scoped allocation ...
+            # exceeded scoped vmem limit"). The stack is a plain HBM
+            # copy either way; keeping it outside the kernel costs
+            # nothing and compiles everywhere.
+            tiles = jax.lax.optimization_barrier(tiles)
             out = {k: jnp.stack([t[k] for t in tiles])
                    for k in tiles[0]}
         else:
@@ -385,6 +393,9 @@ def make_spatial_campaign_step(config: DswxChainConfig, mesh,
                 return args
             tiles = [pallas_kernel(*tile_args(i))
                      for i in range(padded[0].shape[0])]
+            # same scoped-vmem guard as make_campaign_step: keep the
+            # B-way stack out of the Mosaic custom fusion
+            tiles = jax.lax.optimization_barrier(tiles)
             return {k: jnp.stack([t[k] for t in tiles])
                     for k in tiles[0]}
         return jax.vmap(per_tile)(*padded)
@@ -569,11 +580,14 @@ class _AncillaryCache:
 ANCILLARY_CACHE = _AncillaryCache()
 
 # Default tiles-per-device-per-batch on TPU: the measured knee of the
-# batch-scaling curve (tools/bench_batch.py, BENCH_BATCH.json — batching
-# amortizes the ~7 ms per-dispatch overhead that bounds this device;
-# B=8 reaches 3.0 ms/tile vs 8.6 at B=1). Off-TPU dispatch is cheap and
-# host memory matters more, so the default stays 1 there.
-TPU_DEFAULT_TILES_PER_DEVICE = 8
+# replay-proof batch-scaling curve (tools/bench_batch.py,
+# BENCH_BATCH.json 2026-08-19 session — batching amortizes the ~7 ms
+# per-dispatch overhead that bounds this device; B=12 reaches
+# 2.39 ms/tile vs 7.39 at B=1, and the curve is flat through B=16 with
+# only ~5% more at B=24/32 for 2-3x the HBM footprint and kill/resume
+# batch-loss granularity). Off-TPU dispatch is cheap and host memory
+# matters more, so the default stays 1 there.
+TPU_DEFAULT_TILES_PER_DEVICE = 12
 
 
 def _fsig(path):

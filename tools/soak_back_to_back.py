@@ -47,6 +47,16 @@ def run_one(mode, args):
     t0 = time.time()
     rc = subprocess.run(cmd, cwd=REPO).returncode
     dt = time.time() - t0
+    # a stale artifact from an earlier session must never masquerade as
+    # this run's result (r5 incident: all three sub-soaks crashed, the
+    # pre-existing JSONs were read back, and SOAK_BACK_TO_BACK.json
+    # reported phases that never executed)
+    if rc != 0:
+        raise RuntimeError(f'{mode} soak failed (rc={rc}); refusing to '
+                           f'read {out}')
+    if not os.path.isfile(out) or os.path.getmtime(out) < t0:
+        raise RuntimeError(f'{mode} soak wrote no fresh {out} '
+                           '(stale or missing artifact)')
     with open(out) as fh:
         rep = json.load(fh)
     print(json.dumps({'mode': mode, 'rc': rc,
