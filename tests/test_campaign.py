@@ -825,3 +825,30 @@ class TestPrepOverlap:
         with pytest.raises(Exception):
             camp._read_tile(job, config=DswxChainConfig())
         camp.ANCILLARY_CACHE.clear()
+
+
+def test_batched_pallas_step_keeps_stack_out_of_kernel_fusion():
+    """Regression for the round-5 scoped-VMEM incident: at B>1 the
+    per-tile Pallas outputs must pass through an optimization_barrier
+    before the batch ``jnp.stack`` — without it XLA fuses the B-way
+    concat staging INTO the Mosaic custom fusion and the 12-input
+    all-ancillary program exceeds the 16 MB scoped-vmem budget at
+    3660^2 on real TPU (cold-grid/soak crash, EVIDENCE_ROUND.json).
+    The VMEM failure itself only reproduces on hardware; this checks
+    the structural guard survives in the traced program."""
+    mesh = make_tile_mesh()
+    cfg = DswxChainConfig()
+    step = make_campaign_step(cfg, mesh, use_pallas=True,
+                              with_ocean=True, with_shadow=True,
+                              with_landcover=True,
+                              pallas_interpret=True, pallas_block_rows=8)
+    B, H, W = 16, 64, 64  # 2 tiles per device: a real per-device stack
+    bands = [np.ones((B, H, W), np.int16) for _ in range(6)]
+    fmask = np.zeros((B, H, W), np.uint8)
+    invalid = np.zeros((B, H, W), bool)
+    ocean = np.ones((B, H, W), np.uint8)
+    shadow = np.ones((B, H, W), np.uint8)
+    landcover = np.ones((B, H, W), np.uint8)
+    jaxpr = jax.make_jaxpr(step)(*bands, fmask, invalid, ocean, shadow,
+                                 landcover)
+    assert 'optimization_barrier' in str(jaxpr)
