@@ -132,22 +132,33 @@ def main():
 
     # ---- phase A: run + injected fault + SIGKILL mid-campaign ----
     t0 = time.time()
-    proc = subprocess.Popen(cmd, env=env, cwd=REPO,
-                            stdout=subprocess.DEVNULL,
-                            stderr=subprocess.DEVNULL)
-    killed = False
-    while time.time() - t0 < args.timeout:
-        time.sleep(3)
-        if proc.poll() is not None:
-            break  # finished before we killed it (tiny sizes)
-        done = manifest_counts(manifest).get('done', 0)
-        if done >= args.kill_after_done:
-            proc.send_signal(signal.SIGKILL)
-            proc.wait()
-            killed = True
-            break
+    log_a = os.path.join(args.root, 'phase_a.log')
+    with open(log_a, 'wb') as log_fh:
+        proc = subprocess.Popen(cmd, env=env, cwd=REPO,
+                                stdout=log_fh,
+                                stderr=subprocess.STDOUT)
+        killed = False
+        while time.time() - t0 < args.timeout:
+            time.sleep(3)
+            if proc.poll() is not None:
+                break  # finished before we killed it (tiny sizes)
+            done = manifest_counts(manifest).get('done', 0)
+            if done >= args.kill_after_done:
+                proc.send_signal(signal.SIGKILL)
+                proc.wait()
+                killed = True
+                break
     phase_a_s = time.time() - t0
     counts_a = manifest_counts(manifest)
+    if not os.path.isfile(manifest):
+        # the campaign died before completing a single tile (r5 otsu
+        # incident: DEVNULLed stderr left nothing to diagnose) — fail
+        # loudly WITH the captured log tail
+        with open(log_a, errors='replace') as fh:
+            tail = fh.read()[-4000:]
+        raise RuntimeError(
+            f'phase A wrote no manifest (campaign rc='
+            f'{proc.returncode}, {phase_a_s:.0f} s); log tail:\n{tail}')
     # record mtimes only for tiles the manifest marks done — files of
     # tiles that were mid-write at the kill are legitimately rewritten
     with open(manifest) as fh:
@@ -168,10 +179,12 @@ def main():
     # ---- phase B: resume (no fault this time) ----
     t0 = time.time()
     env.pop('PROTEUS_TPU_FAULT_INJECT')
-    rc = subprocess.run(cmd, env=env, cwd=REPO,
-                        stdout=subprocess.DEVNULL,
-                        stderr=subprocess.DEVNULL,
-                        timeout=args.timeout).returncode
+    log_b = os.path.join(args.root, 'phase_b.log')
+    with open(log_b, 'wb') as log_fh:
+        rc = subprocess.run(cmd, env=env, cwd=REPO,
+                            stdout=log_fh,
+                            stderr=subprocess.STDOUT,
+                            timeout=args.timeout).returncode
     phase_b_s = time.time() - t0
     counts_b = manifest_counts(manifest)
     report['phase_b'] = {'seconds': round(phase_b_s, 1),
