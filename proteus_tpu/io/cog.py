@@ -15,8 +15,10 @@ Tile compression runs in the native codec (libdeflate) when built, else a
 thread pool over the Python codecs.
 """
 
+import copy
 import os
 import struct
+import threading
 import xml.sax.saxutils
 from concurrent.futures import ThreadPoolExecutor
 
@@ -349,6 +351,68 @@ class _IfdPlan:
         self.tile_blobs = list(pool.map(lambda j: make_tile(*j), jobs))
 
 
+class _PayloadCache:
+    """Small LRU of built COG tile payloads (compressed blobs + pyramid
+    shapes), keyed by a caller-supplied identity key plus every
+    payload-affecting encode parameter.
+
+    A campaign writes an IDENTICAL pixel payload for the DEM layer of
+    every revisit of a product grid — the warped DEM is a pure function
+    of (DEM file signature, grid), the same key
+    parallel/campaign._AncillaryCache uses — while only the per-product
+    metadata tags differ between files. Decimation + DEFLATE of the
+    float32 DEM is the largest single host encode stage
+    (~0.97 core-s/tile at 3660^2, HOST_BUDGET.json); reusing the blobs
+    makes it a once-per-grid cost. Entries hold compressed bytes only
+    (~10-30 MB per grid). PROTEUS_TPU_COG_PAYLOAD_CACHE caps entries
+    (0 disables; default 4, matching the ancillary cache)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._entries = {}
+        self._order = []
+
+    @staticmethod
+    def max_entries():
+        try:
+            return int(os.environ.get('PROTEUS_TPU_COG_PAYLOAD_CACHE',
+                                      '4'))
+        except ValueError:
+            return 4
+
+    def get(self, key):
+        with self._lock:
+            plans = self._entries.get(key)
+            if plans is None:
+                return None
+            self._order.remove(key)
+            self._order.append(key)
+            # tile_offsets is assigned per write; hand out shallow
+            # copies so concurrent writer-pool calls never share it
+            return [copy.copy(p) for p in plans]
+
+    def put(self, key, plans):
+        cap = self.max_entries()
+        if cap <= 0:
+            return
+        for p in plans:
+            p.array = None  # layout never reads it; free the pixels
+        with self._lock:
+            if key not in self._entries:
+                self._order.append(key)
+            self._entries[key] = plans
+            while len(self._order) > cap:
+                self._entries.pop(self._order.pop(0), None)
+
+    def clear(self):
+        with self._lock:
+            self._entries.clear()
+            self._order.clear()
+
+
+PAYLOAD_CACHE = _PayloadCache()
+
+
 def _pack_tag(tag, typ, values, extra_area, extra_base):
     """Encode one classic-TIFF IFD entry; long values go to the extra
     area."""
@@ -380,11 +444,16 @@ def write_cog(path, array, geotransform=None, epsg=None, nodata=None,
               metadata=None, band_descriptions=None, color_map=None,
               overview_levels=DEFAULT_OVERVIEW_LEVELS,
               tile_size=DEFAULT_TILE_SIZE, compress=True,
-              num_threads=8):
+              num_threads=8, payload_key=None):
     """Write ``array`` ((H, W) or (H, W, S)) as a cloud-optimized GeoTIFF.
 
     color_map: {value: (r, g, b)} for single-band uint8 palette output.
     nodata: numeric or NaN; written as the GDAL_NODATA ASCII tag.
+    payload_key: identity key for the pixel payload; when given, the
+    decimated pyramid + compressed tile blobs are reused from
+    PAYLOAD_CACHE across writes of identical pixels (tags — metadata,
+    geo keys, descriptions — are rebuilt per file). The caller owns key
+    correctness: the same key MUST imply the same array bytes.
     """
     array = np.asarray(array)
     if array.ndim == 2:
@@ -401,18 +470,28 @@ def write_cog(path, array, geotransform=None, epsg=None, nodata=None,
                  else codecs.PREDICTOR_HORIZONTAL) if compress \
         else codecs.PREDICTOR_NONE
 
-    # main + overview pyramid
-    plans = [_IfdPlan(arr3, tile_size, compress, predictor, False)]
-    for f in (overview_levels or ()):
-        if w // f < 1 or h // f < 1:
-            continue
-        dec = _cubicspline_decimate(arr3, f) if is_float \
-            else _nearest_decimate(arr3, f)
-        plans.append(_IfdPlan(dec, tile_size, compress, predictor, True))
-
-    with ThreadPoolExecutor(max_workers=num_threads) as pool:
-        for p in plans:
-            p.build_tiles(pool)
+    # main + overview pyramid (payload reused across identical-pixel
+    # writes when the caller supplies an identity key)
+    plans = cache_key = None
+    if payload_key is not None:
+        cache_key = (payload_key, arr3.shape, arr3.dtype.str, tile_size,
+                     bool(compress), tuple(overview_levels or ()),
+                     _deflate_level())
+        plans = PAYLOAD_CACHE.get(cache_key)
+    if plans is None:
+        plans = [_IfdPlan(arr3, tile_size, compress, predictor, False)]
+        for f in (overview_levels or ()):
+            if w // f < 1 or h // f < 1:
+                continue
+            dec = _cubicspline_decimate(arr3, f) if is_float \
+                else _nearest_decimate(arr3, f)
+            plans.append(_IfdPlan(dec, tile_size, compress, predictor,
+                                  True))
+        with ThreadPoolExecutor(max_workers=num_threads) as pool:
+            for p in plans:
+                p.build_tiles(pool)
+        if cache_key is not None:
+            PAYLOAD_CACHE.put(cache_key, plans)
 
     gdal_meta_xml = _gdal_metadata_xml(metadata, band_descriptions)
     geokeys, geo_doubles = _geokey_directory(epsg)

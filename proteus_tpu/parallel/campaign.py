@@ -812,7 +812,12 @@ def _read_tile(job, flag_debug=False, config=None, scaled=False,
                         shadow_alg)
                 shad_crop, shad_packed = ANCILLARY_CACHE.get(skey,
                                                              _shadow)
-                return {'dem': dem_crop, 'shadow_layer': shad_crop,
+                # dkey identifies the warped-DEM payload exactly (file
+                # signature + grid): the writer reuses the encoded COG
+                # blobs across revisits of the grid (io/cog.py
+                # PAYLOAD_CACHE — only the metadata tags differ)
+                return {'dem': dem_crop, 'dem_payload_key': dkey,
+                        'shadow_layer': shad_crop,
                         'shadow_packed': shad_packed}
         preps.append(_prep_dem_shadow)
 
@@ -949,7 +954,8 @@ def _write_tile(job, layers, image_dict, metadata, derive_opts=None):
             pw.save_array(dem_host, path, metadata,
                           geotransform, projection,
                           description=C.BAND_DESCRIPTION_DICT['DEM'],
-                          no_data_value=float('nan'))
+                          no_data_value=float('nan'),
+                          payload_key=image_dict.get('dem_payload_key'))
         saved.append(path)
 
     if 'BROWSE' in layers:

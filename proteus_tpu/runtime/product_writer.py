@@ -73,8 +73,13 @@ def collapse_wtr_classes_host(layer):
 
 def save_array(input_array, output_file, dswx_metadata_dict, geotransform,
                projection, description=None, scratch_dir='.',
-               output_files_list=None, ctable=None, no_data_value=None):
-    """Save one generic DSWx-HLS layer as a COG."""
+               output_files_list=None, ctable=None, no_data_value=None,
+               payload_key=None):
+    """Save one generic DSWx-HLS layer as a COG.
+
+    payload_key: optional pixel-payload identity key forwarded to
+    write_cog's payload cache (campaign DEM layers are identical per
+    grid; only the metadata tags differ between products)."""
     del scratch_dir  # single-pass writer needs no scratch space
     _makedirs(output_file)
     arr = np.asarray(input_array)
@@ -84,7 +89,8 @@ def save_array(input_array, output_file, dswx_metadata_dict, geotransform,
               nodata=no_data_value,
               metadata=_str_metadata(dswx_metadata_dict),
               band_descriptions=band_desc,
-              color_map=ctables.to_rgb_map(ctable) if ctable else None)
+              color_map=ctables.to_rgb_map(ctable) if ctable else None,
+              payload_key=payload_key)
     _finish(output_file, output_files_list)
 
 

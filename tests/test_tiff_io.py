@@ -280,3 +280,105 @@ def test_bigtiff_read(tmp_path):
     with TiffReader(path) as r:
         assert r.bigtiff
         np.testing.assert_array_equal(r.read(), arr)
+
+
+class TestPayloadCache:
+    """write_cog(payload_key=...): reuse of decimated+compressed tile
+    payloads across identical-pixel writes (the campaign's per-grid DEM
+    layer — io/cog.py PAYLOAD_CACHE)."""
+
+    def _write(self, path, arr, meta, key, **kw):
+        write_cog(str(path), arr, geotransform=(600000, 30, 0, 4500000,
+                                                0, -30),
+                  epsg=32615, nodata=float('nan'),
+                  metadata=meta, payload_key=key, **kw)
+
+    def test_hit_reuses_blobs_and_rebuilds_tags(self, tmp_path,
+                                                monkeypatch):
+        from proteus_tpu.io import cog
+        cog.PAYLOAD_CACHE.clear()
+        rng = np.random.default_rng(7)
+        arr = rng.normal(size=(700, 650)).astype(np.float32)
+        builds = []
+        orig = cog._IfdPlan.build_tiles
+        monkeypatch.setattr(
+            cog._IfdPlan, 'build_tiles',
+            lambda self, pool: builds.append(1) or orig(self, pool))
+        a, b = tmp_path / 'a.tif', tmp_path / 'b.tif'
+        self._write(a, arr, {'SENSING_TIME': 'T1'}, key=('dem', 1))
+        n_levels = len(builds)
+        assert n_levels >= 1
+        self._write(b, arr, {'SENSING_TIME': 'T2'}, key=('dem', 1))
+        assert len(builds) == n_levels  # no re-encode on the hit
+        # both files are valid standalone COGs with their own metadata
+        for path, stamp in ((a, 'T1'), (b, 'T2')):
+            assert validate_cog(str(path), full_check=True) == []
+            with TiffReader(str(path)) as r:
+                np.testing.assert_array_equal(r.read(), arr)
+                assert r.metadata()['SENSING_TIME'] == stamp
+        cog.PAYLOAD_CACHE.clear()
+
+    def test_key_separates_different_payloads(self, tmp_path):
+        from proteus_tpu.io import cog
+        cog.PAYLOAD_CACHE.clear()
+        rng = np.random.default_rng(8)
+        a1 = rng.normal(size=(260, 260)).astype(np.float32)
+        a2 = rng.normal(size=(260, 260)).astype(np.float32)
+        p1, p2 = tmp_path / '1.tif', tmp_path / '2.tif'
+        self._write(p1, a1, None, key=('dem', 'g1'))
+        self._write(p2, a2, None, key=('dem', 'g2'))
+        with TiffReader(str(p1)) as r:
+            np.testing.assert_array_equal(r.read(), a1)
+        with TiffReader(str(p2)) as r:
+            np.testing.assert_array_equal(r.read(), a2)
+        cog.PAYLOAD_CACHE.clear()
+
+    def test_cap_zero_disables(self, tmp_path, monkeypatch):
+        from proteus_tpu.io import cog
+        cog.PAYLOAD_CACHE.clear()
+        monkeypatch.setenv('PROTEUS_TPU_COG_PAYLOAD_CACHE', '0')
+        arr = np.arange(64 * 64, dtype=np.float32).reshape(64, 64)
+        builds = []
+        orig = cog._IfdPlan.build_tiles
+        monkeypatch.setattr(
+            cog._IfdPlan, 'build_tiles',
+            lambda self, pool: builds.append(1) or orig(self, pool))
+        self._write(tmp_path / 'x.tif', arr, None, key=('k',))
+        n = len(builds)
+        self._write(tmp_path / 'y.tif', arr, None, key=('k',))
+        assert len(builds) == 2 * n  # cache disabled: re-encoded
+        cog.PAYLOAD_CACHE.clear()
+
+    def test_campaign_dem_write_passes_key(self, tmp_path):
+        """_write_tile forwards dem_payload_key: two tiles on the same
+        grid encode the DEM payload once (hit observed via the cache's
+        internal store)."""
+        from proteus_tpu.io import cog
+        from proteus_tpu.parallel.campaign import _write_tile, TileJob
+        cog.PAYLOAD_CACHE.clear()
+        dem = np.linspace(0, 800, 96 * 96,
+                          dtype=np.float32).reshape(96, 96)
+        science = {name: np.zeros((96, 96), np.uint8)
+                   for name in ('WTR', 'BWTR', 'CONF', 'WTR-1', 'WTR-2',
+                                'CLOUD')}
+        science['DIAG'] = np.zeros((96, 96), np.uint16)
+        base = dict(geotransform=(600000, 30, 0, 4500000, 0, -30),
+                    projection='EPSG:32615', length=96, width=96)
+        for i in range(2):
+            job = TileJob(f't{i}', [], str(tmp_path / f't{i}'))
+            image_dict = dict(base, dem=dem,
+                              dem_payload_key=('dem_warp', 'sig',
+                                               base['geotransform'],
+                                               base['projection'],
+                                               96, 96, 0))
+            _write_tile(job, dict(science), image_dict,
+                        {'SENSING_TIME': f'T{i}'})
+        assert len(cog.PAYLOAD_CACHE._entries) == 1
+        for i in range(2):
+            tifs = glob.glob(str(tmp_path / f't{i}' / '*_DEM.tif'))
+            assert len(tifs) == 1
+            assert validate_cog(tifs[0], full_check=True) == []
+            with TiffReader(tifs[0]) as r:
+                np.testing.assert_array_equal(r.read(), dem)
+                assert r.metadata()['SENSING_TIME'] == f'T{i}'
+        cog.PAYLOAD_CACHE.clear()
